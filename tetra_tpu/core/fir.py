@@ -1,0 +1,69 @@
+"""Batched streaming FIR filters in JAX (channels x time).
+
+Stateless convolution stages of the demod chain (RRC matched filter, and the
+reference-parity per-sample band-edge filters when run outside the FLL loop)
+are expressed as 'valid' convolutions over a block with an (M-1)-sample carry,
+i.e. overlap-save streaming.  Complex data is decomposed into real convs so
+XLA lowers them onto the TPU conv/matmul units.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def _conv_valid_real(x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """Valid-mode convolution y[n] = sum_m h[m] x[n+M-1-m], batched.
+
+    x: (C, T) float32, h: (M,) float32 -> (C, T-M+1) float32.
+    """
+    C, T = x.shape
+    M = h.shape[0]
+    lhs = x[:, None, :]                      # (C, 1, T)
+    rhs = h[::-1][None, None, :]             # (1, 1, M) flipped for conv
+    out = lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32)
+    return out[:, 0, :]
+
+
+def fir_valid(x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """Valid-mode FIR for complex or real x with complex or real taps h.
+
+    Returns y with y[:, n] = sum_m h[m] * x[:, n + M - 1 - m]  (causal
+    convolution evaluated where the full kernel overlaps).
+    """
+    if jnp.iscomplexobj(x) or jnp.iscomplexobj(h):
+        xr = jnp.real(x).astype(jnp.float32)
+        xi = jnp.imag(x).astype(jnp.float32) if jnp.iscomplexobj(x) else jnp.zeros_like(xr)
+        hr = jnp.real(h).astype(jnp.float32)
+        if jnp.iscomplexobj(h):
+            hi = jnp.imag(h).astype(jnp.float32)
+            rr = _conv_valid_real(xr, hr) - _conv_valid_real(xi, hi)
+            ii = _conv_valid_real(xr, hi) + _conv_valid_real(xi, hr)
+        else:
+            rr = _conv_valid_real(xr, hr)
+            ii = _conv_valid_real(xi, hr)
+        return (rr + 1j * ii).astype(jnp.complex64)
+    return _conv_valid_real(x.astype(jnp.float32), h.astype(jnp.float32))
+
+
+def fir_stream(x: jnp.ndarray, h: jnp.ndarray, tail: jnp.ndarray
+               ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Streaming FIR over a (C, T) block with an (C, M-1) carried tail.
+
+    Concatenates the carried history in front of the block, runs a valid
+    convolution (output length T), and returns the new tail.  Overlap-save:
+    identical to filtering the infinite stream sample-for-sample.
+    """
+    M = h.shape[0]
+    ext = jnp.concatenate([tail, x], axis=1)     # (C, M-1+T)
+    y = fir_valid(ext, h)                        # (C, T)
+    new_tail = ext[:, -(M - 1):] if M > 1 else tail
+    return y, new_tail
+
+
+def make_fir_tail(channels: int, taps: int, dtype=jnp.complex64) -> jnp.ndarray:
+    return jnp.zeros((channels, taps - 1), dtype)

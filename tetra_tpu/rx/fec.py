@@ -1,0 +1,160 @@
+"""Batched RX FEC stages: descramble, deinterleave, depuncture, CRC, RM3014.
+
+TPU-first re-design of the reference's per-burst scalar pipeline
+(lower_mac/tetra_lower_mac.c:184-237): every stage is a fixed-shape gather /
+scatter / GF(2) matmul over a batch of blocks, so whole seconds of air
+interface (all channels x all bursts) decode in one device call.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import params as P
+from ..tx import fec_enc
+from .viterbi import viterbi_decode
+
+# ---------------------------------------------------------------------------
+# Scrambling (type-5 -> type-4): XOR with precomputed keystream
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=64)
+def keystream(lfsr_init: int, length: int) -> np.ndarray:
+    return fec_enc.scramb_keystream(lfsr_init, length)
+
+
+def descramble(bits: jnp.ndarray, lfsr_init: int) -> jnp.ndarray:
+    """bits: (..., L) uint8; scrambling is a self-inverse XOR."""
+    ks = jnp.asarray(keystream(int(lfsr_init), bits.shape[-1]))
+    return bits ^ ks
+
+
+# ---------------------------------------------------------------------------
+# Deinterleave (type-4 -> type-3): out[i] = in[k(i)]
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=16)
+def _deinterleave_idx(K: int, a: int) -> np.ndarray:
+    return P.interleave_indices(K, a)
+
+
+def deinterleave(bits: jnp.ndarray, a: int) -> jnp.ndarray:
+    idx = jnp.asarray(_deinterleave_idx(bits.shape[-1], a))
+    return bits[..., idx]
+
+
+# ---------------------------------------------------------------------------
+# Depuncture (type-3 -> soft mother symbols)
+# ---------------------------------------------------------------------------
+
+
+def depuncture_soft(bits: jnp.ndarray, punct_id: int, mother_len: int,
+                    n_out: int) -> jnp.ndarray:
+    """Hard type-3 bits (..., L) -> soft mother (..., mother_len//n_out, n_out).
+
+    Non-transmitted positions get soft 0 (erasure), transmitted positions get
+    +1 for bit 0 / -1 for bit 1 (viterbi.c:6-25 convention).
+    """
+    idx = jnp.asarray(P.puncture_indices(punct_id, bits.shape[-1]))
+    soft_vals = 1.0 - 2.0 * bits.astype(jnp.float32)
+    mother = jnp.zeros(bits.shape[:-1] + (mother_len,), jnp.float32)
+    mother = mother.at[..., idx].set(soft_vals)
+    return mother.reshape(bits.shape[:-1] + (mother_len // n_out, n_out))
+
+
+# ---------------------------------------------------------------------------
+# CRC-16 as a GF(2) affine map (batched check)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=16)
+def _crc_matrix(length: int) -> tuple[np.ndarray, np.ndarray]:
+    """(M, r0): crc(bits) = (bits @ M) xor r0, bitwise over GF(2).
+
+    M has shape (length, 16) with M[i] = crc(e_i) ^ crc(0); r0 = crc(0).
+    Row vectors store the CRC MSB-first.
+    """
+    def crc_to_bits(c):
+        return np.array([(c >> (15 - i)) & 1 for i in range(16)], np.uint8)
+
+    zero = np.zeros(length, np.uint8)
+    r0 = fec_enc.crc16_bits(zero)
+    M = np.empty((length, 16), np.uint8)
+    for i in range(length):
+        e = zero.copy()
+        e[i] = 1
+        M[i] = crc_to_bits(fec_enc.crc16_bits(e) ^ r0)
+    return M, crc_to_bits(r0)
+
+
+def crc16_check(bits: jnp.ndarray) -> jnp.ndarray:
+    """Batched good-residue check over (..., L) bit arrays.
+
+    Returns (...,) bool: True when the CRC residue equals TETRA_CRC_OK
+    (0x1d0f), i.e. the block at lower_mac/tetra_lower_mac.c:217-229 passes.
+    """
+    L = bits.shape[-1]
+    M, r0 = _crc_matrix(L)
+    good = np.array([(P.CRC16_GOOD >> (15 - i)) & 1 for i in range(16)], np.uint8)
+    residue = (bits.astype(jnp.int32) @ jnp.asarray(M, jnp.int32)) % 2
+    residue = residue ^ jnp.asarray(r0, jnp.int32)
+    return jnp.all(residue == jnp.asarray(good, jnp.int32), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# RM(30,14) broadcast block
+# ---------------------------------------------------------------------------
+
+_RM_FULL = np.concatenate([np.eye(14, dtype=np.uint8), P.RM3014_PARITY], axis=1)
+
+
+def rm3014_decode(bits30: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(..., 30) coded bits -> ((..., 14) info bits, (...,) parity_ok).
+
+    The reference truncates without checking ("FIXME: RM3014-decode",
+    tetra_lower_mac.c:231); we additionally recompute the parity so AACH
+    blocks can be gated like CRC blocks.
+    """
+    info = bits30[..., :14]
+    expect = (info.astype(jnp.int32) @ jnp.asarray(P.RM3014_PARITY, jnp.int32)) % 2
+    ok = jnp.all(expect == bits30[..., 14:].astype(jnp.int32), axis=-1)
+    return info, ok
+
+
+# ---------------------------------------------------------------------------
+# Full control-block decode (type-5 -> type-1 + crc flag), batched per type
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("blk_type",))
+def _decode_cch_block(type5: jnp.ndarray, ks: jnp.ndarray, blk_type: int):
+    name, t345, t2, t1, ia, has_crc = P.BLK_PARAMS[blk_type]
+    type4 = type5 ^ ks
+    type3 = deinterleave(type4, ia)
+    soft = depuncture_soft(type3, P.PUNCT_2_3, t2 * 4, 4)
+    type2 = viterbi_decode(soft, "cch")
+    crc_ok = crc16_check(type2[..., : t1 + 16])
+    return type2[..., :t1], crc_ok
+
+
+def decode_block(type5: jnp.ndarray, blk_type: int,
+                 scramb_init: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode a batch of type-5 blocks of one type.
+
+    type5: (B, type345_bits) uint8.  Returns (type1 bits (B, t1), ok (B,)).
+    SB1 blocks always use the predefined scrambling code (tetra_lower_mac.c:
+    186-190); BBK blocks use the RM(30,14) path.
+    """
+    if blk_type == P.TPSAP_T_SB1:
+        scramb_init = P.SCRAMB_INIT
+    name, t345, t2, t1, ia, has_crc = P.BLK_PARAMS[blk_type]
+    ks = jnp.asarray(keystream(int(scramb_init), t345))
+    if blk_type == P.TPSAP_T_BBK:
+        return rm3014_decode(type5 ^ ks)
+    return _decode_cch_block(type5, ks, blk_type)
