@@ -69,10 +69,12 @@ def band_edge_pair(filt_size: int, alpha: float, symbol_rate: float,
     spin = 2.0 * np.pi * (1.0 + alpha) * kk
     low = bb * np.exp(-1j * spin)
     high = bb * np.exp(1j * spin)
-    # The reference stores these reversed and correlates; reversing here gives
-    # identical arithmetic under convolution.
-    return (low[::-1].astype(np.complex64).copy(),
-            high[::-1].astype(np.complex64).copy())
+    # Returned in natural order: used as convolution kernels
+    # y[n] = sum_m h[m] x[n-m], which reproduces the reference's
+    # store-reversed-then-correlate arithmetic exactly (fll.cpp:88-93 +
+    # SDR++ FIR dot product).  NOTE: time-reversing a complex kernel would
+    # mirror its frequency response and swap the band edges (FLL sign flip).
+    return low.astype(np.complex64), high.astype(np.complex64)
 
 
 def nuttall(n: np.ndarray, N: int) -> np.ndarray:

@@ -1,0 +1,176 @@
+"""Burst synchronization: training-sequence search + lock state machine.
+
+Re-design of phy/tetra_burst_sync.c + phy/tetra_burst.c:271-341: the bit-serial
+22-bit rolling prefilter becomes a vectorized sliding-window correlation over
+the whole buffer (NumPy here; device-side batched correlation for wideband
+multi-channel operation lives in ops/).  The 3-state lock machine
+(UNLOCKED -> KNOW_FSTART -> LOCKED) and its slot bookkeeping are inherently
+sequential, low-rate host logic and stay in Python, as SURVEY.md section 7
+plans (device computes scores, host tracks lock).
+
+Emitted bursts are split into typed field blocks (SB1/BBK/SB2/NDB/SCH-F) per
+the downlink burst layouts so callers can batch same-typed blocks for the
+device FEC pipeline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .. import params as P
+from .tdma import PhyState, TdmaTime
+
+RX_UNLOCKED = 0
+RX_KNOW_FSTART = 1
+RX_LOCKED = 2
+
+_SEARCH_SEQS_LOCKED = (P.TRAIN_SEQ_SYNC, P.TRAIN_SEQ_NORM_1, P.TRAIN_SEQ_NORM_2)
+
+
+def find_train_seq(bits: np.ndarray, which: tuple[int, ...]
+                   ) -> tuple[int, int] | None:
+    """Earliest full match of any requested training sequence.
+
+    Returns (seq_id, offset) of the smallest offset with a complete match, or
+    None.  Equivalent to tetra_burst.c:271-341 (prefilter + memcmp) but
+    computed as vectorized window compares.
+    """
+    best = None
+    for seq_id in which:
+        seq = P.TRAIN_SEQS[seq_id]
+        L = len(seq)
+        if len(bits) < L:
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(bits, L)
+        hits = np.nonzero((win == seq).all(axis=1))[0]
+        if hits.size and (best is None or hits[0] < best[1]):
+            best = (seq_id, int(hits[0]))
+    return best
+
+
+@dataclass
+class Burst:
+    """One received 510-bit downlink slot with its training-sequence type."""
+    train_seq: int
+    bits: np.ndarray          # (510,) uint8
+    time: TdmaTime            # TDMA time at reception
+
+    def blocks(self) -> list[tuple[int, int, np.ndarray]]:
+        """Split into (tp_sap_type, blk_num, type5_bits) per burst layout
+        (tetra_burst_rx_cb, phy/tetra_burst.c:343-393)."""
+        b = self.bits
+        if self.train_seq == P.TRAIN_SEQ_SYNC:
+            return [
+                (P.TPSAP_T_SB1, 1, b[P.SB_BLK1_OFFSET:P.SB_BLK1_OFFSET + P.SB_BLK1_BITS]),
+                (P.TPSAP_T_BBK, 0, b[P.SB_BBK_OFFSET:P.SB_BBK_OFFSET + P.SB_BBK_BITS]),
+                (P.TPSAP_T_SB2, 2, b[P.SB_BLK2_OFFSET:P.SB_BLK2_OFFSET + P.SB_BLK2_BITS]),
+            ]
+        bbk = np.concatenate([
+            b[P.NDB_BBK1_OFFSET:P.NDB_BBK1_OFFSET + P.NDB_BBK1_BITS],
+            b[P.NDB_BBK2_OFFSET:P.NDB_BBK2_OFFSET + P.NDB_BBK2_BITS]])
+        if self.train_seq == P.TRAIN_SEQ_NORM_2:
+            return [
+                (P.TPSAP_T_BBK, 0, bbk),
+                (P.TPSAP_T_NDB, 1, b[P.NDB_BLK1_OFFSET:P.NDB_BLK1_OFFSET + P.NDB_BLK_BITS]),
+                (P.TPSAP_T_NDB, 2, b[P.NDB_BLK2_OFFSET:P.NDB_BLK2_OFFSET + P.NDB_BLK_BITS]),
+            ]
+        if self.train_seq == P.TRAIN_SEQ_NORM_1:
+            schf = np.concatenate([
+                b[P.NDB_BLK1_OFFSET:P.NDB_BLK1_OFFSET + P.NDB_BLK_BITS],
+                b[P.NDB_BLK2_OFFSET:P.NDB_BLK2_OFFSET + P.NDB_BLK_BITS]])
+            return [
+                (P.TPSAP_T_BBK, 0, bbk),
+                (P.TPSAP_T_SCH_F, 0, schf),
+            ]
+        return []  # uplink training sequences: ignore (NORM_3 / EXT)
+
+
+@dataclass
+class BurstSync:
+    """Per-channel burst synchronizer (state of tetra_burst_sync.h:12-20).
+
+    bufsize bounds memory while UNLOCKED (the reference uses 4096 bits with
+    tiny stream feeds); batch feeds here are block-sized (~4k bits per demod
+    block), so the bound must comfortably exceed feed size + one slot or the
+    ring would drop unprocessed bits and break alignment.
+    """
+    bufsize: int = 1 << 16
+    state: int = RX_UNLOCKED
+    bitbuf: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint8))
+    bitbuf_start_bitnum: int = 0
+    next_frame_start_bitnum: int = 0
+    phy: PhyState = field(default_factory=PhyState)
+    lock_losses: int = 0
+
+    @property
+    def time(self) -> TdmaTime:
+        return self.phy.time
+
+    def feed(self, bits: np.ndarray) -> list[Burst]:
+        """Append demodulated bits; return any completed bursts."""
+        bits = np.asarray(bits, np.uint8).reshape(-1)
+        # keep at most bufsize bits (make_bitbuf_space)
+        total = len(self.bitbuf) + len(bits)
+        if total > self.bufsize:
+            drop = total - self.bufsize
+            self.bitbuf = self.bitbuf[drop:]
+            self.bitbuf_start_bitnum += drop
+        self.bitbuf = np.concatenate([self.bitbuf, bits])
+
+        out: list[Burst] = []
+        progress = True
+        while progress:
+            progress = False
+            if self.state == RX_UNLOCKED:
+                if len(self.bitbuf) < P.BITS_PER_TS * 2:
+                    break
+                m = find_train_seq(self.bitbuf, (P.TRAIN_SEQ_SYNC,))
+                if m is None:
+                    break
+                _, offs = m
+                self.state = RX_KNOW_FSTART
+                self.next_frame_start_bitnum = (
+                    self.bitbuf_start_bitnum + offs + P.SYNC_TRAIN_TO_NEXT_SLOT)
+                progress = True
+            elif self.state == RX_KNOW_FSTART:
+                if (self.bitbuf_start_bitnum + len(self.bitbuf)
+                        < self.next_frame_start_bitnum):
+                    break
+                offset = self.next_frame_start_bitnum - self.bitbuf_start_bitnum
+                self.bitbuf = self.bitbuf[offset:]
+                self.bitbuf_start_bitnum += offset
+                self.next_frame_start_bitnum += P.BITS_PER_TS
+                self.state = RX_LOCKED
+                progress = True
+            else:  # RX_LOCKED
+                if len(self.bitbuf) < P.BITS_PER_TS:
+                    break
+                self.time.add_tn(1)
+                m = find_train_seq(self.bitbuf, _SEARCH_SEQS_LOCKED)
+                if m is None:
+                    self.state = RX_UNLOCKED
+                    self.lock_losses += 1
+                else:
+                    seq_id, offs = m
+                    if seq_id == P.TRAIN_SEQ_SYNC:
+                        if offs == P.SYNC_TRAIN_OFFSET:
+                            out.append(Burst(seq_id,
+                                             self.bitbuf[:P.BITS_PER_TS].copy(),
+                                             self.time.copy()))
+                        else:
+                            self.state = RX_UNLOCKED
+                            self.lock_losses += 1
+                    else:
+                        if offs == P.NORM_TRAIN_OFFSET:
+                            out.append(Burst(seq_id,
+                                             self.bitbuf[:P.BITS_PER_TS].copy(),
+                                             self.time.copy()))
+                        # wrong-offset NORM: ignored, stay locked (reference
+                        # behavior at tetra_burst_sync.c:134-139)
+                self.bitbuf = self.bitbuf[P.BITS_PER_TS:]
+                self.bitbuf_start_bitnum += P.BITS_PER_TS
+                self.next_frame_start_bitnum += P.BITS_PER_TS
+                progress = True
+        return out

@@ -1,0 +1,154 @@
+"""Lower MAC driver: bursts -> batched device FEC -> upper MAC dispatch.
+
+Re-design of tetra_lower_mac.c:148-412 for batch processing: instead of
+descramble/deinterleave/depuncture/viterbi/CRC per block in a scalar loop,
+all same-typed blocks of a burst batch decode in ONE device call each
+(rx.fec.decode_block), then results dispatch sequentially through the host
+upper MAC so ordering-sensitive state (AACH traffic flags before SCH/F voice,
+SYNC PDU scrambling-code updates) behaves exactly like the reference.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import params as P
+from . import fec as rx_fec
+from .burst_sync import Burst
+from .mac_pdu import bits_to_uint
+from .tdma import PhyState, TdmaTime, is_bnch
+from .upper_mac import (LC_AACH, LC_BNCH, LC_BSCH, LC_SCH_F, LC_UNKNOWN,
+                        UpperMac)
+
+
+@dataclass
+class CellData:
+    """Mirror of struct tetra_cell_data (tetra_lower_mac.c:107-116)."""
+    mcc: int = 0
+    mnc: int = 0
+    colour_code: int = 0
+    scramb_init: int = P.SCRAMB_INIT
+    time: TdmaTime = field(default_factory=TdmaTime)
+
+
+@dataclass
+class LowerMac:
+    upper: UpperMac = field(default_factory=UpperMac)
+    cell: CellData = field(default_factory=CellData)
+    phy: PhyState = field(default_factory=PhyState)
+    # voice callback: (time, type4_bits (432,)) -> None, called for traffic
+    # SCH/F slots (the reference routes these to the ACELP codec,
+    # tetra_lower_mac.c:287-372)
+    voice_cb: Callable | None = None
+    crc_fails: int = 0
+    crc_oks: int = 0
+
+    def _dispatch(self, blk_type: int, blk_num: int, type1: np.ndarray,
+                  crc_ok: bool, time: TdmaTime, type4: np.ndarray | None):
+        d = self.upper.display
+        if crc_ok:
+            self.crc_oks += 1
+        else:
+            self.crc_fails += 1
+        lchan = LC_UNKNOWN
+        if blk_type == P.TPSAP_T_SB1:
+            # SYNC PDU: parsed inline like tetra_lower_mac.c:246-276
+            d.mcc = bits_to_uint(type1, 31, 10)
+            d.mnc = bits_to_uint(type1, 41, 14)
+            d.cc = bits_to_uint(type1, 4, 6)
+            if crc_ok:
+                c = self.cell
+                c.colour_code = bits_to_uint(type1, 4, 6)
+                c.time.tn = bits_to_uint(type1, 10, 2) + 1
+                c.time.fn = bits_to_uint(type1, 12, 5)
+                c.time.mn = bits_to_uint(type1, 17, 6)
+                c.mcc = bits_to_uint(type1, 31, 10)
+                c.mnc = bits_to_uint(type1, 41, 14)
+                c.scramb_init = P.scramb_get_init(c.mcc, c.mnc, c.colour_code)
+                # SYNC PDU re-synchronizes the shared PHY time
+                # (tetra_lower_mac.c:277-279)
+                self.phy.time.tn = c.time.tn
+                self.phy.time.fn = c.time.fn
+                self.phy.time.mn = c.time.mn
+                d.last_crc_fail = False
+            else:
+                d.last_crc_fail = True
+            lchan = LC_BSCH
+        elif blk_type == P.TPSAP_T_BBK:
+            lchan = LC_AACH
+        elif blk_type == P.TPSAP_T_SB2:
+            lchan = LC_BNCH if is_bnch(time) else LC_UNKNOWN
+            d.last_crc_fail = not crc_ok
+        elif blk_type == P.TPSAP_T_SCH_F:
+            lchan = LC_SCH_F
+            if crc_ok:
+                d.last_crc_fail = False
+            if self.upper.is_traffic and self.voice_cb is not None:
+                self.voice_cb(time, type4)
+        else:
+            d.last_crc_fail = not crc_ok
+        self.upper.receive(type1, lchan, crc_ok, time)
+
+    def process_bursts(self, bursts: list[Burst]):
+        """Decode and dispatch a batch of bursts (order preserved).
+
+        Blocks are grouped by (type, scrambling code) and decoded in batched
+        device calls; SB1 first so a SYNC PDU's new scrambling code applies to
+        the rest of its own burst, like the sequential reference flow.
+        """
+        if not bursts:
+            return
+        # Pre-pass: decode all SB1 blocks (always the predefined scrambling)
+        items = []  # (burst_idx, blk_type, blk_num, type5)
+        for bi, burst in enumerate(bursts):
+            for blk_type, blk_num, type5 in burst.blocks():
+                items.append([bi, blk_type, blk_num, np.asarray(type5)])
+
+        sb1_idx = [i for i, it in enumerate(items) if it[1] == P.TPSAP_T_SB1]
+        decoded: dict[int, tuple[np.ndarray, bool]] = {}
+        if sb1_idx:
+            batch = np.stack([items[i][3] for i in sb1_idx])
+            t1, ok = rx_fec.decode_block(jnp.asarray(batch), P.TPSAP_T_SB1, 0)
+            t1, ok = np.asarray(t1), np.asarray(ok)
+            for j, i in enumerate(sb1_idx):
+                decoded[i] = (t1[j], bool(ok[j]))
+            # adopt the first good SYNC PDU's scrambling code for this batch
+            for j, i in enumerate(sb1_idx):
+                if ok[j]:
+                    mcc = bits_to_uint(t1[j], 31, 10)
+                    mnc = bits_to_uint(t1[j], 41, 14)
+                    cc = bits_to_uint(t1[j], 4, 6)
+                    self.cell.scramb_init = P.scramb_get_init(mcc, mnc, cc)
+                    break
+
+        scramb = self.cell.scramb_init
+        for blk_type in (P.TPSAP_T_BBK, P.TPSAP_T_SB2, P.TPSAP_T_NDB,
+                         P.TPSAP_T_SCH_HU, P.TPSAP_T_SCH_F):
+            idxs = [i for i, it in enumerate(items) if it[1] == blk_type]
+            if not idxs:
+                continue
+            batch = np.stack([items[i][3] for i in idxs])
+            t1, ok = rx_fec.decode_block(jnp.asarray(batch), blk_type, scramb)
+            t1, ok = np.asarray(t1), np.asarray(ok)
+            for j, i in enumerate(idxs):
+                decoded[i] = (t1[j], bool(ok[j]))
+
+        # Sequential dispatch in burst/block order
+        for i, (bi, blk_type, blk_num, type5) in enumerate(items):
+            burst = bursts[bi]
+            type1, ok = decoded[i]
+            type4 = None
+            if blk_type == P.TPSAP_T_SCH_F:
+                type4 = type5 ^ rx_fec.keystream(scramb, len(type5))
+            self.upper.display.curr_multiframe = burst.time.mn
+            self.upper.display.curr_frame = burst.time.fn
+            # timeslot content per tetra_burst_rx_cb
+            tc = {P.TRAIN_SEQ_SYNC: 3, P.TRAIN_SEQ_NORM_2: 2}.get(
+                burst.train_seq,
+                4 if self.upper.is_traffic else 1)
+            self.upper.display.timeslot_content[(burst.time.tn - 1) % 4] = tc
+            self._dispatch(blk_type, blk_num, type1, ok, burst.time, type4)

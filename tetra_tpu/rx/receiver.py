@@ -1,0 +1,65 @@
+"""Top-level multi-channel TETRA receiver pipeline.
+
+Equivalent of the reference plugin's whole wiring (main.cpp:58-120 +
+osmotetra_dec.h) as a streaming object: IQ blocks (channels x time) go
+through the batched device demod chain, then per-channel burst sync and the
+batched MAC/FEC stack.  One `TetraReceiver` replaces the reference's
+11 threaded blocks per single channel - and handles N channels at once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import demod as demod_mod
+from .burst_sync import BurstSync
+from .lower_mac import LowerMac
+from .tdma import PhyState
+
+
+class TetraReceiver:
+    def __init__(self, channels: int = 1, voice_cb=None):
+        self.channels = channels
+        self.state = demod_mod.demod_init(channels)
+        self.phy = [PhyState() for _ in range(channels)]
+        self.sync = [BurstSync(phy=p) for p in self.phy]
+        self.mac = [LowerMac(phy=p) for p in self.phy]
+        if voice_cb is not None:
+            for m in self.mac:
+                m.voice_cb = voice_cb
+        self.sym_quality = np.zeros(channels, np.float32)
+
+    def process(self, iq: np.ndarray) -> None:
+        """Feed one (C, T) IQ block at 36 ksps per channel."""
+        iq = np.atleast_2d(iq)
+        assert iq.shape[0] == self.channels
+        self.state, outs = demod_mod.demod_block(self.state, jnp.asarray(iq))
+        dibits = np.asarray(outs["dibits"])
+        valid = np.asarray(outs["valid"])
+        dist = np.asarray(outs["dist"])
+        for c in range(self.channels):
+            v = valid[c]
+            if not v.any():
+                continue
+            self.sym_quality[c] = float(dist[c][v].mean())
+            bits = demod_mod.dibits_to_bits(dibits[c][v])
+            bursts = self.sync[c].feed(bits)
+            if bursts:
+                self.mac[c].process_bursts(bursts)
+
+    # -- convenience views ---------------------------------------------------
+
+    def display(self, c: int = 0):
+        return self.mac[c].upper.display
+
+    def locked(self, c: int = 0) -> bool:
+        from .burst_sync import RX_LOCKED
+        return self.sync[c].state == RX_LOCKED
+
+    def quality_ok(self, c: int = 0) -> bool:
+        """Signal-quality gate analogous to dqpsk_sym_extr.cpp:25-29."""
+        from .. import params as P
+        return self.sym_quality[c] < P.SYNC_QUALITY_THRESHOLD

@@ -1,0 +1,202 @@
+"""Downlink cell simulator: generates a continuous TETRA downlink bit stream.
+
+The reference has no test fixtures at all (SURVEY.md section 4); this module
+is the golden TX the RX stack is validated against: SYNC bursts carrying
+SYNC/SYSINFO PDUs on the BSCH/BNCH slot rules, AACH broadcast blocks, and
+normal bursts carrying MAC-RESOURCE or arbitrary payload bits, assembled
+slot-by-slot exactly as a base station would emit them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .. import params as P
+from ..rx.tdma import TdmaTime, is_bsch
+from . import burst as burst_mod
+from . import fec_enc
+
+
+def _uint_to_bits(val: int, n: int) -> np.ndarray:
+    return np.array([(val >> (n - 1 - i)) & 1 for i in range(n)], np.uint8)
+
+
+def build_sync_pdu(cc: int, time: TdmaTime, mcc: int, mnc: int) -> np.ndarray:
+    """60-bit SYNC PDU (21.4.4.2 + D-MLE-SYNC)."""
+    parts = [
+        _uint_to_bits(0, 4),            # system code (pi/4 DQPSK)
+        _uint_to_bits(cc, 6),
+        _uint_to_bits(time.tn - 1, 2),
+        _uint_to_bits(time.fn, 5),
+        _uint_to_bits(time.mn, 6),
+        _uint_to_bits(0, 2),            # sharing mode
+        _uint_to_bits(0, 3),            # TS reserved frames
+        _uint_to_bits(0, 1),            # U-plane DTX
+        _uint_to_bits(0, 1),            # frame 18 extension
+        _uint_to_bits(0, 1),            # reserved
+        _uint_to_bits(mcc, 10),         # D-MLE-SYNC
+        _uint_to_bits(mnc, 14),
+        _uint_to_bits(0, 2),            # neighbour cell broadcast
+        _uint_to_bits(0, 2),            # cell service level
+        _uint_to_bits(0, 1),            # late entry info
+    ]
+    bits = np.concatenate(parts)
+    assert len(bits) == 60
+    return bits
+
+
+def build_sysinfo_pdu(main_carrier: int, freq_band: int, hyperframe: int,
+                      la: int, bs_service_details: int,
+                      freq_offset: int = 0, duplex_spacing: int = 0,
+                      reverse_operation: int = 0) -> np.ndarray:
+    """124-bit BROADCAST/SYSINFO PDU (21.4.4.1 + D-MLE-SYSINFO)."""
+    parts = [
+        _uint_to_bits(2, 2),            # MAC PDU type: broadcast
+        _uint_to_bits(0, 2),            # broadcast subtype: sysinfo
+        _uint_to_bits(main_carrier, 12),
+        _uint_to_bits(freq_band, 4),
+        _uint_to_bits(freq_offset, 2),
+        _uint_to_bits(duplex_spacing, 3),
+        _uint_to_bits(reverse_operation, 1),
+        _uint_to_bits(0, 2),            # number of common SCH
+        _uint_to_bits(4, 3),            # MS txpwr max cell
+        _uint_to_bits(2, 4),            # rxlev access min
+        _uint_to_bits(3, 4),            # access parameter
+        _uint_to_bits(2, 4),            # radio DL timeout
+        _uint_to_bits(0, 1),            # cck_valid_no_hf = 0 -> hyperframe
+        _uint_to_bits(hyperframe, 16),
+        _uint_to_bits(2, 2),            # option field: access code A
+        _uint_to_bits(0, 20),
+        # D-MLE-SYSINFO
+        _uint_to_bits(la, 14),
+        _uint_to_bits(0xFFFF, 16),      # subscriber class bitmap
+        _uint_to_bits(bs_service_details, 12),
+    ]
+    bits = np.concatenate(parts)
+    assert len(bits) == 124
+    return bits
+
+
+def build_aach(dl_usage: int, ul_usage: int) -> np.ndarray:
+    """14-bit ACCESS-ASSIGN: header 3 (DL field1/UL field1), usage markers."""
+    return np.concatenate([
+        _uint_to_bits(3, 2), _uint_to_bits(dl_usage, 6),
+        _uint_to_bits(ul_usage, 6)])
+
+
+def build_resource_pdu(ssi: int, sdu_bits: np.ndarray,
+                       fill_to: int = 124) -> np.ndarray:
+    """MAC-RESOURCE with SSI address carrying a TM-SDU (21.4.3.1).
+
+    Header is 43 bits (type/fill/grant/enc/raf/len/addr-type + 24-bit SSI +
+    power/slot-grant/chan-alloc absent); total PDU length is padded to a
+    whole number of octets and encoded in the length indicator.
+    """
+    header = 43
+    total_bits = header + len(sdu_bits)
+    length_oct = (total_bits + 7) // 8
+    assert length_oct <= 0x12 and length_oct * 8 <= fill_to
+    pad = length_oct * 8 - total_bits
+    bits = np.concatenate([
+        _uint_to_bits(0, 2),            # MAC PDU type: MAC-RESOURCE
+        _uint_to_bits(0, 1),            # fill bits (none)
+        _uint_to_bits(0, 1),            # grant position
+        _uint_to_bits(0, 2),            # encryption mode
+        _uint_to_bits(0, 1),            # random access flag
+        _uint_to_bits(length_oct, 6),   # length in octets
+        _uint_to_bits(1, 3),            # address type SSI
+        _uint_to_bits(ssi, 24),
+        _uint_to_bits(0, 1),            # power control absent
+        _uint_to_bits(0, 1),            # slot granting absent
+        _uint_to_bits(0, 1),            # channel allocation absent
+        np.asarray(sdu_bits, np.uint8),
+        np.zeros(pad, np.uint8),
+    ])
+    tail = np.zeros(fill_to - len(bits), np.uint8)
+    # remainder of the slot after a length-delimited PDU: a NULL PDU would
+    # follow in a real cell; zeros decode as a resource PDU with NULL address
+    return np.concatenate([bits, tail])
+
+
+def build_null_pdu(fill_to: int = 124) -> np.ndarray:
+    """MAC-RESOURCE with NULL address (fills remainder of the slot)."""
+    bits = np.concatenate([
+        _uint_to_bits(0, 2),   # MAC PDU type: MAC-RESOURCE
+        _uint_to_bits(0, 1),   # fill bits
+        _uint_to_bits(0, 1),   # grant position
+        _uint_to_bits(0, 2),   # encryption mode
+        _uint_to_bits(0, 1),   # random access flag
+        _uint_to_bits(0, 6),   # length indicator (0 -> reserved/slot)
+        _uint_to_bits(0, 3),   # address type NULL
+    ])
+    pad = np.zeros(fill_to - len(bits), np.uint8)
+    return np.concatenate([bits, pad])
+
+
+@dataclass
+class SlotRecord:
+    """Ground truth for one transmitted slot."""
+    time: TdmaTime
+    kind: str                   # "sync" | "ndb"
+    type1: dict = field(default_factory=dict)  # per-block type-1 payloads
+
+
+@dataclass
+class CellConfig:
+    mcc: int = 262
+    mnc: int = 1234
+    cc: int = 7
+    main_carrier: int = 3600
+    freq_band: int = 3          # 390 MHz band
+    la: int = 21
+    bs_service_details: int = 0b111001110111
+    hyperframe: int = 42
+
+
+def downlink_bits(cfg: CellConfig, n_slots: int,
+                  start: TdmaTime | None = None,
+                  payload_rng: np.random.Generator | None = None
+                  ) -> tuple[np.ndarray, list[SlotRecord]]:
+    """Generate `n_slots` consecutive downlink slots (510 bits each).
+
+    SYNC bursts are emitted on BSCH slots (fn==18, tn by the mn rule of
+    tetra_lower_mac.c:118-123); every other slot carries a normal burst with
+    NDB payload blocks.  Returns (bits (n_slots*510,), ground-truth records).
+    """
+    if payload_rng is None:
+        payload_rng = np.random.default_rng(0)
+    time = start.copy() if start else TdmaTime(mn=1, fn=1, tn=4)
+    scramb = P.scramb_get_init(cfg.mcc, cfg.mnc, cfg.cc)
+    out = []
+    records = []
+    for _ in range(n_slots):
+        time.add_tn(1)
+        aach = build_aach(dl_usage=2, ul_usage=0)
+        bbk5 = fec_enc.encode_block(aach, P.TPSAP_T_BBK, scramb)
+        if is_bsch(time):
+            sb1 = build_sync_pdu(cfg.cc, time, cfg.mcc, cfg.mnc)
+            sb2 = build_sysinfo_pdu(cfg.main_carrier, cfg.freq_band,
+                                    cfg.hyperframe, cfg.la,
+                                    cfg.bs_service_details)
+            b = burst_mod.build_sync_burst(
+                fec_enc.encode_block(sb1, P.TPSAP_T_SB1, scramb),
+                bbk5,
+                fec_enc.encode_block(sb2, P.TPSAP_T_SB2, scramb))
+            records.append(SlotRecord(time.copy(), "sync",
+                                      dict(sb1=sb1, aach=aach, sb2=sb2)))
+        else:
+            ndb1 = build_null_pdu()
+            sdu = payload_rng.integers(0, 2, 77).astype(np.uint8)
+            ndb2 = build_resource_pdu(ssi=0x123456, sdu_bits=sdu)
+            b = burst_mod.build_norm_burst(
+                fec_enc.encode_block(ndb1, P.TPSAP_T_NDB, scramb),
+                bbk5,
+                fec_enc.encode_block(ndb2, P.TPSAP_T_NDB, scramb),
+                two_log_chan=True)
+            records.append(SlotRecord(time.copy(), "ndb",
+                                      dict(ndb1=ndb1, aach=aach, ndb2=ndb2,
+                                           sdu=sdu)))
+        out.append(b)
+    return np.concatenate(out), records
