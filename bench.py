@@ -1,0 +1,65 @@
+"""Headline benchmark: IQ Msamples/s/chip through the full demod chain.
+
+Runs the complete batched demod pipeline (AGC -> FLL -> RRC -> ML timing ->
+Costas -> symbol extraction) on-device over a (channels, time) block and
+measures sustained throughput.  vs_baseline is the ratio to the reference's
+implied real-time floor of one 36 kS/s channel per desktop CPU core-set
+(BASELINE.md): value / 0.036 = number of simultaneous real-time TETRA
+channels one chip sustains.
+
+Prints ONE JSON line as required by the driver.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tetra_tpu.rx import demod_fast as demod_mod
+
+    channels = 512
+    block = 9216         # 0.256 s of air time per channel per step
+    n_chunks = int(np.ceil(block / (demod_mod.K_SYM * 1.96))) + 1
+
+    def step(state, xr, xi):
+        return demod_mod._demod_block_impl(state, xr, xi, n_chunks)
+
+    jit_step = jax.jit(step, donate_argnums=(0,))
+
+    rng = np.random.default_rng(0)
+    xr = jnp.asarray(rng.standard_normal((channels, block)).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal((channels, block)).astype(np.float32))
+
+    state = demod_mod.demod_init(channels)
+    # warmup / compile
+    state, outs = jit_step(state, xr, xi)
+    jax.block_until_ready(outs["dibits"])
+    state, outs = jit_step(state, xr, xi)
+    jax.block_until_ready(outs["dibits"])
+
+    iters = 8
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, outs = jit_step(state, xr, xi)
+        # force completion: fetch a scalar reduction (block_until_ready alone
+        # returned early on this backend in testing)
+        float(outs["dist"].sum())
+    dt = time.perf_counter() - t0
+
+    samples = channels * block * iters
+    msps = samples / dt / 1e6
+    print(json.dumps({
+        "metric": "demod_chain_throughput",
+        "value": round(msps, 3),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(msps / 0.036, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""Chunked-mode (production) demod: equivalence with the exact-mode chain.
+
+Acceptance per SURVEY.md section 7: burst-level bits at operating SNR must
+match -- loop internals may differ between per-sample and chunked updates.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tetra_tpu import params as P
+from tetra_tpu.rx import demod as demod_exact
+from tetra_tpu.rx import demod_fast
+from tetra_tpu.tx.channel import channel
+from tetra_tpu.tx.modulator import modulate
+
+RNG = np.random.default_rng(11)
+
+
+def _run(mod, iq, block=4096):
+    state = mod.demod_init(iq.shape[0])
+    dibs, vals = [], []
+    for i in range(iq.shape[1] // block):
+        state, outs = mod.demod_block(state, iq[:, i * block:(i + 1) * block])
+        dibs.append(np.asarray(outs["dibits"]))
+        vals.append(np.asarray(outs["valid"]))
+    d = np.concatenate(dibs, 1)
+    v = np.concatenate(vals, 1)
+    return d[0][v[0]], state
+
+
+def _bits(dib):
+    return demod_exact.dibits_to_bits(dib)
+
+
+def _ber(tx_bits, rx_bits, skip, probe=400):
+    pat = tx_bits[skip:skip + probe]
+    errs = [np.mean(rx_bits[o:o + probe] != pat)
+            for o in range(len(rx_bits) - probe)]
+    off = int(np.argmin(errs))
+    n = min(len(rx_bits) - off, len(tx_bits) - skip)
+    return float(np.mean(rx_bits[off:off + n] != tx_bits[skip:skip + n]))
+
+
+def test_fast_clean_channel():
+    bits = RNG.integers(0, 2, (1, 16000)).astype(np.uint8)
+    iq = np.asarray(modulate(jnp.asarray(bits)))
+    rx, _ = _run(demod_fast, iq)
+    assert _ber(bits[0], _bits(rx), skip=2000) == 0.0
+
+
+def test_fast_cfo_noise_matches_exact_at_operating_point():
+    bits = RNG.integers(0, 2, (1, 60000)).astype(np.uint8)
+    iq = modulate(jnp.asarray(bits))
+    iq = np.asarray(channel(iq, jax.random.key(2), snr_db=20.0, cfo_hz=600.0,
+                            sample_rate=P.SAMPLE_RATE))
+    rx_fast, state = _run(demod_fast, iq)
+    ber = _ber(bits[0], _bits(rx_fast), skip=40000)
+    assert ber < 1e-3, ber
+    fhz = float(state.fll_freq[0]) * P.SAMPLE_RATE / (2 * np.pi)
+    assert abs(fhz - 600.0) < 80.0, fhz
+
+
+def test_fast_block_size_invariance():
+    bits = RNG.integers(0, 2, (1, 16000)).astype(np.uint8)
+    iq = np.asarray(modulate(jnp.asarray(bits)))
+    a, _ = _run(demod_fast, iq[:, :28672], block=4096)
+    b, _ = _run(demod_fast, iq[:, :28672], block=2048)
+    n = min(len(a), len(b))
+    assert (a[:n] == b[:n]).all()

@@ -113,3 +113,49 @@ def test_full_modem_e2e(snr_db, cfo_hz):
     # after scrambling acquisition most blocks pass CRC; cold-start blocks
     # (pre-SYNC-PDU) legitimately fail, so gate on the post-acquisition share
     assert rx.mac[0].crc_oks >= 3 * 40
+
+
+def test_voice_e2e_bit_level():
+    """Traffic slots: TX voice frames -> burst -> sync -> MAC -> speech
+    channel decode -> ACELP synthesis -> audio samples."""
+    from tetra_tpu.rx.tdma import PhyState
+    from tetra_tpu.voice.pipeline import VoicePipeline
+
+    rng = np.random.default_rng(33)
+    sent_frames = []
+
+    def framegen():
+        f = rng.integers(0, 2, (2, 137)).astype(np.uint8)
+        sent_frames.append(f)
+        return f
+
+    bits, records = cell.downlink_bits(
+        CFG, 170, start=START.copy(), voice_slots={2: framegen})
+    phy = PhyState()
+    sync = BurstSync(phy=phy)
+    mac = LowerMac(phy=phy)
+    vp = VoicePipeline()
+    decoded_frames = []
+
+    def voice_cb(time, type4):
+        from tetra_tpu.voice import channel as vch2
+        frames, bfi = vch2.decode_slot(type4[None])
+        decoded_frames.append((time.copy(), frames[0], bool(bfi[0])))
+        vp(time, type4)
+
+    mac.voice_cb = voice_cb
+    for i in range(0, len(bits), 510 * 4):
+        mac.process_bursts(sync.feed(bits[i:i + 510 * 4]))
+
+    # voice only decodes after scrambling acquisition (2nd SYNC at slot 73)
+    assert len(decoded_frames) > 10
+    good = [f for _, f, bfi in decoded_frames if not bfi]
+    assert len(good) >= len(decoded_frames) - 2
+    # decoded frames must match what was sent (find them in the sent list)
+    sent = {f.tobytes() for f in sent_frames}
+    matched = sum(1 for f in good if f.astype(np.uint8).tobytes() in sent)
+    assert matched == len(good), (matched, len(good))
+    # audio came out
+    audio = vp.take_audio()
+    assert len(audio) == 480 * vp.slots_decoded
+    assert vp.slots_decoded >= len(good) - 1

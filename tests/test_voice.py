@@ -1,0 +1,103 @@
+"""Speech channel coding tests: loopback, error correction, BFI."""
+
+import numpy as np
+import pytest
+
+from tetra_tpu.voice import channel as vch
+
+RNG = np.random.default_rng(21)
+
+
+def test_reorder_roundtrip():
+    frames = RNG.integers(0, 2, 2 * 137).astype(np.uint8)
+    seq = vch.reorder_from_codec(frames)
+    back = vch.reorder_to_codec(seq)
+    assert (back == frames).all()
+
+
+def test_interleave_roundtrip():
+    bits = RNG.integers(0, 2, 432).astype(np.uint8)
+    il = vch.interleave(bits)
+    assert not (il == bits).all()
+    assert (il[vch._deinterleave_perm()] == bits).all()
+
+
+def test_slot_loopback_clean():
+    frames = RNG.integers(0, 2, (3, 2, 137)).astype(np.uint8)
+    slots = np.stack([vch.encode_slot(f.reshape(-1)) for f in frames])
+    dec, bfi = vch.decode_slot(slots)
+    assert (dec == frames).all()
+    assert not bfi.any()
+
+
+def test_slot_corrects_errors():
+    frames = RNG.integers(0, 2, (1, 2, 137)).astype(np.uint8)
+    slot = vch.encode_slot(frames[0].reshape(-1))
+    bad = slot.copy()
+    # flip bits inside the protected (coded) region only; class-0 bits are
+    # unprotected by design.  positions of coded bits after interleaving:
+    perm = vch._interleave_perm()
+    coded_positions = np.nonzero(perm >= vch.N_C0)[0]
+    for pos in RNG.choice(coded_positions, 6, replace=False):
+        bad[pos] ^= 1
+    dec, bfi = vch.decode_slot(bad[None])
+    # protected classes must be restored
+    seq_want = vch.reorder_from_codec(frames[0].reshape(-1))
+    seq_got = vch.reorder_from_codec(dec[0].reshape(-1))
+    assert (seq_got[vch.N_C0:] == seq_want[vch.N_C0:]).all()
+    assert not bfi[0]
+
+
+def test_bfi_on_heavy_corruption():
+    frames = RNG.integers(0, 2, (1, 2, 137)).astype(np.uint8)
+    slot = vch.encode_slot(frames[0].reshape(-1))
+    trash = RNG.integers(0, 2, 432).astype(np.uint8)
+    _, bfi = vch.decode_slot(trash[None])
+    assert bfi[0]
+
+
+def test_acelp_synthesizer_basic():
+    from tetra_tpu.voice.acelp import AcelpDecoder
+    dec = AcelpDecoder()
+    audio = np.concatenate([
+        dec.decode_frame(RNG.integers(0, 2, 137).astype(np.uint8))
+        for _ in range(50)])
+    x = audio.astype(float)
+    assert audio.shape == (50 * 240,)
+    assert np.isfinite(x).all()
+    rms = np.sqrt(np.mean(x ** 2))
+    assert 100 < rms < 30000          # bounded, non-silent
+    assert np.mean(np.abs(x) >= 32767) < 0.1  # not stuck at the rails
+
+
+def test_acelp_pitch_tracking():
+    from tetra_tpu.voice.acelp import AcelpDecoder
+    dec = AcelpDecoder()
+    f = np.zeros(137, np.uint8)
+    # pitch lag = PITCH_MIN (20), max pitch gain, mid code gain
+    for s4 in range(4):
+        off = 113 + 6 * s4
+        f[off:off + 3] = [1, 1, 1]
+        f[off + 3:off + 6] = [1, 0, 0]
+    aud = np.concatenate([dec.decode_frame(f) for _ in range(10)])
+    x = aud[1200:].astype(float)
+    ac = np.correlate(x, x, "full")[len(x) - 1:]
+    peak_lag = np.argmax(ac[10:100]) + 10
+    assert peak_lag % 20 == 0, peak_lag  # periodic at the commanded lag
+
+
+def test_voice_pipeline_slot_flow():
+    from tetra_tpu.rx.tdma import TdmaTime
+    from tetra_tpu.voice.pipeline import VoicePipeline
+    vp = VoicePipeline()
+    frames = RNG.integers(0, 2, (2, 137)).astype(np.uint8)
+    slot_bits = vch.encode_slot(frames.reshape(-1))
+    t = TdmaTime(mn=3, fn=5, tn=2, sn=1)
+    vp(t, slot_bits)
+    # second traffic slot in the same frame is ignored (active-slot gate)
+    t2 = TdmaTime(mn=3, fn=5, tn=3, sn=1)
+    vp(t2, slot_bits)
+    audio = vp.take_audio()
+    assert audio.shape == (480,)
+    assert vp.slots_decoded == 1
+    assert vp.bad_frames == 0

@@ -67,3 +67,19 @@ def fir_stream(x: jnp.ndarray, h: jnp.ndarray, tail: jnp.ndarray
 
 def make_fir_tail(channels: int, taps: int, dtype=jnp.complex64) -> jnp.ndarray:
     return jnp.zeros((channels, taps - 1), dtype)
+
+
+def fir_stream_pair(xr: jnp.ndarray, xi: jnp.ndarray, h: jnp.ndarray,
+                    tail_re: jnp.ndarray, tail_im: jnp.ndarray):
+    """Streaming real-tap FIR on an explicit (re, im) float pair.
+
+    TPU-safe variant of fir_stream: this environment's TPU backend has no
+    complex64 support, so IQ streams are carried as two float32 planes.
+    Returns (yr, yi, new_tail_re, new_tail_im).
+    """
+    M = h.shape[0]
+    er = jnp.concatenate([tail_re, xr], axis=1)
+    ei = jnp.concatenate([tail_im, xi], axis=1)
+    yr = _conv_valid_real(er, h)
+    yi = _conv_valid_real(ei, h)
+    return yr, yi, er[:, -(M - 1):], ei[:, -(M - 1):]

@@ -7,6 +7,10 @@ dqpsk_sym_extr.cpp:4-55).  Instead of one thread per block pulling samples
 through ring buffers, the chain is a pure function over (channels, time)
 blocks:
 
+  * ALL device arithmetic is on explicit (re, im) float32 pairs - the TPU
+    vector unit has no complex type (and this environment's TPU backend
+    rejects complex64 outright), so complex math is spelled out, which is
+    also exactly what the fused Pallas kernels need;
   * per-sample feedback loops (AGC gain, FLL phase/freq) run as a single
     fused `lax.scan` over time, vectorized across channels on the VPU;
   * the RRC matched filter is a stateless overlap-save convolution;
@@ -16,8 +20,8 @@ blocks:
   * block-to-block loop state is threaded through an explicit DemodState
     pytree, so streaming is `state, out = demod_block(state, iq)`.
 
-Loop constants and semantics follow the reference (main.cpp:35-44, 77-82);
-see tetra_tpu/ops/demod_pallas.py for the fused Pallas production kernel.
+Loop constants and semantics follow the reference (main.cpp:35-44, 77-82).
+See rx/demod_fast.py for the chunked-update production variant.
 """
 
 from __future__ import annotations
@@ -31,7 +35,7 @@ import numpy as np
 
 from .. import params as P
 from ..core import taps as taps_mod
-from ..core.fir import fir_stream
+from ..core.fir import fir_stream_pair
 from ..core.loops import critically_damped
 
 # ---------------------------------------------------------------------------
@@ -52,23 +56,24 @@ _FLL_FREQ_LIM = np.pi / 2.0
 _COSTAS_FREQ_LIM = np.pi / 10.0
 
 _RRC = None
-_BE_LOW = None
-_BE_HIGH = None
+_BE = None
 _BANK = None
 
 
 def _tables():
-    # NumPy constants (NOT jnp): these are closed over by jitted functions;
-    # device arrays created inside a trace would leak tracers across traces.
-    global _RRC, _BE_LOW, _BE_HIGH, _BANK
+    # NumPy constants (NOT jnp): closed over by jitted functions; device
+    # arrays created inside a trace would leak tracers across traces.
+    global _RRC, _BE, _BANK
     if _RRC is None:
         _RRC = taps_mod.root_raised_cosine(
             P.RRC_TAP_COUNT, P.RRC_ALPHA, P.SYMBOL_RATE, P.SAMPLE_RATE)
-        _BE_LOW, _BE_HIGH = taps_mod.band_edge_pair(
+        lo, hi = taps_mod.band_edge_pair(
             P.RRC_TAP_COUNT, P.RRC_ALPHA, P.SYMBOL_RATE, P.SAMPLE_RATE)
+        _BE = (np.real(lo).astype(np.float32), np.imag(lo).astype(np.float32),
+               np.real(hi).astype(np.float32), np.imag(hi).astype(np.float32))
         _BANK = taps_mod.interp_bank(
             P.INTERP_PHASE_COUNT, P.INTERP_TAP_COUNT)
-    return _RRC, _BE_LOW, _BE_HIGH, _BANK
+    return _RRC, _BE, _BANK
 
 
 def max_symbols(block_len: int) -> int:
@@ -85,9 +90,12 @@ class DemodState(NamedTuple):
     agc_gain: jnp.ndarray    # (C,) f32
     fll_phase: jnp.ndarray   # (C,) f32
     fll_freq: jnp.ndarray    # (C,) f32
-    fll_hist: jnp.ndarray    # (C, RRC_TAP_COUNT-1) c64 rotated-sample history
-    rrc_tail: jnp.ndarray    # (C, RRC_TAP_COUNT-1) c64
-    mm_tail: jnp.ndarray     # (C, INTERP_TAP_COUNT-1) c64
+    fll_hist_re: jnp.ndarray  # (C, RRC_TAP_COUNT-1) rotated-sample history
+    fll_hist_im: jnp.ndarray
+    rrc_tail_re: jnp.ndarray  # (C, RRC_TAP_COUNT-1)
+    rrc_tail_im: jnp.ndarray
+    mm_tail_re: jnp.ndarray   # (C, INTERP_TAP_COUNT-1)
+    mm_tail_im: jnp.ndarray
     mm_offset: jnp.ndarray   # (C,) i32 read offset into current block
     mm_mu: jnp.ndarray       # (C,) f32 fractional sample phase in [0,1)
     mm_freq: jnp.ndarray     # (C,) f32 samples/symbol estimate
@@ -100,13 +108,13 @@ class DemodState(NamedTuple):
 def demod_init(channels: int) -> DemodState:
     C = channels
     zf = jnp.zeros((C,), jnp.float32)
-    zc = lambda n: jnp.zeros((C, n), jnp.complex64)
+    z2 = lambda n: jnp.zeros((C, n), jnp.float32)
     return DemodState(
         agc_gain=jnp.ones((C,), jnp.float32),
         fll_phase=zf, fll_freq=zf,
-        fll_hist=zc(P.RRC_TAP_COUNT - 1),
-        rrc_tail=zc(P.RRC_TAP_COUNT - 1),
-        mm_tail=zc(P.INTERP_TAP_COUNT - 1),
+        fll_hist_re=z2(P.RRC_TAP_COUNT - 1), fll_hist_im=z2(P.RRC_TAP_COUNT - 1),
+        rrc_tail_re=z2(P.RRC_TAP_COUNT - 1), rrc_tail_im=z2(P.RRC_TAP_COUNT - 1),
+        mm_tail_re=z2(P.INTERP_TAP_COUNT - 1), mm_tail_im=z2(P.INTERP_TAP_COUNT - 1),
         mm_offset=jnp.zeros((C,), jnp.int32),
         mm_mu=zf, mm_freq=jnp.full((C,), _OMEGA, jnp.float32),
         cos_phase=zf, cos_freq=zf, cos_ph2=zf,
@@ -119,15 +127,15 @@ def demod_init(channels: int) -> DemodState:
 # ---------------------------------------------------------------------------
 
 
-def _fast_amplitude(z: jnp.ndarray) -> jnp.ndarray:
+def _fast_amplitude(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
     """Alpha-max-beta-min |z| approximation used by the reference
     (SDR++ complex_t::fastAmplitude: max + 0.4*min)."""
-    a, b = jnp.abs(jnp.real(z)), jnp.abs(jnp.imag(z))
+    a, b = jnp.abs(re), jnp.abs(im)
     return jnp.maximum(a, b) + 0.4 * jnp.minimum(a, b)
 
 
-def _agc_fll_scan(x: jnp.ndarray, gain, phase, freq, hist, be_low, be_high):
-    """x: (C, T) -> rotated, gain-normalized samples (C, T) + final loop state.
+def _agc_fll_scan(xr, xi, gain, phase, freq, hist_re, hist_im, be):
+    """x: (C, T) -> rotated, gain-normalized samples (C, T) + final state.
 
     Per sample (fll.cpp:135-149 + SDR++ FastAGC):
       y   = x * gain;            gain += rate * (setpoint - |y|)
@@ -135,29 +143,35 @@ def _agc_fll_scan(x: jnp.ndarray, gain, phase, freq, hist, be_low, be_high):
       err = fastamp(FIR_high(xr)) - fastamp(FIR_low(xr))
       freq = clamp(freq + beta * err);  phase = wrap(phase + freq)
     """
-    C, T = x.shape
-    ntaps = be_low.shape[0]
+    lo_r, lo_i, hi_r, hi_i = [jnp.asarray(t[::-1]) for t in be]
 
     def step(carry, xt):
-        gain, phase, freq, hist = carry
-        y = xt * gain
-        gain = gain + P.AGC_RATE * (P.AGC_SETPOINT - jnp.abs(y))
+        gain, phase, freq, hre, him = carry
+        xtr, xti = xt
+        yr, yi = xtr * gain, xti * gain
+        amp = jnp.sqrt(yr * yr + yi * yi)
+        gain = gain + P.AGC_RATE * (P.AGC_SETPOINT - amp)
         gain = jnp.minimum(gain, P.AGC_MAX_GAIN)
-        rot = y * jax.lax.complex(jnp.cos(phase), -jnp.sin(phase))
-        win = jnp.concatenate([hist, rot[:, None]], axis=1)  # (C, ntaps)
-        # convolution: newest sample multiplies kernel tap 0
-        lo = jnp.sum(win * be_low[::-1][None, :], axis=1)
-        hi = jnp.sum(win * be_high[::-1][None, :], axis=1)
-        err = _fast_amplitude(hi) - _fast_amplitude(lo)
+        c, s = jnp.cos(phase), jnp.sin(phase)
+        rr = yr * c + yi * s          # y * exp(-j phase)
+        ri = yi * c - yr * s
+        wre = jnp.concatenate([hre, rr[:, None]], axis=1)  # (C, ntaps)
+        wim = jnp.concatenate([him, ri[:, None]], axis=1)
+        lo_re = jnp.sum(wre * lo_r - wim * lo_i, axis=1)
+        lo_im = jnp.sum(wre * lo_i + wim * lo_r, axis=1)
+        hi_re = jnp.sum(wre * hi_r - wim * hi_i, axis=1)
+        hi_im = jnp.sum(wre * hi_i + wim * hi_r, axis=1)
+        err = (_fast_amplitude(hi_re, hi_im) - _fast_amplitude(lo_re, lo_im))
         freq = jnp.clip(freq + _FLL_BETA * err, -_FLL_FREQ_LIM, _FLL_FREQ_LIM)
         phase = phase + freq
         phase = phase - 2 * np.pi * jnp.floor((phase + np.pi) / (2 * np.pi))
-        new_hist = win[:, 1:]
-        return (gain, phase, freq, new_hist), rot
+        return (gain, phase, freq, wre[:, 1:], wim[:, 1:]), (rr, ri)
 
-    (gain, phase, freq, hist), out = jax.lax.scan(
-        step, (gain, phase, freq, hist), jnp.swapaxes(x, 0, 1))
-    return jnp.swapaxes(out, 0, 1), gain, phase, freq, hist
+    (gain, phase, freq, hist_re, hist_im), (outr, outi) = jax.lax.scan(
+        step, (gain, phase, freq, hist_re, hist_im),
+        (jnp.swapaxes(xr, 0, 1), jnp.swapaxes(xi, 0, 1)))
+    return (jnp.swapaxes(outr, 0, 1), jnp.swapaxes(outi, 0, 1),
+            gain, phase, freq, hist_re, hist_im)
 
 
 # ---------------------------------------------------------------------------
@@ -166,10 +180,10 @@ def _agc_fll_scan(x: jnp.ndarray, gain, phase, freq, hist, be_low, be_high):
 
 # dqpsk_sym_extr.cpp:33-52: quadrant sym = (im<0)<<1 | ((im<0)!=(re<0));
 # diff = (sym - prev) mod 4; remap swaps 0b10/0b11.
-_DIFF_REMAP = jnp.asarray(np.array([0, 1, 3, 2], np.int32))
+_DIFF_REMAP = np.array([0, 1, 3, 2], np.int32)
 
 
-def _mm_costas_scan(y: jnp.ndarray, tail, offset, mu, freq,
+def _mm_costas_scan(yr, yi, tail_re, tail_im, offset, mu, freq,
                     cphase, cfreq, ph2, prev_sym, bank, n_slots: int):
     """y: (C, T) matched-filter output.  Returns per-slot outputs + state.
 
@@ -179,32 +193,40 @@ def _mm_costas_scan(y: jnp.ndarray, tail, offset, mu, freq,
     Costas (pi4dqpsk_costas.cpp): derotate by loop phase and cumulative
     -pi/4/symbol; QPSK decision error step(re)*im - step(im)*re.
     """
-    C, T = y.shape
-    ext = jnp.concatenate([tail, y], axis=1)  # (C, T + taps - 1)
+    C, T = yr.shape
+    er = jnp.concatenate([tail_re, yr], axis=1)  # (C, T + taps - 1)
+    ei = jnp.concatenate([tail_im, yi], axis=1)
     ntaps = P.INTERP_TAP_COUNT
     nph = P.INTERP_PHASE_COUNT
     k = jnp.arange(ntaps, dtype=jnp.int32)
+    bank = jnp.asarray(bank)
+    remap = jnp.asarray(_DIFF_REMAP)
 
     def step(carry, _):
         offset, mu, freq, cphase, cfreq, ph2, prev_sym = carry
         valid = offset < T
         safe_off = jnp.clip(offset, 0, T - 1)
-        win = jnp.take_along_axis(
-            ext, safe_off[:, None] + k[None, :], axis=1)  # (C, ntaps)
+        idx = safe_off[:, None] + k[None, :]
+        wre = jnp.take_along_axis(er, idx, axis=1)   # (C, ntaps)
+        wim = jnp.take_along_axis(ei, idx, axis=1)
         phase_i = jnp.clip((mu * nph).astype(jnp.int32), 0, nph - 1)
         c0 = bank[phase_i]                                  # (C, ntaps)
         cp = bank[jnp.minimum(phase_i + 1, nph - 1)]
         cm = bank[jnp.maximum(phase_i - 1, 0)]
-        f0 = jnp.sum(win * c0, axis=1)
-        fp = jnp.sum(win * cp, axis=1)
-        fm = jnp.sum(win * cm, axis=1)
-        dfdt = jnp.where(phase_i == 0, fp - f0,
-                         jnp.where(phase_i == nph - 1, f0 - fm,
-                                   (fp - fm) * 0.5))
+        f0r = jnp.sum(wre * c0, axis=1)
+        f0i = jnp.sum(wim * c0, axis=1)
+        fpr = jnp.sum(wre * cp, axis=1)
+        fpi = jnp.sum(wim * cp, axis=1)
+        fmr = jnp.sum(wre * cm, axis=1)
+        fmi = jnp.sum(wim * cm, axis=1)
+        dr = jnp.where(phase_i == 0, fpr - f0r,
+                       jnp.where(phase_i == nph - 1, f0r - fmr,
+                                 (fpr - fmr) * 0.5))
+        di = jnp.where(phase_i == 0, fpi - f0i,
+                       jnp.where(phase_i == nph - 1, f0i - fmi,
+                                 (fpi - fmi) * 0.5))
         sgn = lambda v: jnp.where(v > 0, 1.0, -1.0)
-        err = (sgn(jnp.real(f0)) * jnp.real(dfdt)
-               + sgn(jnp.imag(f0)) * jnp.imag(dfdt))
-        err = jnp.clip(err, -1.0, 1.0)
+        err = jnp.clip(sgn(f0r) * dr + sgn(f0i) * di, -1.0, 1.0)
         err = jnp.where(valid, err, 0.0)
         freq_n = jnp.clip(freq + _MM_OMEGA_GAIN * err, _OMEGA_MIN, _OMEGA_MAX)
         mu_n = mu + freq_n + _MM_MU_GAIN * err
@@ -218,10 +240,11 @@ def _mm_costas_scan(y: jnp.ndarray, tail, offset, mu, freq,
         # ---- Costas on the interpolated symbol ----
         ph2_n = ph2 - np.pi / 4.0
         ph2_n = jnp.where(ph2_n <= -2 * np.pi, ph2_n + 2 * np.pi, ph2_n)
-        rot = f0 * jax.lax.complex(jnp.cos(cphase), -jnp.sin(cphase))
-        sym = rot * jax.lax.complex(jnp.cos(ph2_n), jnp.sin(ph2_n))
-        cerr = jnp.clip(sgn(jnp.real(sym)) * jnp.imag(sym)
-                        - sgn(jnp.imag(sym)) * jnp.real(sym), -1.0, 1.0)
+        ang = ph2_n - cphase      # combined rotation exp(j(ph2 - cphase))
+        c, s = jnp.cos(ang), jnp.sin(ang)
+        sr = f0r * c - f0i * s
+        si = f0i * c + f0r * s
+        cerr = jnp.clip(sgn(sr) * si - sgn(si) * sr, -1.0, 1.0)
         cerr = jnp.where(valid, cerr, 0.0)
         cfreq_n = jnp.clip(cfreq + _COSTAS_BETA * cerr,
                            -_COSTAS_FREQ_LIM, _COSTAS_FREQ_LIM)
@@ -233,32 +256,33 @@ def _mm_costas_scan(y: jnp.ndarray, tail, offset, mu, freq,
         ph2 = jnp.where(valid, ph2_n, ph2)
 
         # ---- differential symbol extraction ----
-        a = (jnp.imag(sym) < 0)
-        b = (jnp.real(sym) < 0)
+        a = si < 0
+        b = sr < 0
         quad = (a.astype(jnp.int32) << 1) | (a != b).astype(jnp.int32)
-        dibit = _DIFF_REMAP[(quad - prev_sym) & 3]
+        dibit = remap[(quad - prev_sym) & 3]
         prev_sym = jnp.where(valid, quad, prev_sym)
         # phase distance to ideal constellation point, for the quality gate
-        ideal = jax.lax.complex(jnp.where(b, -0.7071, 0.7071).astype(jnp.float32),
-                                jnp.where(a, -0.7071, 0.7071).astype(jnp.float32))
-        dist = jnp.abs(jnp.angle(ideal) - jnp.angle(sym))
+        ideal_r = jnp.where(b, -0.7071, 0.7071)
+        ideal_i = jnp.where(a, -0.7071, 0.7071)
+        dist = jnp.abs(jnp.arctan2(ideal_i, ideal_r) - jnp.arctan2(si, sr))
 
-        out = (sym, dibit.astype(jnp.uint8), valid, dist)
+        out = (sr, si, dibit.astype(jnp.uint8), valid, dist)
         return (offset, mu, freq, cphase, cfreq, ph2, prev_sym), out
 
     carry = (offset, mu, freq, cphase, cfreq, ph2, prev_sym)
-    carry, (syms, dibits, valids, dists) = jax.lax.scan(
+    carry, (sre, sim, dibits, valids, dists) = jax.lax.scan(
         step, carry, None, length=n_slots)
     offset, mu, freq, cphase, cfreq, ph2, prev_sym = carry
     offset = offset - T
-    new_tail = ext[:, T:]
     outs = dict(
-        syms=jnp.swapaxes(syms, 0, 1),
+        sym_re=jnp.swapaxes(sre, 0, 1),
+        sym_im=jnp.swapaxes(sim, 0, 1),
         dibits=jnp.swapaxes(dibits, 0, 1),
         valid=jnp.swapaxes(valids, 0, 1),
         dist=jnp.swapaxes(dists, 0, 1),
     )
-    return outs, new_tail, offset, mu, freq, cphase, cfreq, ph2, prev_sym
+    return (outs, er[:, T:], ei[:, T:], offset, mu, freq, cphase, cfreq,
+            ph2, prev_sym)
 
 
 # ---------------------------------------------------------------------------
@@ -267,19 +291,24 @@ def _mm_costas_scan(y: jnp.ndarray, tail, offset, mu, freq,
 
 
 @partial(jax.jit, static_argnames=("n_slots",))
-def _demod_block_impl(state: DemodState, iq: jnp.ndarray, n_slots: int):
-    rrc, be_low, be_high, bank = map(jnp.asarray, _tables())
-    rot, gain, fphase, ffreq, fhist = _agc_fll_scan(
-        iq, state.agc_gain, state.fll_phase, state.fll_freq, state.fll_hist,
-        be_low, be_high)
-    mf, rrc_tail = fir_stream(rot, rrc, state.rrc_tail)
-    outs, mm_tail, offset, mu, mfreq, cphase, cfreq, ph2, prev_sym = (
-        _mm_costas_scan(mf, state.mm_tail, state.mm_offset, state.mm_mu,
-                        state.mm_freq, state.cos_phase, state.cos_freq,
-                        state.cos_ph2, state.prev_sym, bank, n_slots))
+def _demod_block_impl(state: DemodState, xr: jnp.ndarray, xi: jnp.ndarray,
+                      n_slots: int):
+    rrc, be, bank = _tables()
+    (rotr, roti, gain, fphase, ffreq, fhre, fhim) = _agc_fll_scan(
+        xr, xi, state.agc_gain, state.fll_phase, state.fll_freq,
+        state.fll_hist_re, state.fll_hist_im, be)
+    mfr, mfi, rtr, rti = fir_stream_pair(
+        rotr, roti, jnp.asarray(rrc), state.rrc_tail_re, state.rrc_tail_im)
+    (outs, mtr, mti, offset, mu, mfreq, cphase, cfreq, ph2, prev_sym) = (
+        _mm_costas_scan(mfr, mfi, state.mm_tail_re, state.mm_tail_im,
+                        state.mm_offset, state.mm_mu, state.mm_freq,
+                        state.cos_phase, state.cos_freq, state.cos_ph2,
+                        state.prev_sym, bank, n_slots))
     new_state = DemodState(
-        agc_gain=gain, fll_phase=fphase, fll_freq=ffreq, fll_hist=fhist,
-        rrc_tail=rrc_tail, mm_tail=mm_tail, mm_offset=offset, mm_mu=mu,
+        agc_gain=gain, fll_phase=fphase, fll_freq=ffreq,
+        fll_hist_re=fhre, fll_hist_im=fhim,
+        rrc_tail_re=rtr, rrc_tail_im=rti,
+        mm_tail_re=mtr, mm_tail_im=mti, mm_offset=offset, mm_mu=mu,
         mm_freq=mfreq, cos_phase=cphase, cos_freq=cfreq, cos_ph2=ph2,
         prev_sym=prev_sym)
     outs["fll_freq"] = ffreq
@@ -287,19 +316,20 @@ def _demod_block_impl(state: DemodState, iq: jnp.ndarray, n_slots: int):
     return new_state, outs
 
 
-def demod_block(state: DemodState, iq: jnp.ndarray):
-    """Demodulate one (C, T) block of complex baseband.
+def demod_block(state: DemodState, iq: np.ndarray):
+    """Demodulate one (C, T) block of complex baseband (complex at the host
+    boundary only; split into float pairs before entering the device).
 
     Returns (new_state, outs) with outs:
-      syms   (C, S) complex64 post-Costas constellation points
-      dibits (C, S) uint8 TETRA dibits (MSB-first bit pairs)
-      valid  (C, S) bool   slot produced a symbol (per-channel symbol counts
-                            differ because the clock recovery is fractional)
+      sym_re/sym_im (C, S) f32  post-Costas constellation points
+      dibits (C, S) uint8  TETRA dibits (MSB-first bit pairs)
+      valid  (C, S) bool   slot produced a symbol
       dist   (C, S) f32    |phase error| vs ideal constellation point
     """
-    iq = jnp.atleast_2d(iq)
-    return _demod_block_impl(state, iq.astype(jnp.complex64),
-                             max_symbols(iq.shape[1]))
+    iq = np.atleast_2d(iq)
+    xr = jnp.asarray(np.ascontiguousarray(iq.real, dtype=np.float32))
+    xi = jnp.asarray(np.ascontiguousarray(iq.imag, dtype=np.float32))
+    return _demod_block_impl(state, xr, xi, max_symbols(iq.shape[1]))
 
 
 def dibits_to_bits(dibits: np.ndarray) -> np.ndarray:

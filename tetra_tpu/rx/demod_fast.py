@@ -1,0 +1,309 @@
+"""Production demod chain: chunked-update feedback loops (JAX, TPU-first).
+
+The reference runs every control loop sample-by-sample (fll.cpp:135-149,
+complex_fd.cpp:89-151).  That maps poorly onto a vector machine: a 36 kS/s
+stream costs 36000 sequential scan steps per second per block.  This variant
+restructures each loop as a *chunked* block-scan (SURVEY.md section 7
+"block-scans with carried state"):
+
+  * AGC + FLL: loop state (gain, phase, freq) is frozen across a K-sample
+    chunk; the chunk is rotated by the frozen phase ramp, both band-edge
+    filters run as stateless convolutions over the chunk, and the per-sample
+    error sum drives ONE loop update per chunk.  Equivalent to lowering the
+    update rate by K while keeping the same aggregate gain.
+  * Timing + Costas: symbol positions inside a chunk extrapolate from the
+    frozen (position, omega) pair, all Ks interpolants compute in one gather
+    + dot against the polyphase bank (plus a precomputed derivative bank for
+    the ML error), and the summed errors drive one update per chunk.
+
+Convergence transients differ slightly from the per-sample loops (coarser
+update granularity); the acceptance criterion is unchanged burst bits at
+operating SNR (>= 20 dB), which tests/test_demod_fast.py checks end-to-end
+against the exact-mode chain.  All arithmetic is float32 (re, im) pairs - no
+complex dtype on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import params as P
+from ..core.fir import fir_stream_pair, _conv_valid_real
+from .demod import (_COSTAS_ALPHA, _COSTAS_BETA, _COSTAS_FREQ_LIM,
+                    _FLL_BETA, _FLL_FREQ_LIM, _MM_MU_GAIN, _MM_OMEGA_GAIN,
+                    _OMEGA, _OMEGA_MAX, _OMEGA_MIN, _DIFF_REMAP, _tables)
+
+K_SAMP = 32    # AGC/FLL chunk length (samples)
+K_SYM = 16     # timing/Costas chunk length (symbols)
+
+# Chunked decision-directed loops admit false equilibria when the phase can
+# sweep a full pi/2 decision period within one chunk (the aggregated error
+# then integrates to zero over the S-curve).  Clamp the Costas frequency so
+# the worst-case per-chunk excursion stays well under pi/2; post-FLL carrier
+# residuals are far smaller than this anyway.
+_COSTAS_FREQ_LIM_CHUNKED = np.pi / (4.2 * K_SYM)
+
+
+class FastDemodState(NamedTuple):
+    agc_gain: jnp.ndarray     # (C,)
+    fll_phase: jnp.ndarray    # (C,)
+    fll_freq: jnp.ndarray     # (C,)
+    fll_hist_re: jnp.ndarray  # (C, 64) pre-rotation input history
+    fll_hist_im: jnp.ndarray
+    rrc_tail_re: jnp.ndarray  # (C, 64)
+    rrc_tail_im: jnp.ndarray
+    mm_tail_re: jnp.ndarray   # (C, 7)
+    mm_tail_im: jnp.ndarray
+    mm_pos: jnp.ndarray       # (C,) f32 fractional sample position in block
+    mm_omega: jnp.ndarray     # (C,) f32 samples/symbol
+    cos_phase: jnp.ndarray    # (C,)
+    cos_freq: jnp.ndarray     # (C,)
+    cos_ph2: jnp.ndarray      # (C,) cumulative -pi/4 (mod 2 pi)
+    prev_sym: jnp.ndarray     # (C,) i32
+
+
+def demod_init(channels: int) -> FastDemodState:
+    C = channels
+    zf = jnp.zeros((C,), jnp.float32)
+    z2 = lambda n: jnp.zeros((C, n), jnp.float32)
+    return FastDemodState(
+        agc_gain=jnp.ones((C,), jnp.float32),
+        fll_phase=zf, fll_freq=zf,
+        fll_hist_re=z2(P.RRC_TAP_COUNT - 1), fll_hist_im=z2(P.RRC_TAP_COUNT - 1),
+        rrc_tail_re=z2(P.RRC_TAP_COUNT - 1), rrc_tail_im=z2(P.RRC_TAP_COUNT - 1),
+        mm_tail_re=z2(P.INTERP_TAP_COUNT - 1), mm_tail_im=z2(P.INTERP_TAP_COUNT - 1),
+        mm_pos=zf, mm_omega=jnp.full((C,), _OMEGA, jnp.float32),
+        cos_phase=zf, cos_freq=zf, cos_ph2=zf,
+        prev_sym=jnp.zeros((C,), jnp.int32),
+    )
+
+
+_DBANK = None
+
+
+def _deriv_bank():
+    """Central-difference derivative of the interpolator bank w.r.t. phase
+    index (edges one-sided), matching the adjacent-phase dfdt of
+    complex_fd.cpp:104-125 in a single dot product."""
+    global _DBANK
+    if _DBANK is None:
+        _, _, bank = _tables()
+        d = np.empty_like(bank)
+        d[1:-1] = (bank[2:] - bank[:-2]) * 0.5
+        d[0] = bank[1] - bank[0]
+        d[-1] = bank[-1] - bank[-2]
+        _DBANK = d
+    return _DBANK
+
+
+def max_symbols(block_len: int) -> int:
+    n_chunks = int(np.ceil(block_len / (K_SYM * _OMEGA_MIN))) + 1
+    return n_chunks * K_SYM
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: chunked AGC + FLL
+# ---------------------------------------------------------------------------
+
+
+def _agc_fll_chunked(xr, xi, gain, phase, freq, hre, him, be):
+    """Chunked AGC/FLL: one loop update per K_SAMP-sample chunk."""
+    C, T = xr.shape
+    assert T % K_SAMP == 0
+    n_chunks = T // K_SAMP
+    M = P.RRC_TAP_COUNT
+    lo_r, lo_i, hi_r, hi_i = [jnp.asarray(t) for t in be]
+    n = jnp.arange(K_SAMP, dtype=jnp.float32)
+
+    xr_c = jnp.swapaxes(xr.reshape(C, n_chunks, K_SAMP), 0, 1)
+    xi_c = jnp.swapaxes(xi.reshape(C, n_chunks, K_SAMP), 0, 1)
+
+    def step(carry, xc):
+        gain, phase, freq, hre, him = carry
+        cr, ci = xc                               # (C, K)
+        yr, yi = cr * gain[:, None], ci * gain[:, None]
+        amp = jnp.sqrt(yr * yr + yi * yi)
+        # aggregate per-sample AGC updates at frozen gain
+        dg = P.AGC_RATE * jnp.sum(P.AGC_SETPOINT - amp, axis=1)
+        new_gain = jnp.clip(gain + dg, gain * 0.5, gain * 2.0 + 1e-3)
+        new_gain = jnp.minimum(new_gain, P.AGC_MAX_GAIN)
+        # frozen phase ramp across the chunk
+        ph = phase[:, None] + freq[:, None] * n[None, :]
+        c, s = jnp.cos(ph), jnp.sin(ph)
+        rr = yr * c + yi * s
+        ri = yi * c - yr * s
+        # band-edge filters over [history | chunk]
+        er = jnp.concatenate([hre, rr], axis=1)   # (C, M-1+K)
+        ei = jnp.concatenate([him, ri], axis=1)
+        lo_re = _conv_valid_real(er, lo_r) - _conv_valid_real(ei, lo_i)
+        lo_im = _conv_valid_real(er, lo_i) + _conv_valid_real(ei, lo_r)
+        hi_re = _conv_valid_real(er, hi_r) - _conv_valid_real(ei, hi_i)
+        hi_im = _conv_valid_real(er, hi_i) + _conv_valid_real(ei, hi_r)
+        fa = lambda re, im: jnp.maximum(jnp.abs(re), jnp.abs(im)) \
+            + 0.4 * jnp.minimum(jnp.abs(re), jnp.abs(im))
+        err_sum = jnp.sum(fa(hi_re, hi_im) - fa(lo_re, lo_im), axis=1)
+        new_freq = jnp.clip(freq + _FLL_BETA * err_sum,
+                            -_FLL_FREQ_LIM, _FLL_FREQ_LIM)
+        new_phase = phase + freq * K_SAMP
+        new_phase = new_phase - 2 * np.pi * jnp.floor(
+            (new_phase + np.pi) / (2 * np.pi))
+        return ((new_gain, new_phase, new_freq, er[:, -(M - 1):],
+                 ei[:, -(M - 1):]), (rr, ri))
+
+    (gain, phase, freq, hre, him), (outr, outi) = jax.lax.scan(
+        step, (gain, phase, freq, hre, him), (xr_c, xi_c))
+    outr = jnp.swapaxes(outr, 0, 1).reshape(C, T)
+    outi = jnp.swapaxes(outi, 0, 1).reshape(C, T)
+    return outr, outi, gain, phase, freq, hre, him
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: chunked timing recovery + Costas + symbol extraction
+# ---------------------------------------------------------------------------
+
+
+def _mm_costas_chunked(yr, yi, tail_re, tail_im, pos, omega,
+                       cphase, cfreq, ph2, prev_sym, bank, dbank,
+                       n_chunks: int):
+    C, T = yr.shape
+    er = jnp.concatenate([tail_re, yr], axis=1)
+    ei = jnp.concatenate([tail_im, yi], axis=1)
+    ntaps = P.INTERP_TAP_COUNT
+    nph = P.INTERP_PHASE_COUNT
+    bank = jnp.asarray(bank)
+    dbank = jnp.asarray(dbank)
+    remap = jnp.asarray(_DIFF_REMAP)
+    kk = jnp.arange(K_SYM, dtype=jnp.float32)
+    kt = jnp.arange(ntaps, dtype=jnp.int32)
+
+    def step(carry, _):
+        pos, omega, cphase, cfreq, ph2, prev_sym = carry
+        # symbol positions in this chunk at frozen omega
+        p = pos[:, None] + omega[:, None] * kk[None, :]       # (C, Ks)
+        ipos = jnp.floor(p).astype(jnp.int32)
+        mu = p - jnp.floor(p)
+        valid = ipos < T
+        safe = jnp.clip(ipos, 0, T - 1)
+        idx = safe[:, :, None] + kt[None, None, :]             # (C, Ks, nt)
+        wre = er[jnp.arange(C)[:, None, None], idx]
+        wim = ei[jnp.arange(C)[:, None, None], idx]
+        phase_i = jnp.clip((mu * nph).astype(jnp.int32), 0, nph - 1)
+        c0 = bank[phase_i]                                     # (C, Ks, nt)
+        cd = dbank[phase_i]
+        f0r = jnp.sum(wre * c0, axis=2)
+        f0i = jnp.sum(wim * c0, axis=2)
+        dr = jnp.sum(wre * cd, axis=2)
+        di = jnp.sum(wim * cd, axis=2)
+        sgn = lambda v: jnp.where(v > 0, 1.0, -1.0)
+        err = jnp.clip(sgn(f0r) * dr + sgn(f0i) * di, -1.0, 1.0)
+        err = jnp.where(valid, err, 0.0)
+        err_sum = jnp.sum(err, axis=1)
+        n_valid = jnp.sum(valid, axis=1).astype(jnp.float32)
+        omega_n = jnp.clip(omega + _MM_OMEGA_GAIN * err_sum,
+                           _OMEGA_MIN, _OMEGA_MAX)
+        # advance only past the symbols actually emitted: positions beyond
+        # the block end stay queued for the next block (no symbol loss at
+        # block seams, mirroring the exact-mode offset carry)
+        pos = pos + omega * n_valid + _MM_MU_GAIN * err_sum
+        omega = omega_n
+
+        # ---- Costas with frozen freq over the chunk ----
+        ph2_k = ph2[:, None] - (kk[None, :] + 1.0) * (np.pi / 4.0)
+        ang = ph2_k - (cphase[:, None] + cfreq[:, None] * kk[None, :])
+        c, s = jnp.cos(ang), jnp.sin(ang)
+        sr = f0r * c - f0i * s
+        si = f0i * c + f0r * s
+        cerr = jnp.clip(sgn(sr) * si - sgn(si) * sr, -1.0, 1.0)
+        cerr = jnp.where(valid, cerr, 0.0)
+        cerr_sum = jnp.sum(cerr, axis=1)
+        # leaky integrator: during FLL pull-in the residual rotation exceeds
+        # the chunked tracking range and the aggregated S-curve error loses
+        # its restoring force; the leak lets a railed integrator decay back
+        # once the FLL has taken over (exact-mode loops don't need this
+        # because they update per sample)
+        cfreq = jnp.clip((1.0 - 0.05) * cfreq + _COSTAS_BETA * cerr_sum,
+                         -_COSTAS_FREQ_LIM_CHUNKED, _COSTAS_FREQ_LIM_CHUNKED)
+        cphase_n = cphase + cfreq * n_valid + _COSTAS_ALPHA * cerr_sum
+        cphase = cphase_n - 2 * np.pi * jnp.floor(
+            (cphase_n + np.pi) / (2 * np.pi))
+        # only cos/sin of ph2 are ever used -> mod 2 pi is sufficient
+        dph2 = jnp.where(valid, np.float32(np.pi / 4.0), 0.0).sum(axis=1)
+        ph2 = jnp.mod(ph2 - dph2, 2 * np.pi)
+
+        # ---- differential extraction across the chunk ----
+        a = (si < 0).astype(jnp.int32)
+        b = (sr < 0).astype(jnp.int32)
+        quad = (a << 1) | (a ^ b)
+        prev = jnp.concatenate([prev_sym[:, None], quad[:, :-1]], axis=1)
+        dibit = remap[(quad - prev) & 3].astype(jnp.uint8)
+        # carry the last VALID quadrant
+        last_valid = jnp.where(valid.any(axis=1),
+                               jnp.take_along_axis(
+                                   quad, (jnp.sum(valid, axis=1) - 1)
+                                   .clip(0)[:, None], axis=1)[:, 0],
+                               prev_sym)
+        prev_sym = last_valid
+        ideal_r = jnp.where(b.astype(bool), -0.7071, 0.7071)
+        ideal_i = jnp.where(a.astype(bool), -0.7071, 0.7071)
+        dist = jnp.abs(jnp.arctan2(ideal_i, ideal_r) - jnp.arctan2(si, sr))
+        out = (sr, si, dibit, valid, dist)
+        return (pos, omega, cphase, cfreq, ph2, prev_sym), out
+
+    carry = (pos, omega, cphase, cfreq, ph2, prev_sym)
+    carry, (sre, sim, dibits, valids, dists) = jax.lax.scan(
+        step, carry, None, length=n_chunks)
+    pos, omega, cphase, cfreq, ph2, prev_sym = carry
+    pos = pos - T
+
+    def merge(x):  # (n_chunks, C, Ks) -> (C, n_chunks*Ks)
+        return jnp.swapaxes(x, 0, 1).reshape(C, -1)
+
+    outs = dict(sym_re=merge(sre), sym_im=merge(sim), dibits=merge(dibits),
+                valid=merge(valids), dist=merge(dists))
+    return (outs, er[:, T:], ei[:, T:], pos, omega, cphase, cfreq, ph2,
+            prev_sym)
+
+
+# ---------------------------------------------------------------------------
+# Full chain
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("n_chunks",))
+def _demod_block_impl(state: FastDemodState, xr, xi, n_chunks: int):
+    rrc, be, bank = _tables()
+    dbank = _deriv_bank()
+    rotr, roti, gain, fphase, ffreq, fhre, fhim = _agc_fll_chunked(
+        xr, xi, state.agc_gain, state.fll_phase, state.fll_freq,
+        state.fll_hist_re, state.fll_hist_im, be)
+    mfr, mfi, rtr, rti = fir_stream_pair(
+        rotr, roti, jnp.asarray(rrc), state.rrc_tail_re, state.rrc_tail_im)
+    (outs, mtr, mti, pos, omega, cphase, cfreq, ph2, prev_sym) = (
+        _mm_costas_chunked(mfr, mfi, state.mm_tail_re, state.mm_tail_im,
+                           state.mm_pos, state.mm_omega, state.cos_phase,
+                           state.cos_freq, state.cos_ph2, state.prev_sym,
+                           bank, dbank, n_chunks))
+    new_state = FastDemodState(
+        agc_gain=gain, fll_phase=fphase, fll_freq=ffreq,
+        fll_hist_re=fhre, fll_hist_im=fhim, rrc_tail_re=rtr, rrc_tail_im=rti,
+        mm_tail_re=mtr, mm_tail_im=mti, mm_pos=pos, mm_omega=omega,
+        cos_phase=cphase, cos_freq=cfreq, cos_ph2=ph2, prev_sym=prev_sym)
+    outs["fll_freq"] = ffreq
+    outs["agc_gain"] = gain
+    return new_state, outs
+
+
+def demod_block(state: FastDemodState, iq: np.ndarray):
+    """Chunked-mode demod of one (C, T) complex block (complex only at the
+    host boundary).  T must be a multiple of K_SAMP."""
+    iq = np.atleast_2d(iq)
+    T = iq.shape[1]
+    n_chunks = int(np.ceil(T / (K_SYM * _OMEGA_MIN))) + 1
+    xr = jnp.asarray(np.ascontiguousarray(iq.real, dtype=np.float32))
+    xi = jnp.asarray(np.ascontiguousarray(iq.imag, dtype=np.float32))
+    return _demod_block_impl(state, xr, xi, n_chunks)

@@ -50,9 +50,14 @@ class LowerMac:
     def _dispatch(self, blk_type: int, blk_num: int, type1: np.ndarray,
                   crc_ok: bool, time: TdmaTime, type4: np.ndarray | None):
         d = self.upper.display
+        is_voice_slot = (blk_type == P.TPSAP_T_SCH_F
+                         and bool(self.upper.is_traffic))
         if crc_ok:
             self.crc_oks += 1
-        else:
+        elif not is_voice_slot:
+            # traffic SCH/F carries speech bits, not a CRC-protected control
+            # block; the reference likewise ignores its CRC
+            # (tetra_lower_mac.c:228)
             self.crc_fails += 1
         lchan = LC_UNKNOWN
         if blk_type == P.TPSAP_T_SB1:

@@ -14,16 +14,20 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
-from . import demod as demod_mod
+from . import demod as demod_exact
+from . import demod_fast
 from .burst_sync import BurstSync
 from .lower_mac import LowerMac
 from .tdma import PhyState
 
 
 class TetraReceiver:
-    def __init__(self, channels: int = 1, voice_cb=None):
+    def __init__(self, channels: int = 1, voice_cb=None, mode: str = "fast"):
+        """mode: "fast" = chunked-update production loops (demod_fast);
+        "exact" = per-sample reference-parity loops (demod)."""
         self.channels = channels
-        self.state = demod_mod.demod_init(channels)
+        self.demod = demod_fast if mode == "fast" else demod_exact
+        self.state = self.demod.demod_init(channels)
         self.phy = [PhyState() for _ in range(channels)]
         self.sync = [BurstSync(phy=p) for p in self.phy]
         self.mac = [LowerMac(phy=p) for p in self.phy]
@@ -36,7 +40,7 @@ class TetraReceiver:
         """Feed one (C, T) IQ block at 36 ksps per channel."""
         iq = np.atleast_2d(iq)
         assert iq.shape[0] == self.channels
-        self.state, outs = demod_mod.demod_block(self.state, jnp.asarray(iq))
+        self.state, outs = self.demod.demod_block(self.state, iq)
         dibits = np.asarray(outs["dibits"])
         valid = np.asarray(outs["valid"])
         dist = np.asarray(outs["dist"])
@@ -45,7 +49,7 @@ class TetraReceiver:
             if not v.any():
                 continue
             self.sym_quality[c] = float(dist[c][v].mean())
-            bits = demod_mod.dibits_to_bits(dibits[c][v])
+            bits = demod_exact.dibits_to_bits(dibits[c][v])
             bursts = self.sync[c].feed(bits)
             if bursts:
                 self.mac[c].process_bursts(bursts)

@@ -53,8 +53,9 @@ _TCH_TABLES = _trellis_tables(P.CONV_TCH_POLYS)
 _NEG = jnp.float32(-1e9)
 
 
-@partial(jax.jit, static_argnames=("n_out", "use_tch"))
-def _viterbi(soft: jnp.ndarray, n_out: int, use_tch: bool) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("n_out", "use_tch", "truncate"))
+def _viterbi(soft: jnp.ndarray, n_out: int, use_tch: bool,
+             truncate: bool) -> jnp.ndarray:
     E, prev0, prev1, b_of = _TCH_TABLES if use_tch else _CCH_TABLES
     B, T, _ = soft.shape
 
@@ -70,7 +71,7 @@ def _viterbi(soft: jnp.ndarray, n_out: int, use_tch: bool) -> jnp.ndarray:
         return new, take1
 
     init = jnp.full((B, N_STATES), _NEG, jnp.float32).at[:, 0].set(0.0)
-    _, decisions = jax.lax.scan(acs, init, jnp.swapaxes(soft, 0, 1))
+    final, decisions = jax.lax.scan(acs, init, jnp.swapaxes(soft, 0, 1))
     # decisions: (T, B, 16) bool
 
     def trace(state, dec_t):
@@ -80,21 +81,29 @@ def _viterbi(soft: jnp.ndarray, n_out: int, use_tch: bool) -> jnp.ndarray:
         prev = jnp.where(took1, (state >> 1) + 8, state >> 1)
         return prev, bit
 
-    start = jnp.zeros((B,), jnp.int32)  # zero-terminated (4 tail bits)
+    if truncate:
+        # unterminated block: best-metric end state (osmo_conv.c:588-599)
+        start = jnp.argmax(final, axis=1).astype(jnp.int32)
+    else:
+        start = jnp.zeros((B,), jnp.int32)  # zero-terminated (4 tail bits)
     _, bits_rev = jax.lax.scan(trace, start, decisions, reverse=True)
     return jnp.swapaxes(bits_rev, 0, 1)  # (B, T) -- scan(reverse) keeps order
 
 
-def viterbi_decode(soft: jnp.ndarray, code: str = "cch") -> jnp.ndarray:
+def viterbi_decode(soft: jnp.ndarray, code: str = "cch",
+                   term: str = "zero") -> jnp.ndarray:
     """Decode batched soft mother-code symbols.
 
     soft: (B, T, N) float32 in [-1, 1] (0 = punctured), N=4 for the data
     (CCH) code, N=3 for the speech (TCH) code.  Returns (B, T) uint8 decoded
-    bits assuming zero-terminated blocks (the in-band tail bits of clause
-    8.2.3 drive the encoder back to state 0, so traceback starts at state 0 -
-    same result as the reference's FLUSH handling of osmo_conv.c:567-614).
+    bits.  term="zero" assumes zero-terminated blocks (the in-band tail bits
+    of clause 8.2.3 drive the encoder back to state 0, so traceback starts at
+    state 0 - same result as the reference's FLUSH handling of
+    osmo_conv.c:567-614); term="truncate" starts traceback from the
+    best-metric end state (unterminated speech class-1 blocks).
     """
     use_tch = code == "tch"
     n_out = 3 if use_tch else 4
     assert soft.shape[-1] == n_out
-    return _viterbi(soft.astype(jnp.float32), n_out, use_tch)
+    return _viterbi(soft.astype(jnp.float32), n_out, use_tch,
+                    term == "truncate")

@@ -157,14 +157,22 @@ class CellConfig:
 
 def downlink_bits(cfg: CellConfig, n_slots: int,
                   start: TdmaTime | None = None,
-                  payload_rng: np.random.Generator | None = None
+                  payload_rng: np.random.Generator | None = None,
+                  voice_slots: dict | None = None
                   ) -> tuple[np.ndarray, list[SlotRecord]]:
     """Generate `n_slots` consecutive downlink slots (510 bits each).
 
     SYNC bursts are emitted on BSCH slots (fn==18, tn by the mn rule of
     tetra_lower_mac.c:118-123); every other slot carries a normal burst with
     NDB payload blocks.  Returns (bits (n_slots*510,), ground-truth records).
+
+    voice_slots: optional {tn: voice frame generator} - those timeslots emit
+    traffic (NORM-1 bursts carrying speech channel-coded SCH/F payloads, with
+    AACH dl_usage marking the slot as traffic).  The generator is called with
+    no args and must return (2, 137) codec frame bits.
     """
+    from ..voice import channel as vchannel
+
     if payload_rng is None:
         payload_rng = np.random.default_rng(0)
     time = start.copy() if start else TdmaTime(mn=1, fn=1, tn=4)
@@ -173,8 +181,20 @@ def downlink_bits(cfg: CellConfig, n_slots: int,
     records = []
     for _ in range(n_slots):
         time.add_tn(1)
-        aach = build_aach(dl_usage=2, ul_usage=0)
+        is_voice = (voice_slots is not None and time.tn in voice_slots
+                    and time.fn != 18 and not is_bsch(time))
+        aach = build_aach(dl_usage=5 if is_voice else 2, ul_usage=0)
         bbk5 = fec_enc.encode_block(aach, P.TPSAP_T_BBK, scramb)
+        if is_voice:
+            frames = np.asarray(voice_slots[time.tn](), np.uint8)
+            type3 = vchannel.encode_slot(frames.reshape(-1))
+            type5 = fec_enc.scramble(type3, scramb)
+            b = burst_mod.build_norm_burst(
+                type5[:216], bbk5, type5[216:], two_log_chan=False)
+            records.append(SlotRecord(time.copy(), "voice",
+                                      dict(frames=frames, aach=aach)))
+            out.append(b)
+            continue
         if is_bsch(time):
             sb1 = build_sync_pdu(cfg.cc, time, cfg.mcc, cfg.mnc)
             sb2 = build_sysinfo_pdu(cfg.main_carrier, cfg.freq_band,

@@ -1,0 +1,83 @@
+"""Python binding for the native ACELP speech decoder.
+
+The speech synthesis is scalar recursive filtering at 8 kHz - negligible
+compute with the wrong shape for the TPU (SURVEY.md section 7 step 7) - so it
+lives in C++ (voice/native/acelp_decoder.cpp) behind a ctypes C ABI, mirroring
+the reference's use of the native ETSI decoder (tetra_lower_mac.c:355-363).
+
+The shared library builds on first use with the system compiler and is cached
+next to the source.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
+_SRC = os.path.join(_NATIVE_DIR, "acelp_decoder.cpp")
+_SO = os.path.join(_NATIVE_DIR, "libtetra_acelp.so")
+
+_lib = None
+_lock = threading.Lock()
+
+FRAME_BITS = 137
+FRAME_SAMPLES = 240
+SAMPLE_RATE = 8000
+
+
+def _load():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC],
+                check=True)
+        lib = ctypes.CDLL(_SO)
+        lib.tetra_acelp_create.restype = ctypes.c_void_p
+        lib.tetra_acelp_destroy.argtypes = [ctypes.c_void_p]
+        lib.tetra_acelp_decode_frame.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int16)]
+        _lib = lib
+        return lib
+
+
+class AcelpDecoder:
+    """Stateful speech decoder: 137-bit frames -> 240 samples @ 8 kHz s16.
+
+    Equivalent role to Init_Decod_Tetra + Bits2prm_Tetra + Decod_Tetra +
+    Post_Process in the reference voice path.
+    """
+
+    def __init__(self):
+        self._lib = _load()
+        self._h = self._lib.tetra_acelp_create()
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.tetra_acelp_destroy(self._h)
+            self._h = None
+
+    def decode_frame(self, bits: np.ndarray, bfi: bool = False) -> np.ndarray:
+        bits = np.ascontiguousarray(np.asarray(bits, np.uint8))
+        assert bits.shape == (FRAME_BITS,)
+        out = np.empty(FRAME_SAMPLES, np.int16)
+        self._lib.tetra_acelp_decode_frame(
+            self._h, bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            int(bfi), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+        return out
+
+    def decode_slot(self, frames: np.ndarray, bfi: bool = False) -> np.ndarray:
+        """Two frames (2, 137) -> 480 samples (one traffic timeslot's voice,
+        matching put_voice_data's 480-sample delivery, osmotetra_dec.h:216)."""
+        frames = np.asarray(frames, np.uint8).reshape(2, FRAME_BITS)
+        return np.concatenate([self.decode_frame(frames[0], bfi),
+                               self.decode_frame(frames[1], bfi)])

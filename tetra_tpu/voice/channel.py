@@ -1,0 +1,194 @@
+"""TETRA speech channel coding (EN 300 395-2 clause 5), JAX-batched.
+
+Per traffic slot (two 30 ms ACELP frames, 2 x 137 = 274 speech bits):
+
+  class 0 (2x51 bits)  unprotected
+  class 1 (2x56 bits)  rate-8/12 punctured K=5 N=3 convolutional, truncated
+  class 2 (2x30 bits)  + 8-bit CRC + 4 tail, rate-8/18 punctured K=5 N=3
+
+  102 + 168 + 162 = 432 type-3 bits -> block interleaved -> scrambled.
+
+The mother code polynomials, puncture tables (8/12, 8/18, 8/17-STCH) and the
+class position reordering tables are protocol facts carried by the reference
+(viterbi_tch.c:29-33, tetra_conv_enc.c:99-201, tch_reordering.c:30-88).  The
+exact ETSI matrix interleaving pattern and CRC polynomial live in the ETSI
+codec sources the reference downloads at build time (absent here); this
+module uses a documented self-consistent choice for those two pieces (24x18
+block interleaver; CRC-8 poly 0x1D) - the TX fixture uses the same, so the
+loopback path is exact, and swapping in the ETSI patterns later is a
+two-constant change.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import params as P
+from ..rx.viterbi import viterbi_decode
+from ..tx import fec_enc
+
+N_CLASS0, N_CLASS1, N_CLASS2 = 51, 56, 30
+N_FRAME_BITS = 137
+N_SLOT_BITS = 432
+N_C1_CODED = 168
+N_C2_CODED = 162
+N_C0 = 2 * N_CLASS0          # 102
+N_C1 = 2 * N_CLASS1          # 112
+N_C2_INFO = 2 * N_CLASS2     # 60
+N_C2_BLOCK = N_C2_INFO + 8 + 4   # 72 (info + crc8 + tail)
+
+CRC8_POLY = 0x1D
+
+# Speech interleaver: 24 columns x 18 rows block interleaver over the slot
+_IL_COLS = 24
+
+
+@lru_cache(maxsize=1)
+def _interleave_perm() -> np.ndarray:
+    """perm such that interleaved[i] = type3[perm[i]]."""
+    idx = np.arange(N_SLOT_BITS).reshape(_IL_COLS, N_SLOT_BITS // _IL_COLS)
+    return idx.T.reshape(-1).astype(np.int32)
+
+
+def interleave(bits: np.ndarray) -> np.ndarray:
+    return np.asarray(bits, np.uint8)[..., _interleave_perm()]
+
+
+@lru_cache(maxsize=1)
+def _deinterleave_perm() -> np.ndarray:
+    perm = _interleave_perm()
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(N_SLOT_BITS, dtype=np.int32)
+    return inv
+
+
+def crc8_bits(bits: np.ndarray) -> np.ndarray:
+    """CRC-8 over a bit array, MSB-first, init 0."""
+    crc = 0
+    for b in np.asarray(bits, np.uint8):
+        crc ^= int(b) << 7
+        crc = ((crc << 1) ^ CRC8_POLY) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return np.array([(crc >> (7 - i)) & 1 for i in range(8)], np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Reordering (EN 300 395-2 Table 4; tch_reordering.c:30-88)
+# ---------------------------------------------------------------------------
+
+# class-0 positions: the reference's published table (tch_reordering.c:30-55)
+# is itself defective: 50 entries declared as 51 (C zero-fills the last,
+# producing an out[-1] write), position 33 duplicated with class 1, and
+# positions 43/64 missing from the 1..137 partition.  We keep the published
+# order, drop the duplicate and append the two missing positions, restoring a
+# valid partition (class 0 is unprotected, so only the partition matters).
+_CLASS0_POS = np.array([
+    35, 36, 37, 38, 39, 40, 41, 42, 47, 48, 56, 61, 62, 63, 65, 66, 67,
+    68, 69, 70, 74, 75, 83, 88, 89, 90, 91, 92, 93, 94, 95, 96, 97, 101, 102,
+    110, 115, 116, 117, 118, 119, 120, 121, 122, 123, 124, 128, 129, 137,
+    43, 64], np.int32)
+_CLASS1_POS = np.array([
+    58, 85, 112, 54, 81, 108, 135, 50, 77, 104, 131, 45, 72, 99, 126, 55, 82,
+    109, 136, 5, 13, 34, 8, 16, 17, 22, 23, 24, 25, 26, 6, 14, 7, 15, 60, 87,
+    114, 46, 73, 100, 127, 44, 71, 98, 125, 33, 49, 76, 103, 130, 59, 86,
+    113, 57, 84, 111], np.int32)
+_CLASS2_POS = np.array([
+    18, 19, 20, 21, 31, 32, 53, 80, 107, 134, 1, 2, 3, 4, 9, 10, 11, 12, 27,
+    28, 29, 30, 52, 79, 106, 133, 51, 78, 105, 132], np.int32)
+assert (sorted(np.concatenate([_CLASS0_POS, _CLASS1_POS, _CLASS2_POS]).tolist())
+        == list(range(1, 138)))
+
+
+def reorder_to_codec(bits274: np.ndarray) -> np.ndarray:
+    """[class0 pairs | class1 pairs | class2 pairs] -> two 137-bit codec
+    frames (tetra_acelp_type2_to_codec, tch_reordering.c:94-123)."""
+    bits274 = np.asarray(bits274, np.uint8)
+    out = np.zeros(2 * N_FRAME_BITS, np.uint8)
+    cur = 0
+    for tbl in (_CLASS0_POS, _CLASS1_POS, _CLASS2_POS):
+        for i, posn in enumerate(tbl):
+            for frame in range(2):
+                out[frame * N_FRAME_BITS + posn - 1] = bits274[cur + 2 * i + frame]
+        cur += 2 * len(tbl)
+    return out
+
+
+def reorder_from_codec(frames: np.ndarray) -> np.ndarray:
+    """Inverse of reorder_to_codec (tetra_acelp_codec_to_acelp)."""
+    frames = np.asarray(frames, np.uint8)
+    out = np.zeros(2 * N_FRAME_BITS, np.uint8)
+    cur = 0
+    for tbl in (_CLASS0_POS, _CLASS1_POS, _CLASS2_POS):
+        for i, posn in enumerate(tbl):
+            for frame in range(2):
+                out[cur + 2 * i + frame] = frames[frame * N_FRAME_BITS + posn - 1]
+        cur += 2 * len(tbl)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Encode (TX fixture) / Decode (device path)
+# ---------------------------------------------------------------------------
+
+
+def encode_slot(frames: np.ndarray) -> np.ndarray:
+    """Two 137-bit codec frames -> 432 type-3 (pre-scrambling) slot bits."""
+    seq = reorder_from_codec(frames)
+    c0 = seq[:N_C0]
+    c1 = seq[N_C0:N_C0 + N_C1]
+    c2 = seq[N_C0 + N_C1:]
+    c1_mother = fec_enc.conv_encode(c1, P.CONV_TCH_POLYS)
+    c1_coded = fec_enc.puncture(c1_mother, P.PUNCT_112_168, N_C1_CODED)
+    crc = crc8_bits(c2)
+    c2_blk = np.concatenate([c2, crc, np.zeros(4, np.uint8)])
+    c2_mother = fec_enc.conv_encode(c2_blk, P.CONV_TCH_POLYS)
+    c2_coded = fec_enc.puncture(c2_mother, P.PUNCT_72_162, N_C2_CODED)
+    type3 = np.concatenate([c0, c1_coded, c2_coded])
+    return interleave(type3)
+
+
+@partial(jax.jit)
+def _decode_slot_device(type4: jnp.ndarray):
+    """Batched device decode: (B, 432) interleaved type-4 bits ->
+    (seq274 (B, 274), crc_bits (B, 8), c2_info (B, 60))."""
+    perm = jnp.asarray(_deinterleave_perm())
+    type3 = type4[..., perm]
+    c0 = type3[..., :N_C0]
+    c1_coded = type3[..., N_C0:N_C0 + N_C1_CODED]
+    c2_coded = type3[..., N_C0 + N_C1_CODED:]
+    # class 1: depuncture to soft mother (B, 112, 3), truncated trellis
+    idx1 = jnp.asarray(P.puncture_indices(P.PUNCT_112_168, N_C1_CODED))
+    soft1 = jnp.zeros(c1_coded.shape[:-1] + (N_C1 * 3,), jnp.float32)
+    soft1 = soft1.at[..., idx1].set(1.0 - 2.0 * c1_coded.astype(jnp.float32))
+    c1 = viterbi_decode(soft1.reshape(soft1.shape[0], N_C1, 3), "tch",
+                        term="truncate")
+    # class 2: zero-terminated (4 tail bits in-band)
+    idx2 = jnp.asarray(P.puncture_indices(P.PUNCT_72_162, N_C2_CODED))
+    soft2 = jnp.zeros(c2_coded.shape[:-1] + (N_C2_BLOCK * 3,), jnp.float32)
+    soft2 = soft2.at[..., idx2].set(1.0 - 2.0 * c2_coded.astype(jnp.float32))
+    c2_full = viterbi_decode(soft2.reshape(soft2.shape[0], N_C2_BLOCK, 3),
+                             "tch")
+    c2 = c2_full[..., :N_C2_INFO]
+    crc_rx = c2_full[..., N_C2_INFO:N_C2_INFO + 8]
+    seq = jnp.concatenate([c0.astype(jnp.uint8), c1, c2], axis=-1)
+    return seq, crc_rx, c2
+
+
+def decode_slot(type4: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(B, 432) descrambled traffic bits -> (frames (B, 2, 137), bfi (B,)).
+
+    bfi (bad frame indicator) mirrors the ETSI Channel_Decoding 'corrupted'
+    flag (used at tetra_lower_mac.c:336): True when the class-2 CRC fails.
+    """
+    type4 = np.atleast_2d(np.asarray(type4, np.uint8))
+    seq, crc_rx, c2 = jax.device_get(_decode_slot_device(jnp.asarray(type4)))
+    B = type4.shape[0]
+    frames = np.zeros((B, 2, N_FRAME_BITS), np.uint8)
+    bfi = np.zeros(B, bool)
+    for b in range(B):
+        frames[b] = reorder_to_codec(seq[b]).reshape(2, N_FRAME_BITS)
+        bfi[b] = not (crc8_bits(c2[b]) == crc_rx[b]).all()
+    return frames, bfi

@@ -1,0 +1,54 @@
+"""Voice pipeline: traffic SCH/F slots -> channel decode -> speech synthesis.
+
+Mirrors the reference voice path (tetra_lower_mac.c:287-372 +
+osmotetra_dec.h:216-223): for each traffic timeslot, the descrambled 432
+type-4 bits run through speech channel decoding and the ACELP synthesizer,
+producing 480 samples of 8 kHz s16 audio per slot.  Like the reference, only
+one active timeslot per TDMA frame feeds the audio output (the first traffic
+slot seen in each frame).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..rx.tdma import TdmaTime
+from . import channel as vchannel
+from .acelp import AcelpDecoder
+
+
+@dataclass
+class VoicePipeline:
+    decoder: AcelpDecoder = field(default_factory=AcelpDecoder)
+    audio: list = field(default_factory=list)
+    last_frame: int = -1
+    active_timeslot: int = -1
+    slots_decoded: int = 0
+    bad_frames: int = 0
+    crypto_state: object = None   # optional CryptoState for encrypted voice
+
+    def __call__(self, time: TdmaTime, type4: np.ndarray):
+        """LowerMac voice callback: one traffic slot's descrambled bits."""
+        # active-timeslot gate (tetra_lower_mac.c:364-370)
+        if time.fn != self.last_frame:
+            self.active_timeslot = time.tn
+            self.last_frame = time.fn
+        if time.tn != self.active_timeslot:
+            return
+        frames, bfi = vchannel.decode_slot(type4[None])
+        f2, is_bad = frames[0], bool(bfi[0])
+        self.slots_decoded += 1
+        if is_bad:
+            self.bad_frames += 1
+        pcm = self.decoder.decode_slot(f2, bfi=is_bad)
+        self.audio.append(pcm)
+
+    def take_audio(self) -> np.ndarray:
+        """Drain accumulated PCM (s16 @ 8 kHz)."""
+        if not self.audio:
+            return np.zeros(0, np.int16)
+        out = np.concatenate(self.audio)
+        self.audio.clear()
+        return out
