@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import params as P
-from ..core.fir import fir_stream_pair, _conv_valid_real
+from ..core.fir import fir_stream_pair
 from .demod import (_COSTAS_ALPHA, _COSTAS_BETA, _COSTAS_FREQ_LIM,
                     _FLL_BETA, _FLL_FREQ_LIM, _MM_MU_GAIN, _MM_OMEGA_GAIN,
                     _OMEGA, _OMEGA_MAX, _OMEGA_MIN, _DIFF_REMAP, _tables)
@@ -137,13 +137,27 @@ def _agc_fll_chunked(xr, xi, gain, phase, freq, hre, him, be):
         c, s = jnp.cos(ph), jnp.sin(ph)
         rr = yr * c + yi * s
         ri = yi * c - yr * s
-        # band-edge filters over [history | chunk]
+        # band-edge filters over [history | chunk], expressed as framed
+        # windows + einsum (conv-inside-scan and 3D gathers are fragile on
+        # the experimental TPU backend; windows (C, K, M) x kernel (M,) is
+        # plain vector work)
         er = jnp.concatenate([hre, rr], axis=1)   # (C, M-1+K)
         ei = jnp.concatenate([him, ri], axis=1)
-        lo_re = _conv_valid_real(er, lo_r) - _conv_valid_real(ei, lo_i)
-        lo_im = _conv_valid_real(er, lo_i) + _conv_valid_real(ei, lo_r)
-        hi_re = _conv_valid_real(er, hi_r) - _conv_valid_real(ei, hi_i)
-        hi_im = _conv_valid_real(er, hi_i) + _conv_valid_real(ei, hi_r)
+        widx = (jnp.arange(K_SAMP)[:, None] + jnp.arange(M)[None, :])
+        flat = widx.reshape(-1)[None, :].repeat(er.shape[0], axis=0)
+        wr = jnp.take_along_axis(er, flat, axis=1).reshape(-1, K_SAMP, M)
+        wi = jnp.take_along_axis(ei, flat, axis=1).reshape(-1, K_SAMP, M)
+        # kernel index m multiplies x[n-m]: reverse the window axis once
+        lo_rr = jnp.flip(lo_r, 0)
+        lo_ir = jnp.flip(lo_i, 0)
+        hi_rr = jnp.flip(hi_r, 0)
+        hi_ir = jnp.flip(hi_i, 0)
+        dot = lambda w, t: jnp.einsum("ckm,m->ck", w, t,
+                                      preferred_element_type=jnp.float32)
+        lo_re = dot(wr, lo_rr) - dot(wi, lo_ir)
+        lo_im = dot(wr, lo_ir) + dot(wi, lo_rr)
+        hi_re = dot(wr, hi_rr) - dot(wi, hi_ir)
+        hi_im = dot(wr, hi_ir) + dot(wi, hi_rr)
         fa = lambda re, im: jnp.maximum(jnp.abs(re), jnp.abs(im)) \
             + 0.4 * jnp.minimum(jnp.abs(re), jnp.abs(im))
         err_sum = jnp.sum(fa(hi_re, hi_im) - fa(lo_re, lo_im), axis=1)
@@ -189,9 +203,9 @@ def _mm_costas_chunked(yr, yi, tail_re, tail_im, pos, omega,
         mu = p - jnp.floor(p)
         valid = ipos < T
         safe = jnp.clip(ipos, 0, T - 1)
-        idx = safe[:, :, None] + kt[None, None, :]             # (C, Ks, nt)
-        wre = er[jnp.arange(C)[:, None, None], idx]
-        wim = ei[jnp.arange(C)[:, None, None], idx]
+        idx = (safe[:, :, None] + kt[None, None, :]).reshape(C, -1)
+        wre = jnp.take_along_axis(er, idx, axis=1).reshape(C, K_SYM, ntaps)
+        wim = jnp.take_along_axis(ei, idx, axis=1).reshape(C, K_SYM, ntaps)
         phase_i = jnp.clip((mu * nph).astype(jnp.int32), 0, nph - 1)
         c0 = bank[phase_i]                                     # (C, Ks, nt)
         cd = dbank[phase_i]
