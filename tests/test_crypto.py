@@ -142,3 +142,90 @@ def test_tb5_matches_reference(oracle):
         oracle.tb5(ctypes.c_char_p(cn_b), ctypes.c_char_p(la_b),
                    ctypes.c_char_p(bytes([cc])), ctypes.c_char_p(ck), out)
         assert out.raw == tb5(cn, la, cc, ck)
+
+
+def test_hurdle_matches_reference(oracle):
+    from tetra_tpu.crypto import hurdle
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        key = bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+        pt = bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+        out = ctypes.create_string_buffer(16)
+        oracle.HURDLE_enc_cbc(out, ctypes.c_char_p(pt), ctypes.c_char_p(key))
+        assert out.raw == hurdle.enc_cbc(pt, key)
+        ct15 = bytes(rng.integers(0, 256, 15, dtype=np.uint8))
+        out2 = ctypes.create_string_buffer(15)
+        oracle.HURDLE_dec_cts(out2, ctypes.c_char_p(ct15), ctypes.c_char_p(key))
+        assert out2.raw == hurdle.dec_cts(ct15, key)
+
+
+def test_taa1_matches_reference(oracle):
+    from tetra_tpu.crypto import taa1
+    rng = np.random.default_rng(8)
+    k16 = bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+    k10 = bytes(rng.integers(0, 256, 10, dtype=np.uint8))
+    rs = bytes(rng.integers(0, 256, 10, dtype=np.uint8))
+    vn = bytes(rng.integers(0, 256, 2, dtype=np.uint8))
+
+    out = ctypes.create_string_buffer(16)
+    oracle.ta11_ta41(ctypes.c_char_p(k16), ctypes.c_char_p(rs), out)
+    assert out.raw == taa1.ta11_ta41(k16, rs)
+
+    res = ctypes.create_string_buffer(4)
+    dck = ctypes.create_string_buffer(10)
+    oracle.ta12_ta22(ctypes.c_char_p(k16), ctypes.c_char_p(rs), res, dck)
+    r2, d2 = taa1.ta12_ta22(k16, rs)
+    assert res.raw == r2 and dck.raw == d2
+
+    out = ctypes.create_string_buffer(16)
+    oracle.ta21(ctypes.c_char_p(k16), ctypes.c_char_p(rs), out)
+    assert out.raw == taa1.ta21(k16, rs)
+
+    # CCK seal/unseal roundtrip + cross-check
+    cck_id = bytes(rng.integers(0, 256, 2, dtype=np.uint8))
+    sealed = ctypes.create_string_buffer(15)
+    oracle.ta31(ctypes.c_char_p(k10), ctypes.c_char_p(cck_id),
+                ctypes.c_char_p(rs), sealed)
+    assert sealed.raw == taa1.ta31(k10, cck_id, rs)
+    un = ctypes.create_string_buffer(10)
+    mf = ctypes.create_string_buffer(1)
+    oracle.ta32(ctypes.c_char_p(sealed.raw), ctypes.c_char_p(cck_id),
+                ctypes.c_char_p(rs), un, mf)
+    u2, mf2 = taa1.ta32(sealed.raw, cck_id, rs)
+    assert un.raw == u2 and bool(mf.raw[0]) == mf2
+    assert u2 == k10 and not mf2  # seal/unseal roundtrip
+
+    # SCK seal/unseal
+    sealed = ctypes.create_string_buffer(15)
+    oracle.ta51(ctypes.c_char_p(k10), ctypes.c_char_p(vn),
+                ctypes.c_char_p(k16), ctypes.c_char_p(bytes([0x13])), sealed)
+    assert sealed.raw == taa1.ta51(k10, vn, k16, 0x13)
+    u2, mf2, n2 = taa1.ta52(sealed.raw, k16, vn)
+    assert u2 == k10 and n2 == 0x13 and not mf2
+
+    # TA71 / TA81+TA82 / TB6 / TB7
+    cck = bytes(rng.integers(0, 256, 10, dtype=np.uint8))
+    out = ctypes.create_string_buffer(10)
+    oracle.ta71(ctypes.c_char_p(k10), ctypes.c_char_p(cck), out)
+    assert out.raw == taa1.ta71(k10, cck)
+
+    gckn = bytes(rng.integers(0, 256, 2, dtype=np.uint8))
+    sealed = ctypes.create_string_buffer(15)
+    oracle.ta81(ctypes.c_char_p(k10), ctypes.c_char_p(vn),
+                ctypes.c_char_p(gckn), ctypes.c_char_p(k16), sealed)
+    assert sealed.raw == taa1.ta81(k10, vn, gckn, k16)
+    g2, n2, mf2 = taa1.ta82(sealed.raw, vn, k16)
+    assert g2 == k10 and n2 == gckn and not mf2
+
+    cn, ssi = 1234, 0xABCDEF
+    cn_b = bytes([(cn >> 8) & 0xFF, cn & 0xFF])
+    ssi_b = bytes([(ssi >> 16) & 0xFF, (ssi >> 8) & 0xFF, ssi & 0xFF])
+    out = ctypes.create_string_buffer(10)
+    oracle.tb6(ctypes.c_char_p(k10), ctypes.c_char_p(cn_b),
+               ctypes.c_char_p(ssi_b), out)
+    assert out.raw == taa1.tb6(k10, cn, ssi)
+
+    gsko = bytes(rng.integers(0, 256, 12, dtype=np.uint8))
+    out = ctypes.create_string_buffer(16)
+    oracle.tb7(ctypes.c_char_p(gsko), out)
+    assert out.raw == taa1.tb7(gsko)

@@ -159,3 +159,16 @@ def test_voice_e2e_bit_level():
     audio = vp.take_audio()
     assert len(audio) == 480 * vp.slots_decoded
     assert vp.slots_decoded >= len(good) - 1
+
+
+def test_llc_mle_layer_decodes_sdus():
+    """The (reference-disabled) LLC + MLE layer: TM-SDUs parse down to the
+    CMCE PDU name carried by the fixture."""
+    _, mac, records, _ = run_bit_level()
+    llc_events = [e for e in mac.upper.events if e[0] == "llc"]
+    assert len(llc_events) > 50
+    for _, _, llc, tl in llc_events:
+        assert llc.name == "BL-UDATA"
+        assert tl is not None
+        assert tl.pdisc_name == "CMCE"
+        assert tl.pdu_name == "D-SDS DATA"

@@ -1,0 +1,158 @@
+"""tetra-rx style CLI: demodulate and decode TETRA from an IQ capture.
+
+Capability parity with the reference plugin's two operating modes
+(main.cpp:184-197):
+  mode 0 (decode):  IQ -> demod -> burst sync -> MAC decode -> status lines
+                    (+ optional voice PCM to a file)
+  mode 1 (netsyms): IQ -> demod -> raw unpacked bits streamed over UDP in the
+                    osmo-tetra "NETSYMS" format (tetra-rx compatible,
+                    main.cpp:385-414), with the training-sequence monitor.
+
+Input: complex64 (or interleaved float32) raw IQ at 36 kHz per channel, or a
+wideband capture with --wideband N (channelized to N x 25 kHz channels).
+
+Usage:
+  python -m tetra_tpu.apps.tetra_rx capture.cf32 [--wideband N] [--mode 0|1]
+         [--udp host:port] [--voice out.pcm] [--block 4096] [--status-every S]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import socket
+import sys
+
+import numpy as np
+
+from .. import params as P
+from ..parallel import channelizer as CH
+from ..rx.receiver import TetraReceiver
+from ..rx import demod as demod_exact
+from ..voice.pipeline import VoicePipeline
+
+
+def load_iq(path: str) -> np.ndarray:
+    data = np.fromfile(path, np.complex64)
+    return data
+
+
+class NetsymsStreamer:
+    """Mode-1 UDP bit streamer + training sequence monitor
+    (main.cpp:385-414): sends raw unpacked bits, tracks whether any known
+    training sequence appeared within the last 2048 symbols."""
+
+    TS_EXPIRE = 2048
+
+    def __init__(self, host: str, port: int):
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.addr = (host, port)
+        self.window = np.zeros(0, np.uint8)
+        self.since_found = self.TS_EXPIRE
+        self.seqs = [P.TRAIN_SEQS[i] for i in range(5)] + [
+            P.TRAIN_X45, P.TRAIN_N33, P.TRAIN_P33]
+
+    def send(self, bits: np.ndarray):
+        self.sock.sendto(bits.astype(np.uint8).tobytes(), self.addr)
+        buf = np.concatenate([self.window, bits])
+        found = False
+        for seq in self.seqs:
+            L = len(seq)
+            if len(buf) >= L:
+                win = np.lib.stride_tricks.sliding_window_view(buf, L)
+                if (win == seq).all(axis=1).any():
+                    found = True
+                    break
+        if found:
+            self.since_found = 0
+        else:
+            self.since_found += len(bits) // 2
+        self.window = buf[-45:]
+
+    @property
+    def ts_found(self) -> bool:
+        return self.since_found < self.TS_EXPIRE
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("input", help="raw complex64 IQ file")
+    ap.add_argument("--wideband", type=int, default=0, metavar="N",
+                    help="input is a wideband capture at N*25 kHz; "
+                         "channelize to N channels")
+    ap.add_argument("--mode", type=int, default=0, choices=(0, 1))
+    ap.add_argument("--udp", default="localhost:8355")
+    ap.add_argument("--voice", default=None, help="write voice PCM (s16 8k)")
+    ap.add_argument("--block", type=int, default=4096)
+    ap.add_argument("--status-every", type=float, default=1.0,
+                    help="seconds of air time between status lines")
+    ap.add_argument("--demod", choices=("fast", "exact"), default="fast")
+    ap.add_argument("--keystore", default=None,
+                    help="crypto keystore file (reference text format)")
+    args = ap.parse_args(argv)
+
+    iq = load_iq(args.input)
+    if args.wideband:
+        ch = CH.channelize(iq, args.wideband)
+        iq = CH.resample_50_to_36(ch)
+    else:
+        iq = iq[None, :]
+    C, T = iq.shape
+
+    if args.mode == 1:
+        host, port = args.udp.rsplit(":", 1)
+        streamer = NetsymsStreamer(host, int(port))
+        from ..rx import demod_fast
+        mod = demod_fast if args.demod == "fast" else demod_exact
+        state = mod.demod_init(C)
+        for i in range(T // args.block):
+            state, outs = mod.demod_block(
+                state, iq[:, i * args.block:(i + 1) * args.block])
+            d = np.asarray(outs["dibits"][0])
+            v = np.asarray(outs["valid"][0])
+            bits = demod_exact.dibits_to_bits(d[v])
+            streamer.send(bits)
+        print(json.dumps({"mode": 1, "sent_bits": True,
+                          "ts_found": streamer.ts_found}))
+        return 0
+
+    voice = VoicePipeline() if args.voice else None
+    rx = TetraReceiver(C, voice_cb=voice, mode=args.demod)
+    if args.keystore:
+        from ..crypto.state import CryptoState, KeyStore
+        for m in rx.mac:
+            m.upper.crypto_state = CryptoState(store=KeyStore.load(args.keystore))
+    status_blocks = max(1, int(args.status_every * P.SAMPLE_RATE / args.block))
+    pcm_out = open(args.voice, "wb") if args.voice else None
+    for i in range(T // args.block):
+        rx.process(iq[:, i * args.block:(i + 1) * args.block])
+        if voice is not None and pcm_out is not None:
+            voice.take_audio().tofile(pcm_out)
+        if (i + 1) % status_blocks == 0:
+            for c in range(C):
+                d = rx.display(c)
+                if rx.locked(c):
+                    print(f"[ch {c}] LOCK mcc={d.mcc} mnc={d.mnc} cc={d.cc} "
+                          f"time={d.curr_multiframe}/{d.curr_frame} "
+                          f"dl={d.dl_freq/1e6:.4f}MHz "
+                          f"usage={d.dl_usage}/{d.ul_usage} "
+                          f"slots={d.timeslot_content} "
+                          f"crc={rx.mac[c].crc_oks}/{rx.mac[c].crc_fails} "
+                          f"q={rx.sym_quality[c]:.2f}")
+                else:
+                    print(f"[ch {c}] UNLOCKED q={rx.sym_quality[c]:.2f}")
+    if pcm_out:
+        pcm_out.close()
+    # final summary as one JSON line
+    summary = []
+    for c in range(C):
+        d = rx.display(c)
+        summary.append(dict(channel=c, locked=rx.locked(c), mcc=d.mcc,
+                            mnc=d.mnc, cc=d.cc, crc_ok=rx.mac[c].crc_oks,
+                            crc_fail=rx.mac[c].crc_fails))
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

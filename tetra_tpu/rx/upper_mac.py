@@ -17,6 +17,8 @@ import numpy as np
 
 from . import mac_pdu as p
 from .display import DisplayState
+from .llc import parse_llc
+from .mle import rx_tl_sdu
 from .tdma import TdmaTime
 
 # Logical channels (tetra_common.h enum tetra_log_chan)
@@ -144,7 +146,15 @@ class UpperMac:
             fs.bits = np.array(sdu, np.uint8)
         else:
             self.events.append(("tm_sdu", time.copy(), np.array(sdu)))
+            self._rx_tm_sdu(sdu, time)
         return pdu_bits
+
+    def _rx_tm_sdu(self, sdu: np.ndarray, time: TdmaTime):
+        """LLC + MLE identification of a TM-SDU (the layer the reference
+        ships disabled: tetra_llc_pdu.coff + rx_tl_sdu, tetra_mle.c:20-53)."""
+        llc = parse_llc(sdu)
+        tl = rx_tl_sdu(llc.tl_sdu) if len(llc.tl_sdu) else None
+        self.events.append(("llc", time.copy(), llc, tl))
 
     def _rx_macfrag(self, bits: np.ndarray, time: TdmaTime):
         slot = time.tn
@@ -188,6 +198,7 @@ class UpperMac:
             fs.length += len(frag)
             self.events.append(("tm_sdu_reassembled", time.copy(),
                                fs.bits.copy()))
+            self._rx_tm_sdu(fs.bits.copy(), time)
         fs.__init__()
         return length_indicator * 8
 

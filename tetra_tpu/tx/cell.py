@@ -208,7 +208,13 @@ def downlink_bits(cfg: CellConfig, n_slots: int,
                                       dict(sb1=sb1, aach=aach, sb2=sb2)))
         else:
             ndb1 = build_null_pdu()
-            sdu = payload_rng.integers(0, 2, 77).astype(np.uint8)
+            # TM-SDU = LLC BL-UDATA carrying a CMCE D-SDS-DATA payload
+            payload = payload_rng.integers(0, 2, 65).astype(np.uint8)
+            sdu = np.concatenate([
+                _uint_to_bits(2, 4),    # LLC: BL-UDATA
+                _uint_to_bits(2, 3),    # MLE pdisc: CMCE
+                _uint_to_bits(0x0F, 5),  # CMCE: D-SDS DATA
+                payload])
             ndb2 = build_resource_pdu(ssi=0x123456, sdu_bits=sdu)
             b = burst_mod.build_norm_burst(
                 fec_enc.encode_block(ndb1, P.TPSAP_T_NDB, scramb),
