@@ -111,13 +111,29 @@ def max_symbols(block_len: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _band_matrices(be):
+    """Banded convolution matrices H (M+K-1, K) with
+    y[k] = sum_j ext[j] H[j, k] = sum_m h[m] ext[k+M-1-m]: expresses the
+    in-chunk band-edge filtering as dense MXU matmuls (gathers are extremely
+    slow on this TPU backend)."""
+    M = P.RRC_TAP_COUNT
+    rows = M + K_SAMP - 1
+    mats = []
+    for h in be:
+        H = np.zeros((rows, K_SAMP), np.float32)
+        for k in range(K_SAMP):
+            H[k:k + M, k] = h[::-1]
+        mats.append(H)
+    return mats
+
+
 def _agc_fll_chunked(xr, xi, gain, phase, freq, hre, him, be):
     """Chunked AGC/FLL: one loop update per K_SAMP-sample chunk."""
     C, T = xr.shape
     assert T % K_SAMP == 0
     n_chunks = T // K_SAMP
     M = P.RRC_TAP_COUNT
-    lo_r, lo_i, hi_r, hi_i = [jnp.asarray(t) for t in be]
+    Hlo_r, Hlo_i, Hhi_r, Hhi_i = [jnp.asarray(H) for H in _band_matrices(be)]
     n = jnp.arange(K_SAMP, dtype=jnp.float32)
 
     xr_c = jnp.swapaxes(xr.reshape(C, n_chunks, K_SAMP), 0, 1)
@@ -137,27 +153,15 @@ def _agc_fll_chunked(xr, xi, gain, phase, freq, hre, him, be):
         c, s = jnp.cos(ph), jnp.sin(ph)
         rr = yr * c + yi * s
         ri = yi * c - yr * s
-        # band-edge filters over [history | chunk], expressed as framed
-        # windows + einsum (conv-inside-scan and 3D gathers are fragile on
-        # the experimental TPU backend; windows (C, K, M) x kernel (M,) is
-        # plain vector work)
+        # band-edge filters over [history | chunk] as banded matmuls:
+        # (C, M-1+K) @ (M-1+K, K) on the MXU, no gathers
         er = jnp.concatenate([hre, rr], axis=1)   # (C, M-1+K)
         ei = jnp.concatenate([him, ri], axis=1)
-        widx = (jnp.arange(K_SAMP)[:, None] + jnp.arange(M)[None, :])
-        flat = widx.reshape(-1)[None, :].repeat(er.shape[0], axis=0)
-        wr = jnp.take_along_axis(er, flat, axis=1).reshape(-1, K_SAMP, M)
-        wi = jnp.take_along_axis(ei, flat, axis=1).reshape(-1, K_SAMP, M)
-        # kernel index m multiplies x[n-m]: reverse the window axis once
-        lo_rr = jnp.flip(lo_r, 0)
-        lo_ir = jnp.flip(lo_i, 0)
-        hi_rr = jnp.flip(hi_r, 0)
-        hi_ir = jnp.flip(hi_i, 0)
-        dot = lambda w, t: jnp.einsum("ckm,m->ck", w, t,
-                                      preferred_element_type=jnp.float32)
-        lo_re = dot(wr, lo_rr) - dot(wi, lo_ir)
-        lo_im = dot(wr, lo_ir) + dot(wi, lo_rr)
-        hi_re = dot(wr, hi_rr) - dot(wi, hi_ir)
-        hi_im = dot(wr, hi_ir) + dot(wi, hi_rr)
+        mm = lambda x, H: jnp.dot(x, H, preferred_element_type=jnp.float32)
+        lo_re = mm(er, Hlo_r) - mm(ei, Hlo_i)
+        lo_im = mm(er, Hlo_i) + mm(ei, Hlo_r)
+        hi_re = mm(er, Hhi_r) - mm(ei, Hhi_i)
+        hi_im = mm(er, Hhi_i) + mm(ei, Hhi_r)
         fa = lambda re, im: jnp.maximum(jnp.abs(re), jnp.abs(im)) \
             + 0.4 * jnp.minimum(jnp.abs(re), jnp.abs(im))
         err_sum = jnp.sum(fa(hi_re, hi_im) - fa(lo_re, lo_im), axis=1)
