@@ -27,7 +27,10 @@ def main():
     n_chunks = int(np.ceil(block / (demod_mod.K_SYM * 1.96))) + 1
 
     def step(state, xr, xi):
-        return demod_mod._demod_block_impl(state, xr, xi, n_chunks)
+        state, outs = demod_mod._demod_block_impl(state, xr, xi, n_chunks)
+        # scalar checksum INSIDE the jit: forces execution without compiling
+        # a separate reduction program (remote compiles cost ~10 min here)
+        return state, outs["dist"].sum()
 
     jit_step = jax.jit(step, donate_argnums=(0,))
 
@@ -37,18 +40,16 @@ def main():
 
     state = demod_mod.demod_init(channels)
     # warmup / compile
-    state, outs = jit_step(state, xr, xi)
-    jax.block_until_ready(outs["dibits"])
-    state, outs = jit_step(state, xr, xi)
-    jax.block_until_ready(outs["dibits"])
+    state, chk = jit_step(state, xr, xi)
+    float(chk)
+    state, chk = jit_step(state, xr, xi)
+    float(chk)
 
     iters = 8
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, outs = jit_step(state, xr, xi)
-        # force completion: fetch a scalar reduction (block_until_ready alone
-        # returned early on this backend in testing)
-        float(outs["dist"].sum())
+        state, chk = jit_step(state, xr, xi)
+        float(chk)  # forced scalar fetch per iter (honest sync)
     dt = time.perf_counter() - t0
 
     samples = channels * block * iters

@@ -38,8 +38,8 @@ from .demod import (_COSTAS_ALPHA, _COSTAS_BETA, _COSTAS_FREQ_LIM,
                     _FLL_BETA, _FLL_FREQ_LIM, _MM_MU_GAIN, _MM_OMEGA_GAIN,
                     _OMEGA, _OMEGA_MAX, _OMEGA_MIN, _DIFF_REMAP, _tables)
 
-K_SAMP = 32    # AGC/FLL chunk length (samples)
-K_SYM = 16     # timing/Costas chunk length (symbols)
+K_SAMP = 64    # AGC/FLL chunk length (samples)
+K_SYM = 32     # timing/Costas chunk length (symbols)
 
 # Chunked decision-directed loops admit false equilibria when the phase can
 # sweep a full pi/2 decision period within one chunk (the aggregated error
