@@ -8,12 +8,14 @@ Capability parity with the reference plugin's two operating modes
                     osmo-tetra "NETSYMS" format (tetra-rx compatible,
                     main.cpp:385-414), with the training-sequence monitor.
 
-Input: complex64 (or interleaved float32) raw IQ at 36 kHz per channel, or a
-wideband capture with --wideband N (channelized to N x 25 kHz channels).
+Input: complex64 raw IQ at 36 kHz per channel - a file path, or `udp:PORT`
+for a live stream into the native ring-buffer runtime - or a wideband capture
+with --wideband N (channelized to N x 25 kHz channels).
 
 Usage:
   python -m tetra_tpu.apps.tetra_rx capture.cf32 [--wideband N] [--mode 0|1]
          [--udp host:port] [--voice out.pcm] [--block 4096] [--status-every S]
+  python -m tetra_tpu.apps.tetra_rx udp:7355 --duration 10
 """
 
 from __future__ import annotations
@@ -35,6 +37,31 @@ from ..voice.pipeline import VoicePipeline
 def load_iq(path: str) -> np.ndarray:
     data = np.fromfile(path, np.complex64)
     return data
+
+
+def iter_blocks(args):
+    """Yield (C, block) complex64 blocks from a file or live UDP stream."""
+    if args.input.startswith("udp:"):
+        from ..runtime.iq_stream import IqStream
+        stream = IqStream()
+        stream.open_udp(int(args.input.split(":", 1)[1]))
+        import time as _time
+        t_end = _time.time() + args.duration
+        while _time.time() < t_end:
+            blk = stream.read(args.block, timeout_ms=1000)
+            if len(blk) == args.block:
+                yield blk[None, :]
+        stream.stop()
+        return
+    iq = load_iq(args.input)
+    if args.wideband:
+        from ..parallel import channelizer as CH2
+        ch = CH2.channelize(iq, args.wideband)
+        iq = CH2.resample_50_to_36(ch)
+    else:
+        iq = iq[None, :]
+    for i in range(iq.shape[1] // args.block):
+        yield iq[:, i * args.block:(i + 1) * args.block]
 
 
 class NetsymsStreamer:
@@ -89,25 +116,23 @@ def main(argv=None):
     ap.add_argument("--demod", choices=("fast", "exact"), default="fast")
     ap.add_argument("--keystore", default=None,
                     help="crypto keystore file (reference text format)")
+    ap.add_argument("--duration", type=float, default=10.0,
+                    help="seconds to run for live (udp:) input")
     args = ap.parse_args(argv)
 
-    iq = load_iq(args.input)
-    if args.wideband:
-        ch = CH.channelize(iq, args.wideband)
-        iq = CH.resample_50_to_36(ch)
-    else:
-        iq = iq[None, :]
-    C, T = iq.shape
+    live = args.input.startswith("udp:")
+    blocks = None if live else list(iter_blocks(args))
 
     if args.mode == 1:
         host, port = args.udp.rsplit(":", 1)
         streamer = NetsymsStreamer(host, int(port))
         from ..rx import demod_fast
         mod = demod_fast if args.demod == "fast" else demod_exact
-        state = mod.demod_init(C)
-        for i in range(T // args.block):
-            state, outs = mod.demod_block(
-                state, iq[:, i * args.block:(i + 1) * args.block])
+        state = None
+        for blk in (blocks or iter_blocks(args)):
+            if state is None:
+                state = mod.demod_init(blk.shape[0])
+            state, outs = mod.demod_block(state, blk)
             d = np.asarray(outs["dibits"][0])
             v = np.asarray(outs["valid"][0])
             bits = demod_exact.dibits_to_bits(d[v])
@@ -117,15 +142,20 @@ def main(argv=None):
         return 0
 
     voice = VoicePipeline() if args.voice else None
-    rx = TetraReceiver(C, voice_cb=voice, mode=args.demod)
-    if args.keystore:
-        from ..crypto.state import CryptoState, KeyStore
-        for m in rx.mac:
-            m.upper.crypto_state = CryptoState(store=KeyStore.load(args.keystore))
+    rx = None
     status_blocks = max(1, int(args.status_every * P.SAMPLE_RATE / args.block))
     pcm_out = open(args.voice, "wb") if args.voice else None
-    for i in range(T // args.block):
-        rx.process(iq[:, i * args.block:(i + 1) * args.block])
+    C = 1
+    for i, blk in enumerate(blocks or iter_blocks(args)):
+        if rx is None:
+            C = blk.shape[0]
+            rx = TetraReceiver(C, voice_cb=voice, mode=args.demod)
+            if args.keystore:
+                from ..crypto.state import CryptoState, KeyStore
+                for m in rx.mac:
+                    m.upper.crypto_state = CryptoState(
+                        store=KeyStore.load(args.keystore))
+        rx.process(blk)
         if voice is not None and pcm_out is not None:
             voice.take_audio().tofile(pcm_out)
         if (i + 1) % status_blocks == 0:
