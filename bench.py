@@ -26,7 +26,8 @@ def main():
         n_chunks = int(np.ceil(block / (demod_mod.K_SYM * 1.96))) + 1
 
         def step(state, xr, xi):
-            state, outs = demod_mod._demod_block_impl(state, xr, xi, n_chunks)
+            state, outs = demod_mod._demod_block_impl(
+                state, xr, xi, n_chunks, True)
             # scalar checksum INSIDE the jit: forces execution without
             # compiling a separate reduction program (remote compiles are
             # minutes on this backend)
@@ -52,9 +53,9 @@ def main():
         return channels * block * iters / dt / 1e6
 
     # the experimental backend rejects some large configurations; take the
-    # largest that runs
+    # largest that runs (per-call overhead dominates, so bigger is faster)
     msps = 0.0
-    for channels, block in ((256, 4608), (128, 4608)):
+    for channels, block in ((512, 18432), (256, 9216), (128, 4608)):
         try:
             msps = run_config(channels, block)
             break

@@ -45,14 +45,16 @@ def _band_matrix(h: np.ndarray) -> np.ndarray:
     return H
 
 
-def _kernel(xr_ref, xi_ref, gain0, phase0, freq0, Hs_ref,
+def _kernel(xr_ref, xi_ref, gain0, phase0, freq0, hist_r0, hist_i0, Hs_ref,
             mfr_ref, mfi_ref, gain_out, phase_out, freq_out,
+            hist_r_out, hist_i_out,
             ext_r, ext_i, state, sem):
     """Grid: (n_chunks,).  Refs:
     xr/xi:   (K, C) chunk block
     gain0/phase0/freq0: (1, C) initial state
+    hist_r0/hist_i0: (HIST, C) rotated-sample history carried across blocks
     Hs:      (5, ROWS, K) banded matrices [lo_r, lo_i, hi_r, hi_i, rrc]
-    outputs: mf chunk (K, C); final state (1, C) x3
+    outputs: mf chunk (K, C); final state (1, C) x3; history (HIST, C) x2
     scratch: ext_r/ext_i (ROWS, C) rotated history+chunk; state (3, C)
     """
     i = pl.program_id(0)
@@ -86,9 +88,9 @@ def _kernel(xr_ref, xi_ref, gain0, phase0, freq0, Hs_ref,
     # (must happen before appending; rows 0..HIST-1 <- rows K..ROWS-1 do not
     # overlap since HIST == K_SAMP)
     @pl.when(i == 0)
-    def _zero_hist():
-        ext_r[:HIST, :] = jnp.zeros((HIST, C), jnp.float32)
-        ext_i[:HIST, :] = jnp.zeros((HIST, C), jnp.float32)
+    def _load_hist():
+        ext_r[:HIST, :] = hist_r0[:, :]
+        ext_i[:HIST, :] = hist_i0[:, :]
 
     @pl.when(i > 0)
     def _shift_hist():
@@ -141,6 +143,8 @@ def _kernel(xr_ref, xi_ref, gain0, phase0, freq0, Hs_ref,
         gain_out[0, :] = new_gain
         phase_out[0, :] = new_phase
         freq_out[0, :] = new_freq
+        hist_r_out[:, :] = ext_r[K_SAMP:, :]
+        hist_i_out[:, :] = ext_i[K_SAMP:, :]
 
 
 _HS = None
@@ -158,14 +162,11 @@ def _band_stack():
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def agc_fll_rrc(xr_t, xi_t, gain, phase, freq, interpret=False):
-    """Fused stage-1: (T, C) float pair -> matched-filter output (T, C) pair
-    + final (gain, phase, freq).
-
-    NOTE: history starts at zero each call (block-boundary behavior matches
-    a fresh fir_stream tail); for exact streaming continuity across blocks
-    prepend the previous block's last HIST samples.
-    """
+def agc_fll_rrc(xr_t, xi_t, gain, phase, freq, hist_r, hist_i,
+                interpret=False):
+    """Fused stage-1: (T, C) float pair + (HIST, C) rotated-sample history ->
+    matched-filter output (T, C) pair, final (gain, phase, freq), and the new
+    history (streaming continuity across blocks)."""
     T, C = xr_t.shape
     assert T % K_SAMP == 0
     assert K_SAMP >= HIST  # history shift assumes non-overlapping copy
@@ -178,6 +179,8 @@ def agc_fll_rrc(xr_t, xi_t, gain, phase, freq, interpret=False):
         pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((HIST, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((HIST, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((5, ROWS, K_SAMP), lambda i: (0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
@@ -187,6 +190,8 @@ def agc_fll_rrc(xr_t, xi_t, gain, phase, freq, interpret=False):
         pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((HIST, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((HIST, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((T, C), jnp.float32),
@@ -194,6 +199,8 @@ def agc_fll_rrc(xr_t, xi_t, gain, phase, freq, interpret=False):
         jax.ShapeDtypeStruct((1, C), jnp.float32),
         jax.ShapeDtypeStruct((1, C), jnp.float32),
         jax.ShapeDtypeStruct((1, C), jnp.float32),
+        jax.ShapeDtypeStruct((HIST, C), jnp.float32),
+        jax.ShapeDtypeStruct((HIST, C), jnp.float32),
     ]
     return pl.pallas_call(
         _kernel,
@@ -208,4 +215,5 @@ def agc_fll_rrc(xr_t, xi_t, gain, phase, freq, interpret=False):
             pltpu.SemaphoreType.REGULAR,
         ],
         interpret=interpret,
-    )(xr_t, xi_t, gain[None, :], phase[None, :], freq[None, :], Hs)
+    )(xr_t, xi_t, gain[None, :], phase[None, :], freq[None, :],
+      hist_r, hist_i, Hs)

@@ -292,15 +292,32 @@ def _mm_costas_chunked(yr, yi, tail_re, tail_im, pos, omega,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("n_chunks",))
-def _demod_block_impl(state: FastDemodState, xr, xi, n_chunks: int):
+@partial(jax.jit, static_argnames=("n_chunks", "use_pallas"))
+def _demod_block_impl(state: FastDemodState, xr, xi, n_chunks: int,
+                      use_pallas: bool = False):
     rrc, be, bank = _tables()
     dbank = _deriv_bank()
-    rotr, roti, gain, fphase, ffreq, fhre, fhim = _agc_fll_chunked(
-        xr, xi, state.agc_gain, state.fll_phase, state.fll_freq,
-        state.fll_hist_re, state.fll_hist_im, be)
-    mfr, mfi, rtr, rti = fir_stream_pair(
-        rotr, roti, jnp.asarray(rrc), state.rrc_tail_re, state.rrc_tail_im)
+    if use_pallas:
+        # fused stage-1 kernel (ops/demod_pallas): one launch instead of the
+        # XLA chunk scan + separate RRC convolution
+        from ..ops.demod_pallas import agc_fll_rrc
+        (mfr_t, mfi_t, g1, p1, f1, hr1, hi1) = agc_fll_rrc(
+            jnp.swapaxes(xr, 0, 1), jnp.swapaxes(xi, 0, 1),
+            state.agc_gain, state.fll_phase, state.fll_freq,
+            jnp.swapaxes(state.fll_hist_re, 0, 1),
+            jnp.swapaxes(state.fll_hist_im, 0, 1))
+        mfr = jnp.swapaxes(mfr_t, 0, 1)
+        mfi = jnp.swapaxes(mfi_t, 0, 1)
+        gain, fphase, ffreq = g1[0], p1[0], f1[0]
+        fhre = jnp.swapaxes(hr1, 0, 1)
+        fhim = jnp.swapaxes(hi1, 0, 1)
+        rtr, rti = fhre, fhim  # same rotated-sample history
+    else:
+        rotr, roti, gain, fphase, ffreq, fhre, fhim = _agc_fll_chunked(
+            xr, xi, state.agc_gain, state.fll_phase, state.fll_freq,
+            state.fll_hist_re, state.fll_hist_im, be)
+        mfr, mfi, rtr, rti = fir_stream_pair(
+            rotr, roti, jnp.asarray(rrc), state.rrc_tail_re, state.rrc_tail_im)
     (outs, mtr, mti, pos, omega, cphase, cfreq, ph2, prev_sym) = (
         _mm_costas_chunked(mfr, mfi, state.mm_tail_re, state.mm_tail_im,
                            state.mm_pos, state.mm_omega, state.cos_phase,
@@ -316,6 +333,9 @@ def _demod_block_impl(state: FastDemodState, xr, xi, n_chunks: int):
     return new_state, outs
 
 
+USE_PALLAS = False  # production TPU flag; CPU tests use the XLA path
+
+
 def demod_block(state: FastDemodState, iq: np.ndarray):
     """Chunked-mode demod of one (C, T) complex block (complex only at the
     host boundary).  T must be a multiple of K_SAMP."""
@@ -324,4 +344,4 @@ def demod_block(state: FastDemodState, iq: np.ndarray):
     n_chunks = int(np.ceil(T / (K_SYM * _OMEGA_MIN))) + 1
     xr = jnp.asarray(np.ascontiguousarray(iq.real, dtype=np.float32))
     xi = jnp.asarray(np.ascontiguousarray(iq.imag, dtype=np.float32))
-    return _demod_block_impl(state, xr, xi, n_chunks)
+    return _demod_block_impl(state, xr, xi, n_chunks, USE_PALLAS)
