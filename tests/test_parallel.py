@@ -49,3 +49,62 @@ def test_sharded_demod_matches_single_device():
                                   np.asarray(outs_ref["dibits"]))
     np.testing.assert_array_equal(np.asarray(outs["valid"]),
                                   np.asarray(outs_ref["valid"]))
+
+
+def test_wideband_to_sharded_demod_e2e():
+    """BASELINE config 4 shape (scaled down): wideband capture -> channelizer
+    -> channels sharded over the 8-device mesh -> batched demod -> locked
+    cells on every occupied channel."""
+    import jax.numpy as jnp2
+    from tetra_tpu.parallel import channelizer as CH
+    from tetra_tpu.rx import demod_fast
+    from tetra_tpu.rx.burst_sync import BurstSync, RX_LOCKED
+    from tetra_tpu.rx.demod import dibits_to_bits
+    from tetra_tpu.rx.tdma import TdmaTime
+    from tetra_tpu.tx import cell
+    from tetra_tpu.tx.modulator import modulate
+    from tetra_tpu.tx.wideband import assemble_wideband
+
+    N = 16
+    start = TdmaTime(mn=1, fn=17, tn=4)
+    occupied = [1, 6, 11, 14]
+    chans = {}
+    for k in occupied:
+        cfg = cell.CellConfig(mcc=200 + k, mnc=10 * k + 1, cc=k)
+        bits, _ = cell.downlink_bits(cfg, 100, start=start.copy())
+        chans[k] = np.asarray(modulate(jnp2.asarray(bits[None, :])))[0]
+    wide = assemble_wideband(chans, N, amplitude=0.5)
+    ch36 = CH.resample_50_to_36(CH.channelize(wide, N))
+    # shard all 16 channels over the mesh, fast-mode demod
+    mesh = pmesh.make_mesh(8, "ch")
+    C = N
+    T = (ch36.shape[1] // 4096) * 4096
+    sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("ch"))
+    n_chunks = int(np.ceil(4096 / (demod_fast.K_SYM * 1.96))) + 1
+
+    def step(state, xr, xi):
+        return demod_fast._demod_block_impl(state, xr, xi, n_chunks)
+
+    cspec = jax.sharding.PartitionSpec("ch")
+    state_spec = jax.tree.map(lambda _: cspec, demod_fast.demod_init(1))
+    out_spec = dict(sym_re=cspec, sym_im=cspec, dibits=cspec, valid=cspec,
+                    dist=cspec, fll_freq=cspec, agc_gain=cspec)
+    sharded = jax.jit(jax.shard_map(step, mesh=mesh,
+                                    in_specs=(state_spec, cspec, cspec),
+                                    out_specs=(state_spec, out_spec)))
+    state = jax.tree.map(lambda x: jax.device_put(x, sh),
+                         demod_fast.demod_init(C))
+    syncs = [BurstSync() for _ in range(C)]
+    for i in range(T // 4096):
+        blk = ch36[:, i * 4096:(i + 1) * 4096]
+        xr = jax.device_put(jnp2.asarray(blk.real.astype(np.float32)), sh)
+        xi = jax.device_put(jnp2.asarray(blk.imag.astype(np.float32)), sh)
+        state, outs = sharded(state, xr, xi)
+        dib = np.asarray(outs["dibits"])
+        val = np.asarray(outs["valid"])
+        for c in range(C):
+            syncs[c].feed(dibits_to_bits(dib[c][val[c]]))
+    for k in occupied:
+        assert syncs[k].state == RX_LOCKED, k
+    for k in set(range(N)) - set(occupied):
+        assert syncs[k].state != RX_LOCKED, k  # empty channels stay unlocked
