@@ -229,3 +229,65 @@ def test_taa1_matches_reference(oracle):
     out = ctypes.create_string_buffer(16)
     oracle.tb7(ctypes.c_char_p(gsko), out)
     assert out.raw == taa1.tb7(gsko)
+
+
+def test_encrypted_downlink_e2e():
+    """Full encrypted path: TX encrypts MAC-RESOURCE TM-SDUs with TEA1, RX
+    with the same keystore recovers them; without keys the SDUs stay opaque.
+    """
+    import jax
+    from tetra_tpu.rx.burst_sync import BurstSync
+    from tetra_tpu.rx.lower_mac import LowerMac
+    from tetra_tpu.rx.tdma import PhyState
+    from tetra_tpu.tx import cell
+
+    cfg = cell.CellConfig()
+
+    def make_crypto():
+        cs = _make_state()
+        # align identity with the fixture cell
+        cs.store.nets[0].mcc, cs.store.nets[0].mnc = cfg.mcc, cfg.mnc
+        cs.store.keys[0].mcc, cs.store.keys[0].mnc = cfg.mcc, cfg.mnc
+        cs.cc = cfg.cc
+        cs.la = cfg.la
+        cs.cn = cfg.main_carrier
+        cs.hn = cfg.hyperframe      # RX learns this from SYSINFO
+        cs.update_network(cfg.mcc, cfg.mnc)
+        assert cs.cck is not None
+        return cs
+
+    tx_crypto = make_crypto()
+    start = cell.TdmaTime(mn=1, fn=17, tn=4) if hasattr(cell, "TdmaTime") else None
+    from tetra_tpu.rx.tdma import TdmaTime
+    start = TdmaTime(mn=1, fn=17, tn=4)
+    bits, records = cell.downlink_bits(cfg, 170, start=start,
+                                       crypto=tx_crypto)
+
+    def run(with_keys):
+        phy = PhyState()
+        sync = BurstSync(phy=phy)
+        mac = LowerMac(phy=phy)
+        if with_keys:
+            rx_crypto = make_crypto()
+            # cck_id comes from SYSINFO in real networks; fixture SYSINFO has
+            # cck_valid_no_hf=0, so pin the id like the TX side
+            mac.upper.crypto_state = rx_crypto
+        for i in range(0, len(bits), 510 * 4):
+            mac.process_bursts(sync.feed(bits[i:i + 510 * 4]))
+        return mac
+
+    mac = run(with_keys=True)
+    llc_events = [e for e in mac.upper.events if e[0] == "llc"]
+    assert len(llc_events) > 40
+    good = [e for e in llc_events if e[2].name == "BL-UDATA"
+            and e[3] is not None and e[3].pdu_name == "D-SDS DATA"]
+    # a handful of bursts in the acquisition batch may precede the first
+    # SYSINFO (no network info yet -> decrypt deferred); the rest are clean
+    assert len(good) >= len(llc_events) - 4
+
+    mac2 = run(with_keys=False)
+    # without keys: resources seen but no decrypted SDUs surface
+    res = [e for e in mac2.upper.events if e[0] == "resource"]
+    assert any(r[2].is_encrypted for r in res)
+    llc2 = [e for e in mac2.upper.events if e[0] == "llc"]
+    assert len(llc2) == 0

@@ -56,6 +56,7 @@ class Burst:
     train_seq: int
     bits: np.ndarray          # (510,) uint8
     time: TdmaTime            # TDMA time at reception
+    slot_index: int = 0       # monotonic slot counter at reception
 
     def blocks(self) -> list[tuple[int, int, np.ndarray]]:
         """Split into (tp_sap_type, blk_num, type5_bits) per burst layout
@@ -148,6 +149,7 @@ class BurstSync:
                 if len(self.bitbuf) < P.BITS_PER_TS:
                     break
                 self.time.add_tn(1)
+                self.phy.slot_count += 1
                 m = find_train_seq(self.bitbuf, _SEARCH_SEQS_LOCKED)
                 if m is None:
                     self.state = RX_UNLOCKED
@@ -158,7 +160,8 @@ class BurstSync:
                         if offs == P.SYNC_TRAIN_OFFSET:
                             out.append(Burst(seq_id,
                                              self.bitbuf[:P.BITS_PER_TS].copy(),
-                                             self.time.copy()))
+                                             self.time.copy(),
+                                             self.phy.slot_count))
                         else:
                             self.state = RX_UNLOCKED
                             self.lock_losses += 1
@@ -166,7 +169,8 @@ class BurstSync:
                         if offs == P.NORM_TRAIN_OFFSET:
                             out.append(Burst(seq_id,
                                              self.bitbuf[:P.BITS_PER_TS].copy(),
-                                             self.time.copy()))
+                                             self.time.copy(),
+                                             self.phy.slot_count))
                         # wrong-offset NORM: ignored, stay locked (reference
                         # behavior at tetra_burst_sync.c:134-139)
                 self.bitbuf = self.bitbuf[P.BITS_PER_TS:]

@@ -48,7 +48,8 @@ class LowerMac:
     crc_oks: int = 0
 
     def _dispatch(self, blk_type: int, blk_num: int, type1: np.ndarray,
-                  crc_ok: bool, time: TdmaTime, type4: np.ndarray | None):
+                  crc_ok: bool, time: TdmaTime, type4: np.ndarray | None,
+                  slot_index: int = 0):
         d = self.upper.display
         is_voice_slot = (blk_type == P.TPSAP_T_SCH_F
                          and bool(self.upper.is_traffic))
@@ -75,10 +76,16 @@ class LowerMac:
                 c.mnc = bits_to_uint(type1, 41, 14)
                 c.scramb_init = P.scramb_get_init(c.mcc, c.mnc, c.colour_code)
                 # SYNC PDU re-synchronizes the shared PHY time
-                # (tetra_lower_mac.c:277-279)
+                # (tetra_lower_mac.c:277-279), advanced by the number of
+                # slots the synchronizer already stamped past this burst
+                # (batch-processing lag; see PhyState.slot_count)
+                lag = self.phy.slot_count - slot_index
                 self.phy.time.tn = c.time.tn
                 self.phy.time.fn = c.time.fn
                 self.phy.time.mn = c.time.mn
+                if lag > 0:
+                    self.phy.time.add_tn(lag)
+                self._resync_base = (c.time.copy(), slot_index)
                 d.last_crc_fail = False
             else:
                 d.last_crc_fail = True
@@ -143,8 +150,16 @@ class LowerMac:
                 decoded[i] = (t1[j], bool(ok[j]))
 
         # Sequential dispatch in burst/block order
+        self._resync_base = None
         for i, (bi, blk_type, blk_num, type5) in enumerate(items):
             burst = bursts[bi]
+            if self._resync_base is not None:
+                # restamp bursts that were stamped before the SYNC resync
+                base_time, base_idx = self._resync_base
+                if burst.slot_index > base_idx:
+                    t = base_time.copy()
+                    t.add_tn(burst.slot_index - base_idx)
+                    burst.time = t
             type1, ok = decoded[i]
             type4 = None
             if blk_type == P.TPSAP_T_SCH_F:
@@ -156,4 +171,5 @@ class LowerMac:
                 burst.train_seq,
                 4 if self.upper.is_traffic else 1)
             self.upper.display.timeslot_content[(burst.time.tn - 1) % 4] = tc
-            self._dispatch(blk_type, blk_num, type1, ok, burst.time, type4)
+            self._dispatch(blk_type, blk_num, type1, ok, burst.time, type4,
+                           burst.slot_index)

@@ -65,8 +65,15 @@ class TdmaTime:
 class PhyState:
     """Shared PHY-layer time (mirror of the reference's global
     `t_phy_state`, tetra_burst_sync.c:34): burst sync advances it per slot,
-    and a decoded SYNC PDU overwrites it (tetra_lower_mac.c:277-279)."""
+    and a decoded SYNC PDU overwrites it (tetra_lower_mac.c:277-279).
+
+    slot_count is a monotonic received-slot counter used to correct the
+    stamp lag batch processing introduces: bursts are time-stamped when the
+    synchronizer emits them, but a SYNC PDU resync happens later in the MAC;
+    the resync must advance by the number of slots stamped in between
+    (the slot-serial reference never has such in-flight slots)."""
     time: TdmaTime = field(default_factory=TdmaTime)
+    slot_count: int = 0
 
 
 def is_bsch(t: TdmaTime) -> bool:

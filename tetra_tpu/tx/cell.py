@@ -87,7 +87,8 @@ def build_aach(dl_usage: int, ul_usage: int) -> np.ndarray:
 
 
 def build_resource_pdu(ssi: int, sdu_bits: np.ndarray,
-                       fill_to: int = 124) -> np.ndarray:
+                       fill_to: int = 124,
+                       crypto=None, time=None) -> np.ndarray:
     """MAC-RESOURCE with SSI address carrying a TM-SDU (21.4.3.1).
 
     Header is 43 bits (type/fill/grant/enc/raf/len/addr-type + 24-bit SSI +
@@ -99,11 +100,12 @@ def build_resource_pdu(ssi: int, sdu_bits: np.ndarray,
     length_oct = (total_bits + 7) // 8
     assert length_oct <= 0x12 and length_oct * 8 <= fill_to
     pad = length_oct * 8 - total_bits
+    enc_mode = 1 if crypto is not None else 0
     bits = np.concatenate([
         _uint_to_bits(0, 2),            # MAC PDU type: MAC-RESOURCE
         _uint_to_bits(0, 1),            # fill bits (none)
         _uint_to_bits(0, 1),            # grant position
-        _uint_to_bits(0, 2),            # encryption mode
+        _uint_to_bits(enc_mode, 2),     # encryption mode
         _uint_to_bits(0, 1),            # random access flag
         _uint_to_bits(length_oct, 6),   # length in octets
         _uint_to_bits(1, 3),            # address type SSI
@@ -114,6 +116,11 @@ def build_resource_pdu(ssi: int, sdu_bits: np.ndarray,
         np.asarray(sdu_bits, np.uint8),
         np.zeros(pad, np.uint8),
     ])
+    if crypto is not None:
+        # air-interface encryption: keystream over the TM-SDU portion
+        # (the inverse of decrypt_mac_element, tetra_crypto.c:221-268)
+        ks = crypto.keystream_bits(crypto.cck, time, len(bits) - header)
+        bits[header:] ^= ks
     tail = np.zeros(fill_to - len(bits), np.uint8)
     # remainder of the slot after a length-delimited PDU: a NULL PDU would
     # follow in a real cell; zeros decode as a resource PDU with NULL address
@@ -158,7 +165,8 @@ class CellConfig:
 def downlink_bits(cfg: CellConfig, n_slots: int,
                   start: TdmaTime | None = None,
                   payload_rng: np.random.Generator | None = None,
-                  voice_slots: dict | None = None
+                  voice_slots: dict | None = None,
+                  crypto=None
                   ) -> tuple[np.ndarray, list[SlotRecord]]:
     """Generate `n_slots` consecutive downlink slots (510 bits each).
 
@@ -215,7 +223,8 @@ def downlink_bits(cfg: CellConfig, n_slots: int,
                 _uint_to_bits(2, 3),    # MLE pdisc: CMCE
                 _uint_to_bits(0x0F, 5),  # CMCE: D-SDS DATA
                 payload])
-            ndb2 = build_resource_pdu(ssi=0x123456, sdu_bits=sdu)
+            ndb2 = build_resource_pdu(ssi=0x123456, sdu_bits=sdu,
+                                      crypto=crypto, time=time)
             b = burst_mod.build_norm_burst(
                 fec_enc.encode_block(ndb1, P.TPSAP_T_NDB, scramb),
                 bbk5,
