@@ -211,8 +211,14 @@ def _mm_costas_chunked(yr, yi, tail_re, tail_im, pos, omega,
         wre = jnp.take_along_axis(er, idx, axis=1).reshape(C, K_SYM, ntaps)
         wim = jnp.take_along_axis(ei, idx, axis=1).reshape(C, K_SYM, ntaps)
         phase_i = jnp.clip((mu * nph).astype(jnp.int32), 0, nph - 1)
-        c0 = bank[phase_i]                                     # (C, Ks, nt)
-        cd = dbank[phase_i]
+        # bank row selection as one-hot matmul (gathers are pathologically
+        # slow on this TPU backend; (C*Ks, nph) @ (nph, nt) rides the MXU)
+        onehot = (phase_i[..., None] ==
+                  jnp.arange(nph, dtype=jnp.int32)).astype(jnp.float32)
+        c0 = jnp.einsum("ckp,pt->ckt", onehot, bank,
+                        preferred_element_type=jnp.float32)
+        cd = jnp.einsum("ckp,pt->ckt", onehot, dbank,
+                        preferred_element_type=jnp.float32)
         f0r = jnp.sum(wre * c0, axis=2)
         f0i = jnp.sum(wim * c0, axis=2)
         dr = jnp.sum(wre * cd, axis=2)
