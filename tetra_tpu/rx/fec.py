@@ -150,11 +150,22 @@ def decode_block(type5: jnp.ndarray, blk_type: int,
     type5: (B, type345_bits) uint8.  Returns (type1 bits (B, t1), ok (B,)).
     SB1 blocks always use the predefined scrambling code (tetra_lower_mac.c:
     186-190); BBK blocks use the RM(30,14) path.
+
+    Batches are padded to power-of-two buckets so repeated calls with varying
+    burst counts reuse compiled programs (compiles are expensive, and on the
+    TPU backend here extremely so).
     """
     if blk_type == P.TPSAP_T_SB1:
         scramb_init = P.SCRAMB_INIT
     name, t345, t2, t1, ia, has_crc = P.BLK_PARAMS[blk_type]
+    B = type5.shape[0]
+    bucket = 1 << max(2, (B - 1).bit_length())
+    if bucket != B:
+        pad = jnp.zeros((bucket - B, type5.shape[1]), type5.dtype)
+        type5 = jnp.concatenate([type5, pad], axis=0)
     ks = jnp.asarray(keystream(int(scramb_init), t345))
     if blk_type == P.TPSAP_T_BBK:
-        return rm3014_decode(type5 ^ ks)
-    return _decode_cch_block(type5, ks, blk_type)
+        out, ok = rm3014_decode(type5 ^ ks)
+    else:
+        out, ok = _decode_cch_block(type5, ks, blk_type)
+    return out[:B], ok[:B]

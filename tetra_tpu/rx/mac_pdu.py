@@ -52,12 +52,18 @@ BS_SERVICE_FLAGS = (
 )
 
 
+_POW2 = (1 << np.arange(63, -1, -1)).astype(object)
+_POW2_I64 = (1 << np.arange(62, -1, -1)).astype(np.int64)
+
+
 def bits_to_uint(bits: np.ndarray, start: int, length: int) -> int:
-    """MSB-first bit-array to integer (tetra_common.c:114-122)."""
-    val = 0
-    for b in bits[start:start + length]:
-        val = (val << 1) | int(b & 1)
-    return val
+    """MSB-first bit-array to integer (tetra_common.c:114-122), vectorized -
+    this is the hottest host-path primitive (hundreds of calls per slot)."""
+    seg = bits[start:start + length]
+    n = len(seg)
+    if n == 0:
+        return 0
+    return int(np.dot(seg.astype(np.int64), _POW2_I64[63 - n:]))
 
 
 class BitReader:
