@@ -108,3 +108,31 @@ def test_wideband_to_sharded_demod_e2e():
         assert syncs[k].state == RX_LOCKED, k
     for k in set(range(N)) - set(occupied):
         assert syncs[k].state != RX_LOCKED, k  # empty channels stay unlocked
+
+
+def test_device_train_seq_correlation():
+    """Device-batched training-sequence search == host sliding-window search."""
+    from tetra_tpu import params as P
+    from tetra_tpu.ops.train_corr import first_hits
+    from tetra_tpu.rx.burst_sync import find_train_seq
+
+    rng = np.random.default_rng(12)
+    C, L = 6, 2000
+    bits = rng.integers(0, 2, (C, L)).astype(np.uint8)
+    # plant sequences at known offsets
+    bits[0, 100:138] = P.TRAIN_Y
+    bits[1, 500:522] = P.TRAIN_N
+    bits[2, 700:722] = P.TRAIN_P
+    bits[3, 10:48] = P.TRAIN_Y
+    bits[3, 900:938] = P.TRAIN_Y
+    hits = first_hits(bits)
+    assert hits[P.TRAIN_SEQ_SYNC][0] == 100
+    assert hits[P.TRAIN_SEQ_NORM_1][1] == 500
+    assert hits[P.TRAIN_SEQ_NORM_2][2] == 700
+    assert hits[P.TRAIN_SEQ_SYNC][3] == 10
+    # cross-check all channels against the host matcher
+    for c in range(C):
+        for sid in (P.TRAIN_SEQ_SYNC, P.TRAIN_SEQ_NORM_1, P.TRAIN_SEQ_NORM_2):
+            m = find_train_seq(bits[c], (sid,))
+            want = m[1] if m else -1
+            assert hits[sid][c] == want, (c, sid)
