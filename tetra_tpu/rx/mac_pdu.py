@@ -52,7 +52,6 @@ BS_SERVICE_FLAGS = (
 )
 
 
-_POW2 = (1 << np.arange(63, -1, -1)).astype(object)
 _POW2_I64 = (1 << np.arange(62, -1, -1)).astype(np.int64)
 
 

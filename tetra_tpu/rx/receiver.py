@@ -9,9 +9,6 @@ batched MAC/FEC stack.  One `TetraReceiver` replaces the reference's
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
-import jax.numpy as jnp
 import numpy as np
 
 from . import demod as demod_exact
