@@ -31,13 +31,14 @@ def test_halo_fir_matches_unsharded():
 
 
 def test_sharded_demod_matches_single_device():
+    from tetra_tpu.rx import demod_fast
     mesh = pmesh.make_mesh(8, "ch")
     C, T = 16, 512
     iq = (RNG.standard_normal((C, T))
           + 1j * RNG.standard_normal((C, T))).astype(np.complex64) * 0.5
-    # unsharded
-    state0 = demod_mod.demod_init(C)
-    _, outs_ref = demod_mod.demod_block(state0, jnp.asarray(iq))
+    # unsharded (production chunked chain, same as the sharded step)
+    state0 = demod_fast.demod_init(C)
+    _, outs_ref = demod_fast.demod_block(state0, iq)
     # sharded
     state = pmesh.sharded_demod_init(mesh, C)
     step = pmesh.sharded_demod_step(mesh, T)

@@ -22,7 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as Pspec
 
 from ..core.fir import fir_valid
-from ..rx import demod as demod_mod
+from ..rx import demod_fast as demod_mod
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "ch") -> Mesh:
@@ -42,10 +42,10 @@ def sharded_demod_step(mesh: Mesh, block_len: int):
     local channels.  State is sharded identically so no resharding happens
     between blocks.
     """
-    n_slots = demod_mod.max_symbols(block_len)
+    n_chunks = int(np.ceil(block_len / (demod_mod.K_SYM * 1.96))) + 1
 
     def step(state, xr, xi):
-        return demod_mod._demod_block_impl(state, xr, xi, n_slots)
+        return demod_mod._demod_block_impl(state, xr, xi, n_chunks)
 
     cspec = Pspec("ch")
     state_spec = jax.tree.map(lambda _: cspec, demod_mod.demod_init(1))
