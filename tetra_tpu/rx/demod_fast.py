@@ -84,6 +84,26 @@ def demod_init(channels: int) -> FastDemodState:
 
 
 _DBANK = None
+_POLY = None
+
+
+def _bank_polys():
+    """Degree-5 polynomial fits of the interpolator bank and its derivative
+    bank as functions of the fractional delay mu in [0, 1): evaluating a
+    Horner polynomial per tap replaces the 128-row bank lookup entirely
+    (max fit error ~2e-4, far below the symbol decision margins; and the
+    continuous evaluation removes the reference's 1/128 phase quantization).
+    Returns (Pb, Pd) of shape (6, ntaps), highest power first."""
+    global _POLY
+    if _POLY is None:
+        _, _, bank = _tables()
+        dbank = _deriv_bank()
+        mu = np.arange(bank.shape[0]) / bank.shape[0]
+        V = np.vander(mu, 6)
+        Pb, *_ = np.linalg.lstsq(V, bank, rcond=None)
+        Pd, *_ = np.linalg.lstsq(V, dbank, rcond=None)
+        _POLY = (Pb.astype(np.float32), Pd.astype(np.float32))
+    return _POLY
 
 
 def _deriv_bank():
@@ -186,15 +206,14 @@ def _agc_fll_chunked(xr, xi, gain, phase, freq, hre, him, be):
 
 
 def _mm_costas_chunked(yr, yi, tail_re, tail_im, pos, omega,
-                       cphase, cfreq, ph2, prev_sym, bank, dbank,
-                       n_chunks: int):
+                       cphase, cfreq, ph2, prev_sym, n_chunks: int):
     C, T = yr.shape
     er = jnp.concatenate([tail_re, yr], axis=1)
     ei = jnp.concatenate([tail_im, yi], axis=1)
     ntaps = P.INTERP_TAP_COUNT
-    nph = P.INTERP_PHASE_COUNT
-    bank = jnp.asarray(bank)
-    dbank = jnp.asarray(dbank)
+    Pb_np, Pd_np = _bank_polys()
+    Pb = jnp.asarray(Pb_np)
+    Pd = jnp.asarray(Pd_np)
     remap = jnp.asarray(_DIFF_REMAP)
     kk = jnp.arange(K_SYM, dtype=jnp.float32)
     kt = jnp.arange(ntaps, dtype=jnp.int32)
@@ -210,15 +229,14 @@ def _mm_costas_chunked(yr, yi, tail_re, tail_im, pos, omega,
         idx = (safe[:, :, None] + kt[None, None, :]).reshape(C, -1)
         wre = jnp.take_along_axis(er, idx, axis=1).reshape(C, K_SYM, ntaps)
         wim = jnp.take_along_axis(ei, idx, axis=1).reshape(C, K_SYM, ntaps)
-        phase_i = jnp.clip((mu * nph).astype(jnp.int32), 0, nph - 1)
-        # bank row selection as one-hot matmul (gathers are pathologically
-        # slow on this TPU backend; (C*Ks, nph) @ (nph, nt) rides the MXU)
-        onehot = (phase_i[..., None] ==
-                  jnp.arange(nph, dtype=jnp.int32)).astype(jnp.float32)
-        c0 = jnp.einsum("ckp,pt->ckt", onehot, bank,
-                        preferred_element_type=jnp.float32)
-        cd = jnp.einsum("ckp,pt->ckt", onehot, dbank,
-                        preferred_element_type=jnp.float32)
+        # interpolation coefficients by Horner polynomial in mu (see
+        # _bank_polys: no table lookup, no gather)
+        mu1 = mu[..., None]                                    # (C, Ks, 1)
+        c0 = Pb[0] * mu1 + Pb[1]
+        cd = Pd[0] * mu1 + Pd[1]
+        for j in range(2, 6):
+            c0 = c0 * mu1 + Pb[j]
+            cd = cd * mu1 + Pd[j]
         f0r = jnp.sum(wre * c0, axis=2)
         f0i = jnp.sum(wim * c0, axis=2)
         dr = jnp.sum(wre * cd, axis=2)
@@ -301,8 +319,7 @@ def _mm_costas_chunked(yr, yi, tail_re, tail_im, pos, omega,
 @partial(jax.jit, static_argnames=("n_chunks", "use_pallas"))
 def _demod_block_impl(state: FastDemodState, xr, xi, n_chunks: int,
                       use_pallas: bool = False):
-    rrc, be, bank = _tables()
-    dbank = _deriv_bank()
+    rrc, be, _ = _tables()
     if use_pallas:
         # fused stage-1 kernel (ops/demod_pallas): one launch instead of the
         # XLA chunk scan + separate RRC convolution
@@ -328,7 +345,7 @@ def _demod_block_impl(state: FastDemodState, xr, xi, n_chunks: int,
         _mm_costas_chunked(mfr, mfi, state.mm_tail_re, state.mm_tail_im,
                            state.mm_pos, state.mm_omega, state.cos_phase,
                            state.cos_freq, state.cos_ph2, state.prev_sym,
-                           bank, dbank, n_chunks))
+                           n_chunks))
     new_state = FastDemodState(
         agc_gain=gain, fll_phase=fphase, fll_freq=ffreq,
         fll_hist_re=fhre, fll_hist_im=fhim, rrc_tail_re=rtr, rrc_tail_im=rti,
