@@ -59,3 +59,75 @@ def test_pallas_streaming_history():
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(b[4]), np.asarray(full[4]),
                                atol=1e-6)
+
+
+def test_mm_pallas_matches_chunked_stage2():
+    """Stage-2 kernel (interpret) == XLA chunked timing/Costas, exactly."""
+    import functools
+    from tetra_tpu.rx import demod_fast as DF
+    from tetra_tpu.ops.mm_pallas import mm_costas
+
+    rng = np.random.default_rng(3)
+    C, T = 8, 1024
+    n_chunks = int(np.ceil(T / (DF.K_SYM * 1.96))) + 1
+    yr = rng.standard_normal((C, T)).astype(np.float32)
+    yi = rng.standard_normal((C, T)).astype(np.float32)
+    tail = np.zeros((C, 7), np.float32)
+    pos = rng.uniform(0, 3, C).astype(np.float32)
+    omega = rng.uniform(1.97, 2.03, C).astype(np.float32)
+    z = np.zeros(C, np.float32)
+    prev = rng.integers(0, 4, C).astype(np.int32)
+
+    outs, mtr, mti, pos2, om2, cp2, cf2, ph22, pv2 = DF._mm_costas_chunked(
+        jnp.asarray(yr), jnp.asarray(yi), jnp.asarray(tail), jnp.asarray(tail),
+        jnp.asarray(pos), jnp.asarray(omega), jnp.asarray(z), jnp.asarray(z),
+        jnp.asarray(z), jnp.asarray(prev), n_chunks)
+
+    mfr_ext = np.concatenate([tail, yr], axis=1).T.copy()
+    mfi_ext = np.concatenate([tail, yi], axis=1).T.copy()
+    st0 = np.zeros((8, C), np.float32)
+    st0[0], st0[1], st0[5] = pos, omega, prev
+    res = mm_costas(jnp.asarray(mfr_ext), jnp.asarray(mfi_ext),
+                    jnp.asarray(st0), n_chunks, interpret=True)
+    psr, psi, pdib, pval, pdist, pst = [np.asarray(x) for x in res]
+
+    np.testing.assert_array_equal(pval.T.astype(bool),
+                                  np.asarray(outs["valid"]))
+    m = np.asarray(outs["valid"])
+    np.testing.assert_array_equal(pdib.T[m], np.asarray(outs["dibits"])[m])
+    np.testing.assert_allclose(psr.T[m], np.asarray(outs["sym_re"])[m],
+                               atol=1e-4)
+    np.testing.assert_allclose(pst[0], np.asarray(pos2), atol=1e-4)
+    np.testing.assert_allclose(pst[1], np.asarray(om2), atol=1e-5)
+    np.testing.assert_array_equal(pst[5].astype(np.int32), np.asarray(pv2))
+
+
+def test_full_pallas_pipeline_matches_xla():
+    """Both Pallas kernels through _demod_block_impl == XLA path (interpret)."""
+    import functools
+    import tetra_tpu.ops.demod_pallas as DP
+    import tetra_tpu.ops.mm_pallas as MP
+    from tetra_tpu.rx import demod_fast as DF
+    from tetra_tpu.tx.modulator import modulate
+
+    orig1, orig2 = DP.agc_fll_rrc, MP.mm_costas
+    DP.agc_fll_rrc = functools.partial(orig1, interpret=True)
+    MP.mm_costas = functools.partial(orig2, interpret=True)
+    try:
+        rng = np.random.default_rng(5)
+        bits = rng.integers(0, 2, (2, 8000)).astype(np.uint8)
+        iq = np.asarray(modulate(jnp.asarray(bits)))
+        nch = int(np.ceil(iq.shape[1] / (DF.K_SYM * 1.96))) + 1
+        xr = jnp.asarray(iq.real.astype(np.float32))
+        xi = jnp.asarray(iq.imag.astype(np.float32))
+        s1, o1 = DF._demod_block_impl(DF.demod_init(2), xr, xi, nch, False)
+        s2, o2 = DF._demod_block_impl(DF.demod_init(2), xr, xi, nch, True)
+        v1 = np.asarray(o1["valid"])
+        np.testing.assert_array_equal(v1, np.asarray(o2["valid"]))
+        np.testing.assert_array_equal(np.asarray(o1["dibits"])[v1],
+                                      np.asarray(o2["dibits"])[v1])
+        np.testing.assert_allclose(np.asarray(s1.mm_pos),
+                                   np.asarray(s2.mm_pos), atol=1e-4)
+    finally:
+        DP.agc_fll_rrc = orig1
+        MP.mm_costas = orig2

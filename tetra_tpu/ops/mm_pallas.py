@@ -1,0 +1,272 @@
+"""Fused Pallas TPU kernel: chunked ML timing recovery + Costas + slicer.
+
+Stage 2 of the production demod as ONE kernel (the XLA scan version in
+rx/demod_fast.py spends ~0.7 ms/chunk on per-op dispatch; the fused kernel
+does the same math in a single program per chunk).  Mosaic has no vector
+gather, so the data-dependent window extraction is restructured gather-free:
+
+  1. a chunk-global window of the matched-filter stream is cut with ONE
+     dynamic-scalar slice at base = min over channels of the first symbol
+     position;
+  2. each channel's column is aligned to its own integer offset with a
+     log2(SHIFT_RANGE) barrel shifter (static row shifts + per-lane selects);
+  3. within the chunk, symbol k of channel c sits at row 2k + d (d in
+     [-2, 2] because |omega - 2| <= 2%), handled by 5 static stride-2 slices
+     + selects;
+  4. interpolation/derivative coefficients come from the degree-5 Horner
+     polynomials in mu (rx/demod_fast._bank_polys) - no table, no lookup.
+
+Loop updates are identical to rx/demod_fast._mm_costas_chunked; equivalence
+is checked in interpret mode by tests/test_pallas.py.
+
+Layout: time on sublanes, channels on lanes: mf inputs are (T + 7, C).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import params as P
+from ..rx.demod_fast import (_COSTAS_ALPHA, _COSTAS_BETA,
+                             _COSTAS_FREQ_LIM_CHUNKED, _MM_MU_GAIN,
+                             _MM_OMEGA_GAIN, _OMEGA_MAX, _OMEGA_MIN,
+                             K_SYM, _bank_polys)
+
+NTAPS = P.INTERP_TAP_COUNT            # 8
+# window: 2*K_SYM nominal span + taps + +-2 slip margin + barrel range
+SHIFT_RANGE = 512                      # max per-channel offset from base
+_D_MARGIN = 2                          # intra-chunk slip candidates [-2, 2]
+WIN = 2 * K_SYM + NTAPS + 2 * _D_MARGIN + SHIFT_RANGE  # rows of the window
+
+_DIFF_REMAP_TABLE = np.array([0, 1, 3, 2], np.int32)
+
+
+def _kernel(T, mfr_ref, mfi_ref, st0_ref, polys_ref,
+            symr_ref, symi_ref, dib_ref, val_ref, dist_ref, st_out_ref,
+            state, win_r, win_i, dma_sems):
+    """Grid: (n_chunks,) over one channel tile.
+
+    mfr/mfi:  (_D_MARGIN + T + NTAPS - 1, C) zero-pad + history + stream
+    st0:      (8, C) initial state rows [pos, omega, cphase, cfreq, ph2,
+              prev_sym, 0, 0]
+    polys:    (2, 6, NTAPS) Horner coefficients (bank, dbank)
+    outputs:  per-chunk (K, C) blocks + final state (8, C)
+    scratch:  state (8, C)
+    """
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    C = mfr_ref.shape[1]
+    # input rows: [_D_MARGIN zero pad | NTAPS-1 hist | T stream | WIN pad]
+
+    @pl.when(i == 0)
+    def _init():
+        state[:, :] = st0_ref[:, :]
+
+    pos = state[0, :]
+    omega = state[1, :]
+    cphase = state[2, :]
+    cfreq = state[3, :]
+    ph2 = state[4, :]
+    prev_sym = state[5, :].astype(jnp.int32)
+
+    kk = jax.lax.broadcasted_iota(jnp.int32, (K_SYM, 1), 0).astype(jnp.float32)
+    p = pos[None, :] + omega[None, :] * kk                 # (K, C)
+    ipos = jnp.floor(p)
+    mu = p - ipos
+    ipos = ipos.astype(jnp.int32)
+    valid = ipos < T
+
+    # ---- window cut + per-channel alignment (gather-free) ----
+    # (the input's WIN-row tail padding guarantees base + WIN stays in range
+    # without clamping, so r is bounded by the cross-channel spread alone)
+    base = jnp.clip(jnp.min(ipos[0, :]), 0, T - 1)
+    r = ipos[0, :] - base                                   # (C,) >= 0
+    reachable = r < SHIFT_RANGE
+    valid = jnp.logical_and(valid, reachable[None, :])
+    r = jnp.where(reachable, r, 0)
+
+    # DMA the window from HBM (mf stays off-VMEM so T*C is unbounded)
+    cp_r = pltpu.make_async_copy(mfr_ref.at[pl.ds(base, WIN), :], win_r,
+                                 dma_sems.at[0])
+    cp_i = pltpu.make_async_copy(mfi_ref.at[pl.ds(base, WIN), :], win_i,
+                                 dma_sems.at[1])
+    cp_r.start()
+    cp_i.start()
+    cp_r.wait()
+    cp_i.wait()
+    wr = win_r[:, :]
+    wi = win_i[:, :]
+    shift = SHIFT_RANGE // 2
+    while shift >= 1:
+        bit = (r & shift) > 0                               # (C,) bool
+        rolled_r = jnp.concatenate(
+            [wr[shift:, :], jnp.zeros((shift, C), jnp.float32)], axis=0)
+        rolled_i = jnp.concatenate(
+            [wi[shift:, :], jnp.zeros((shift, C), jnp.float32)], axis=0)
+        wr = jnp.where(bit[None, :], rolled_r, wr)
+        wi = jnp.where(bit[None, :], rolled_i, wi)
+        shift //= 2
+    # now row j of channel c = mf[ipos[0, c] + j]
+
+    # intra-chunk integer slip vs the nominal 2k grid
+    dsel = ipos - ipos[0:1, :] - (2 * kk).astype(jnp.int32)  # (K, C) in [-2,2]
+
+    # ---- interpolation + ML derivative via Horner polynomials ----
+    f0r = jnp.zeros((K_SYM, C), jnp.float32)
+    f0i = jnp.zeros((K_SYM, C), jnp.float32)
+    d_r = jnp.zeros((K_SYM, C), jnp.float32)
+    d_i = jnp.zeros((K_SYM, C), jnp.float32)
+    for t in range(NTAPS):
+        cb = polys_ref[0, 0, t]
+        cd = polys_ref[1, 0, t]
+        for j in range(1, 6):
+            cb = cb * mu + polys_ref[0, j, t]
+            cd = cd * mu + polys_ref[1, j, t]
+        # window value at row 2k + t + d for d in [-2..2]
+        xr = jnp.zeros((K_SYM, C), jnp.float32)
+        xi_ = jnp.zeros((K_SYM, C), jnp.float32)
+        for d in range(-_D_MARGIN, _D_MARGIN + 1):
+            off = t + d + _D_MARGIN
+            # explicit lax.slice: jnp strided __getitem__ lowers to gather,
+            # which Mosaic rejects; the slice primitive is supported
+            sl_r = jax.lax.slice(wr, (off, 0), (off + 2 * K_SYM, C), (2, 1))
+            sl_i = jax.lax.slice(wi, (off, 0), (off + 2 * K_SYM, C), (2, 1))
+            m = dsel == d
+            xr = jnp.where(m, sl_r, xr)
+            xi_ = jnp.where(m, sl_i, xi_)
+        f0r += cb * xr
+        f0i += cb * xi_
+        d_r += cd * xr
+        d_i += cd * xi_
+
+    sgn = lambda v: jnp.where(v > 0, 1.0, -1.0)
+    err = jnp.clip(sgn(f0r) * d_r + sgn(f0i) * d_i, -1.0, 1.0)
+    err = jnp.where(valid, err, 0.0)
+    err_sum = jnp.sum(err, axis=0)
+    n_valid = jnp.sum(valid.astype(jnp.float32), axis=0)
+    omega_n = jnp.clip(omega + _MM_OMEGA_GAIN * err_sum, _OMEGA_MIN, _OMEGA_MAX)
+    pos = pos + omega * n_valid + _MM_MU_GAIN * err_sum
+    omega = omega_n
+
+    # ---- Costas (frozen freq across the chunk) ----
+    ph2_k = ph2[None, :] - (kk + 1.0) * np.float32(np.pi / 4.0)
+    ang = ph2_k - (cphase[None, :] + cfreq[None, :] * kk)
+    ca = jnp.cos(ang)
+    sa = jnp.sin(ang)
+    sr = f0r * ca - f0i * sa
+    si = f0i * ca + f0r * sa
+    cerr = jnp.clip(sgn(sr) * si - sgn(si) * sr, -1.0, 1.0)
+    cerr = jnp.where(valid, cerr, 0.0)
+    cerr_sum = jnp.sum(cerr, axis=0)
+    cfreq = jnp.clip((1.0 - 0.05) * cfreq + _COSTAS_BETA * cerr_sum,
+                     -_COSTAS_FREQ_LIM_CHUNKED, _COSTAS_FREQ_LIM_CHUNKED)
+    cphase_n = cphase + cfreq * n_valid + _COSTAS_ALPHA * cerr_sum
+    cphase = cphase_n - 2 * np.float32(np.pi) * jnp.floor(
+        (cphase_n + np.float32(np.pi)) / np.float32(2 * np.pi))
+    dph2 = jnp.sum(jnp.where(valid, np.float32(np.pi / 4.0), 0.0), axis=0)
+    ph2 = jnp.mod(ph2 - dph2, np.float32(2 * np.pi))
+
+    # ---- differential extraction ----
+    a = (si < 0).astype(jnp.int32)
+    b = (sr < 0).astype(jnp.int32)
+    quad = (a << 1) | (a ^ b)
+    prev = jnp.concatenate([prev_sym[None, :], quad[:-1, :]], axis=0)
+    diff = (quad - prev) & 3
+    # remap {0,1,2,3} -> {0,1,3,2} without a table: swap the two MSB cases
+    dibit = jnp.where(diff == 2, 3, jnp.where(diff == 3, 2, diff))
+    # carry last valid quadrant
+    last_q = quad[K_SYM - 1, :]
+    any_valid = n_valid > 0
+    # positions after the last valid one keep prev via masking: since invalid
+    # slots are a suffix, the last valid quadrant is quad[n_valid-1]; select
+    # it with a mask-sum
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (K_SYM, 1), 0)
+    is_last = (kidx + 1).astype(jnp.float32) == n_valid[None, :]
+    last_valid_q = jnp.sum(jnp.where(is_last, quad.astype(jnp.float32), 0.0),
+                           axis=0).astype(jnp.int32)
+    prev_sym = jnp.where(any_valid, last_valid_q, prev_sym)
+
+    ideal_r = jnp.where(b.astype(bool), np.float32(-0.7071), np.float32(0.7071))
+    ideal_i = jnp.where(a.astype(bool), np.float32(-0.7071), np.float32(0.7071))
+    dist = jnp.abs(jnp.arctan2(ideal_i, ideal_r) - jnp.arctan2(si, sr))
+
+    symr_ref[:, :] = sr
+    symi_ref[:, :] = si
+    dib_ref[:, :] = dibit
+    val_ref[:, :] = valid.astype(jnp.int32)
+    dist_ref[:, :] = dist
+
+    state[0, :] = pos
+    state[1, :] = omega
+    state[2, :] = cphase
+    state[3, :] = cfreq
+    state[4, :] = ph2
+    state[5, :] = prev_sym.astype(jnp.float32)
+
+    @pl.when(i == n - 1)
+    def _fin():
+        st = state[:, :]
+        st_out_ref[:, :] = st.at[0, :].set(st[0, :] - T)
+
+
+@partial(jax.jit, static_argnames=("n_chunks", "interpret"))
+def mm_costas(mfr_ext, mfi_ext, st0, n_chunks: int, interpret=False):
+    """mf_ext: (T + NTAPS - 1, C) float pair (history-extended matched-filter
+    stream); st0: (8, C) state rows.  Returns (sym_re, sym_im, dibits, valid,
+    dist) each (n_chunks*K, C) + final state (8, C)."""
+    # leading pad: d = -_D_MARGIN slip slices; trailing pad: window cuts near
+    # the block end never need a base clamp (keeps the barrel range = the
+    # cross-channel spread only)
+    C = mfr_ext.shape[1]
+    T = mfr_ext.shape[0] - (NTAPS - 1)
+    zpad = jnp.zeros((_D_MARGIN, C), jnp.float32)
+    tpad = jnp.zeros((WIN, C), jnp.float32)
+    mfr_ext = jnp.concatenate([zpad, mfr_ext, tpad], axis=0)
+    mfi_ext = jnp.concatenate([zpad, mfi_ext, tpad], axis=0)
+    Text = mfr_ext.shape[0]
+    Pb, Pd = _bank_polys()
+    polys = jnp.asarray(np.stack([Pb, Pd]))      # (2, 6, NTAPS)
+    S = n_chunks * K_SYM
+    out_shape = [
+        jax.ShapeDtypeStruct((S, C), jnp.float32),
+        jax.ShapeDtypeStruct((S, C), jnp.float32),
+        jax.ShapeDtypeStruct((S, C), jnp.int32),
+        jax.ShapeDtypeStruct((S, C), jnp.int32),
+        jax.ShapeDtypeStruct((S, C), jnp.float32),
+        jax.ShapeDtypeStruct((8, C), jnp.float32),
+    ]
+    full = lambda i: (0, 0)
+    chunk = lambda i: (i, 0)
+    return pl.pallas_call(
+        partial(_kernel, T),
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((8, C), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 6, NTAPS), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((K_SYM, C), chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K_SYM, C), chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K_SYM, C), chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K_SYM, C), chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K_SYM, C), chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, C), full, memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((8, C), jnp.float32),
+            pltpu.VMEM((WIN, C), jnp.float32),
+            pltpu.VMEM((WIN, C), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(mfr_ext, mfi_ext, st0, polys)

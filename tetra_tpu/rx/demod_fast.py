@@ -321,20 +321,47 @@ def _demod_block_impl(state: FastDemodState, xr, xi, n_chunks: int,
                       use_pallas: bool = False):
     rrc, be, _ = _tables()
     if use_pallas:
-        # fused stage-1 kernel (ops/demod_pallas): one launch instead of the
-        # XLA chunk scan + separate RRC convolution
+        # fused stage-1 + stage-2 kernels (ops/demod_pallas + ops/mm_pallas):
+        # two launches for the whole chain instead of hundreds of scan steps
         from ..ops.demod_pallas import agc_fll_rrc
+        from ..ops.mm_pallas import mm_costas
         (mfr_t, mfi_t, g1, p1, f1, hr1, hi1) = agc_fll_rrc(
             jnp.swapaxes(xr, 0, 1), jnp.swapaxes(xi, 0, 1),
             state.agc_gain, state.fll_phase, state.fll_freq,
             jnp.swapaxes(state.fll_hist_re, 0, 1),
             jnp.swapaxes(state.fll_hist_im, 0, 1))
-        mfr = jnp.swapaxes(mfr_t, 0, 1)
-        mfi = jnp.swapaxes(mfi_t, 0, 1)
         gain, fphase, ffreq = g1[0], p1[0], f1[0]
         fhre = jnp.swapaxes(hr1, 0, 1)
         fhim = jnp.swapaxes(hi1, 0, 1)
-        rtr, rti = fhre, fhim  # same rotated-sample history
+
+        mfr_ext = jnp.concatenate(
+            [jnp.swapaxes(state.mm_tail_re, 0, 1), mfr_t], axis=0)
+        mfi_ext = jnp.concatenate(
+            [jnp.swapaxes(state.mm_tail_im, 0, 1), mfi_t], axis=0)
+        st0 = jnp.stack([
+            state.mm_pos, state.mm_omega, state.cos_phase, state.cos_freq,
+            state.cos_ph2, state.prev_sym.astype(jnp.float32),
+            jnp.zeros_like(state.mm_pos), jnp.zeros_like(state.mm_pos)])
+        sr_t, si_t, dib_t, val_t, dist_t, st_out = mm_costas(
+            mfr_ext, mfi_ext, st0, n_chunks)
+        T = mfr_t.shape[0]
+        new_state = FastDemodState(
+            agc_gain=gain, fll_phase=fphase, fll_freq=ffreq,
+            fll_hist_re=fhre, fll_hist_im=fhim,
+            rrc_tail_re=fhre, rrc_tail_im=fhim,
+            mm_tail_re=jnp.swapaxes(mfr_ext[T:T + P.INTERP_TAP_COUNT - 1], 0, 1),
+            mm_tail_im=jnp.swapaxes(mfi_ext[T:T + P.INTERP_TAP_COUNT - 1], 0, 1),
+            mm_pos=st_out[0], mm_omega=st_out[1], cos_phase=st_out[2],
+            cos_freq=st_out[3], cos_ph2=st_out[4],
+            prev_sym=st_out[5].astype(jnp.int32))
+        outs = dict(
+            sym_re=jnp.swapaxes(sr_t, 0, 1),
+            sym_im=jnp.swapaxes(si_t, 0, 1),
+            dibits=jnp.swapaxes(dib_t, 0, 1).astype(jnp.uint8),
+            valid=jnp.swapaxes(val_t, 0, 1).astype(bool),
+            dist=jnp.swapaxes(dist_t, 0, 1),
+            fll_freq=ffreq, agc_gain=gain)
+        return new_state, outs
     else:
         rotr, roti, gain, fphase, ffreq, fhre, fhim = _agc_fll_chunked(
             xr, xi, state.agc_gain, state.fll_phase, state.fll_freq,
