@@ -194,7 +194,11 @@ def _kernel(T, mfr_ref, mfi_ref, st0_ref, polys_ref,
 
     ideal_r = jnp.where(b.astype(bool), np.float32(-0.7071), np.float32(0.7071))
     ideal_i = jnp.where(a.astype(bool), np.float32(-0.7071), np.float32(0.7071))
-    dist = jnp.abs(jnp.arctan2(ideal_i, ideal_r) - jnp.arctan2(si, sr))
+    # |sin(angle error)| proxy (atan2 is unavailable in Mosaic): equals the
+    # angle for small errors, saturating at 1 - the 0.35 rad quality gate
+    # (dqpsk_sym_extr.cpp:25) discriminates identically in that regime
+    amp = jax.lax.rsqrt(sr * sr + si * si + np.float32(1e-12))
+    dist = jnp.abs(ideal_r * si - ideal_i * sr) * amp
 
     symr_ref[:, :] = sr
     symi_ref[:, :] = si
