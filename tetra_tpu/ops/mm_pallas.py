@@ -44,10 +44,21 @@ SHIFT_RANGE = 512                      # max per-channel offset from base
 _D_MARGIN = 2                          # intra-chunk slip candidates [-2, 2]
 WIN = 2 * K_SYM + NTAPS + 2 * _D_MARGIN + SHIFT_RANGE  # rows of the window
 
-_DIFF_REMAP_TABLE = np.array([0, 1, 3, 2], np.int32)
+_N_OFF = NTAPS + 2 * _D_MARGIN            # distinct window offsets
 
 
-def _kernel(T, mfr_ref, mfi_ref, st0_ref, polys_ref,
+def _selection_mats() -> np.ndarray:
+    """(N_OFF, K_SYM, WIN) 0/1 matrices: S[o] @ window extracts rows
+    o + 2k (Mosaic supports neither gathers nor stride-2 slices; a matmul
+    against a constant selection matrix rides the MXU instead)."""
+    S = np.zeros((_N_OFF, K_SYM, WIN), np.float32)
+    for o in range(_N_OFF):
+        for k in range(K_SYM):
+            S[o, k, o + 2 * k] = 1.0
+    return S
+
+
+def _kernel(T, mfr_ref, mfi_ref, st0_ref, polys_ref, sel_ref,
             symr_ref, symi_ref, dib_ref, val_ref, dist_ref, st_out_ref,
             state, win_r, win_i, dma_sems):
     """Grid: (n_chunks,) over one channel tile.
@@ -118,6 +129,13 @@ def _kernel(T, mfr_ref, mfi_ref, st0_ref, polys_ref,
     dsel = ipos - ipos[0:1, :] - (2 * kk).astype(jnp.int32)  # (K, C) in [-2,2]
 
     # ---- interpolation + ML derivative via Horner polynomials ----
+    # pre-extract all stride-2 row sets via selection matmuls
+    ex_r = []
+    ex_i = []
+    for o in range(_N_OFF):
+        S = sel_ref[o]                                     # (K, WIN)
+        ex_r.append(jnp.dot(S, wr, preferred_element_type=jnp.float32))
+        ex_i.append(jnp.dot(S, wi, preferred_element_type=jnp.float32))
     f0r = jnp.zeros((K_SYM, C), jnp.float32)
     f0i = jnp.zeros((K_SYM, C), jnp.float32)
     d_r = jnp.zeros((K_SYM, C), jnp.float32)
@@ -133,10 +151,8 @@ def _kernel(T, mfr_ref, mfi_ref, st0_ref, polys_ref,
         xi_ = jnp.zeros((K_SYM, C), jnp.float32)
         for d in range(-_D_MARGIN, _D_MARGIN + 1):
             off = t + d + _D_MARGIN
-            # explicit lax.slice: jnp strided __getitem__ lowers to gather,
-            # which Mosaic rejects; the slice primitive is supported
-            sl_r = jax.lax.slice(wr, (off, 0), (off + 2 * K_SYM, C), (2, 1))
-            sl_i = jax.lax.slice(wi, (off, 0), (off + 2 * K_SYM, C), (2, 1))
+            sl_r = ex_r[off]
+            sl_i = ex_i[off]
             m = dsel == d
             xr = jnp.where(m, sl_r, xr)
             xi_ = jnp.where(m, sl_i, xi_)
@@ -215,8 +231,8 @@ def _kernel(T, mfr_ref, mfi_ref, st0_ref, polys_ref,
 
     @pl.when(i == n - 1)
     def _fin():
-        st = state[:, :]
-        st_out_ref[:, :] = st.at[0, :].set(st[0, :] - T)
+        st_out_ref[:, :] = state[:, :]
+        st_out_ref[0, :] = state[0, :] - T
 
 
 @partial(jax.jit, static_argnames=("n_chunks", "interpret"))
@@ -236,6 +252,7 @@ def mm_costas(mfr_ext, mfi_ext, st0, n_chunks: int, interpret=False):
     Text = mfr_ext.shape[0]
     Pb, Pd = _bank_polys()
     polys = jnp.asarray(np.stack([Pb, Pd]))      # (2, 6, NTAPS)
+    sel = jnp.asarray(_selection_mats())         # (N_OFF, K, WIN)
     S = n_chunks * K_SYM
     out_shape = [
         jax.ShapeDtypeStruct((S, C), jnp.float32),
@@ -256,6 +273,8 @@ def mm_costas(mfr_ext, mfi_ext, st0, n_chunks: int, interpret=False):
             pl.BlockSpec((8, C), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 6, NTAPS), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((_N_OFF, K_SYM, WIN), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((K_SYM, C), chunk, memory_space=pltpu.VMEM),
@@ -273,4 +292,4 @@ def mm_costas(mfr_ext, mfi_ext, st0, n_chunks: int, interpret=False):
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(mfr_ext, mfi_ext, st0, polys)
+    )(mfr_ext, mfi_ext, st0, polys, sel)
