@@ -25,9 +25,12 @@ def main():
     def run_config(channels, block):
         n_chunks = int(np.ceil(block / (demod_mod.K_SYM * 1.96))) + 1
 
+        import os
+        use_mm = os.environ.get("BENCH_PALLAS_MM", "0") == "1"
+
         def step(state, xr, xi):
             state, outs = demod_mod._demod_block_impl(
-                state, xr, xi, n_chunks, True)
+                state, xr, xi, n_chunks, True, use_mm)
             # scalar checksum INSIDE the jit: forces execution without
             # compiling a separate reduction program (remote compiles are
             # minutes on this backend)

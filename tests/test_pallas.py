@@ -121,7 +121,8 @@ def test_full_pallas_pipeline_matches_xla():
         xr = jnp.asarray(iq.real.astype(np.float32))
         xi = jnp.asarray(iq.imag.astype(np.float32))
         s1, o1 = DF._demod_block_impl(DF.demod_init(2), xr, xi, nch, False)
-        s2, o2 = DF._demod_block_impl(DF.demod_init(2), xr, xi, nch, True)
+        s2, o2 = DF._demod_block_impl(DF.demod_init(2), xr, xi, nch, True,
+                                      True)
         v1 = np.asarray(o1["valid"])
         np.testing.assert_array_equal(v1, np.asarray(o2["valid"]))
         np.testing.assert_array_equal(np.asarray(o1["dibits"])[v1],

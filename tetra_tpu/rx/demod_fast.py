@@ -316,9 +316,9 @@ def _mm_costas_chunked(yr, yi, tail_re, tail_im, pos, omega,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("n_chunks", "use_pallas"))
+@partial(jax.jit, static_argnames=("n_chunks", "use_pallas", "use_pallas_mm"))
 def _demod_block_impl(state: FastDemodState, xr, xi, n_chunks: int,
-                      use_pallas: bool = False):
+                      use_pallas: bool = False, use_pallas_mm: bool = False):
     rrc, be, _ = _tables()
     if use_pallas:
         # fused stage-1 + stage-2 kernels (ops/demod_pallas + ops/mm_pallas):
@@ -333,6 +333,27 @@ def _demod_block_impl(state: FastDemodState, xr, xi, n_chunks: int,
         gain, fphase, ffreq = g1[0], p1[0], f1[0]
         fhre = jnp.swapaxes(hr1, 0, 1)
         fhim = jnp.swapaxes(hi1, 0, 1)
+
+        if not use_pallas_mm:
+            # stage-1 kernel + XLA stage-2
+            mfr = jnp.swapaxes(mfr_t, 0, 1)
+            mfi = jnp.swapaxes(mfi_t, 0, 1)
+            (outs, mtr, mti, pos, omega, cphase, cfreq, ph2, prev_sym) = (
+                _mm_costas_chunked(mfr, mfi, state.mm_tail_re,
+                                   state.mm_tail_im, state.mm_pos,
+                                   state.mm_omega, state.cos_phase,
+                                   state.cos_freq, state.cos_ph2,
+                                   state.prev_sym, n_chunks))
+            new_state = FastDemodState(
+                agc_gain=gain, fll_phase=fphase, fll_freq=ffreq,
+                fll_hist_re=fhre, fll_hist_im=fhim,
+                rrc_tail_re=fhre, rrc_tail_im=fhim,
+                mm_tail_re=mtr, mm_tail_im=mti, mm_pos=pos, mm_omega=omega,
+                cos_phase=cphase, cos_freq=cfreq, cos_ph2=ph2,
+                prev_sym=prev_sym)
+            outs["fll_freq"] = ffreq
+            outs["agc_gain"] = gain
+            return new_state, outs
 
         mfr_ext = jnp.concatenate(
             [jnp.swapaxes(state.mm_tail_re, 0, 1), mfr_t], axis=0)
@@ -383,7 +404,8 @@ def _demod_block_impl(state: FastDemodState, xr, xi, n_chunks: int,
     return new_state, outs
 
 
-USE_PALLAS = False  # production TPU flag; CPU tests use the XLA path
+USE_PALLAS = False     # stage-1 Pallas kernel (proven on TPU)
+USE_PALLAS_MM = False  # stage-2 Pallas kernel (opt-in until TPU-proven)
 
 
 def demod_block(state: FastDemodState, iq: np.ndarray):
@@ -394,4 +416,5 @@ def demod_block(state: FastDemodState, iq: np.ndarray):
     n_chunks = int(np.ceil(T / (K_SYM * _OMEGA_MIN))) + 1
     xr = jnp.asarray(np.ascontiguousarray(iq.real, dtype=np.float32))
     xi = jnp.asarray(np.ascontiguousarray(iq.imag, dtype=np.float32))
-    return _demod_block_impl(state, xr, xi, n_chunks, USE_PALLAS)
+    return _demod_block_impl(state, xr, xi, n_chunks, USE_PALLAS,
+                             USE_PALLAS_MM)
