@@ -1,0 +1,73 @@
+"""CLI smoke tests (subprocess, CPU backend)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tetra_tpu import params as P
+from tetra_tpu.rx.tdma import TdmaTime
+from tetra_tpu.tx import cell
+from tetra_tpu.tx.channel import channel
+from tetra_tpu.tx.modulator import modulate
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def capture(tmp_path_factory):
+    cfg = cell.CellConfig()
+    bits, _ = cell.downlink_bits(cfg, 170, start=TdmaTime(mn=1, fn=17, tn=4))
+    iq = modulate(jnp.asarray(bits[None, :]))
+    iq = np.asarray(channel(iq, jax.random.key(3), snr_db=25.0, cfo_hz=200.0,
+                            sample_rate=P.SAMPLE_RATE))[0]
+    p = tmp_path_factory.mktemp("cli") / "capture.cf32"
+    iq.astype(np.complex64).tofile(p)
+    return str(p), cfg
+
+
+def _run_cli(args):
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable, "-m", "tetra_tpu.apps.tetra_rx", *args],
+        capture_output=True, text=True, timeout=240, env=env)
+
+
+def test_cli_decode_mode(capture):
+    path, cfg = capture
+    r = _run_cli([path, "--status-every", "5"])
+    assert r.returncode == 0, r.stderr[-500:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary[0]["locked"]
+    assert summary[0]["mcc"] == cfg.mcc
+    assert summary[0]["mnc"] == cfg.mnc
+
+
+def test_cli_netsyms_mode(capture):
+    path, _ = capture
+    import socket
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.bind(("127.0.0.1", 0))
+    sock.settimeout(0.1)
+    port = sock.getsockname()[1]
+    r = _run_cli([path, "--mode", "1", "--udp", f"127.0.0.1:{port}"])
+    assert r.returncode == 0, r.stderr[-500:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["mode"] == 1 and out["ts_found"]
+    # bits actually arrived
+    total = 0
+    try:
+        while True:
+            d, _ = sock.recvfrom(65536)
+            total += len(d)
+    except socket.timeout:
+        pass
+    assert total > 10000
