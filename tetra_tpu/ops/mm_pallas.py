@@ -60,7 +60,7 @@ def _selection_mats() -> np.ndarray:
 
 def _kernel(T, mfr_ref, mfi_ref, st0_ref, polys_ref, sel_ref,
             symr_ref, symi_ref, dib_ref, val_ref, dist_ref, st_out_ref,
-            state, win_r, win_i, dma_sems):
+            state, sem):
     """Grid: (n_chunks,) over one channel tile.
 
     mfr/mfi:  (_D_MARGIN + T + NTAPS - 1, C) zero-pad + history + stream
@@ -96,23 +96,21 @@ def _kernel(T, mfr_ref, mfi_ref, st0_ref, polys_ref, sel_ref,
     # ---- window cut + per-channel alignment (gather-free) ----
     # (the input's WIN-row tail padding guarantees base + WIN stays in range
     # without clamping, so r is bounded by the cross-channel spread alone)
+    # base aligned down to the 8-row sublane tile: unaligned dynamic DMA row
+    # offsets fault this TPU backend; the barrel range absorbs the <=7 slack
     base = jnp.clip(jnp.min(ipos[0, :]), 0, T - 1)
+    base = (base // 8) * 8
+    base = pl.multiple_of(base, 8)
     r = ipos[0, :] - base                                   # (C,) >= 0
     reachable = r < SHIFT_RANGE
     valid = jnp.logical_and(valid, reachable[None, :])
     r = jnp.where(reachable, r, 0)
 
-    # DMA the window from HBM (mf stays off-VMEM so T*C is unbounded)
-    cp_r = pltpu.make_async_copy(mfr_ref.at[pl.ds(base, WIN), :], win_r,
-                                 dma_sems.at[0])
-    cp_i = pltpu.make_async_copy(mfi_ref.at[pl.ds(base, WIN), :], win_i,
-                                 dma_sems.at[1])
-    cp_r.start()
-    cp_i.start()
-    cp_r.wait()
-    cp_i.wait()
-    wr = win_r[:, :]
-    wi = win_i[:, :]
+    # dynamic-slice the window out of the VMEM-resident stream (an HBM DMA
+    # variant faulted this backend; VMEM residency caps T*C per call at
+    # ~1.8M samples - tile channels for larger blocks)
+    wr = mfr_ref[pl.ds(base, WIN), :]
+    wi = mfi_ref[pl.ds(base, WIN), :]
     shift = SHIFT_RANGE // 2
     while shift >= 1:
         bit = (r & shift) > 0                               # (C,) bool
@@ -268,8 +266,8 @@ def mm_costas(mfr_ext, mfi_ext, st0, n_chunks: int, interpret=False):
         partial(_kernel, T),
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((Text, C), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Text, C), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((8, C), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 6, NTAPS), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -287,9 +285,7 @@ def mm_costas(mfr_ext, mfi_ext, st0, n_chunks: int, interpret=False):
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((8, C), jnp.float32),
-            pltpu.VMEM((WIN, C), jnp.float32),
-            pltpu.VMEM((WIN, C), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.REGULAR,
         ],
         interpret=interpret,
     )(mfr_ext, mfi_ext, st0, polys, sel)
