@@ -132,3 +132,30 @@ def test_full_pallas_pipeline_matches_xla():
     finally:
         DP.agc_fll_rrc = orig1
         MP.mm_costas = orig2
+
+
+def test_mm_pallas_channel_tiling():
+    """Multi-tile grid (C > CHAN_TILE) == single-tile result (interpret)."""
+    from tetra_tpu.ops import mm_pallas as MP
+    from tetra_tpu.rx import demod_fast as DF
+
+    rng = np.random.default_rng(9)
+    C, T = 256, 512
+    n_chunks = int(np.ceil(T / (DF.K_SYM * 1.96))) + 1
+    mfr = rng.standard_normal((T + 7, C)).astype(np.float32)
+    mfi = rng.standard_normal((T + 7, C)).astype(np.float32)
+    st0 = np.zeros((8, C), np.float32)
+    st0[1] = 2.0
+    res = MP.mm_costas(jnp.asarray(mfr), jnp.asarray(mfi), jnp.asarray(st0),
+                       n_chunks, interpret=True)
+    # reference: run each 128-lane half independently (tiles must not leak)
+    for h in range(2):
+        sl = slice(h * 128, (h + 1) * 128)
+        r2 = MP.mm_costas(jnp.asarray(mfr[:, sl].copy()),
+                          jnp.asarray(mfi[:, sl].copy()),
+                          jnp.asarray(st0[:, sl].copy()), n_chunks,
+                          interpret=True)
+        np.testing.assert_array_equal(np.asarray(res[2])[:, sl],
+                                      np.asarray(r2[2]))
+        np.testing.assert_allclose(np.asarray(res[5])[:, sl],
+                                   np.asarray(r2[5]), atol=1e-5)

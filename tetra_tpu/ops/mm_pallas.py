@@ -70,9 +70,9 @@ def _kernel(T, mfr_ref, mfi_ref, st0_ref, polys_ref, sel_ref,
     outputs:  per-chunk (K, C) blocks + final state (8, C)
     scratch:  state (8, C)
     """
-    i = pl.program_id(0)
-    n = pl.num_programs(0)
-    C = mfr_ref.shape[1]
+    i = pl.program_id(1)          # chunk index (inner, sequential)
+    n = pl.num_programs(1)
+    C = mfr_ref.shape[1]          # channels in this tile
     # input rows: [_D_MARGIN zero pad | NTAPS-1 hist | T stream | WIN pad]
 
     @pl.when(i == 0)
@@ -233,6 +233,9 @@ def _kernel(T, mfr_ref, mfi_ref, st0_ref, polys_ref, sel_ref,
         st_out_ref[0, :] = state[0, :] - T
 
 
+CHAN_TILE = 128
+
+
 @partial(jax.jit, static_argnames=("n_chunks", "interpret"))
 def mm_costas(mfr_ext, mfi_ext, st0, n_chunks: int, interpret=False):
     """mf_ext: (T + NTAPS - 1, C) float pair (history-extended matched-filter
@@ -260,31 +263,35 @@ def mm_costas(mfr_ext, mfi_ext, st0, n_chunks: int, interpret=False):
         jax.ShapeDtypeStruct((S, C), jnp.float32),
         jax.ShapeDtypeStruct((8, C), jnp.float32),
     ]
-    full = lambda i: (0, 0)
-    chunk = lambda i: (i, 0)
+    # channel tiling: tiles on the outer grid dim keep the VMEM-resident
+    # stream block bounded while chunks iterate sequentially per tile
+    CT = CHAN_TILE if C % CHAN_TILE == 0 and C > CHAN_TILE else C
+    n_tiles = C // CT
+    ctile = lambda c, i: (0, c)
+    chunk = lambda c, i: (i, c)
+    const = lambda c, i: (0, 0, 0)
     return pl.pallas_call(
         partial(_kernel, T),
-        grid=(n_chunks,),
+        grid=(n_tiles, n_chunks),
         in_specs=[
-            pl.BlockSpec((Text, C), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Text, C), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, C), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 6, NTAPS), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_N_OFF, K_SYM, WIN), lambda i: (0, 0, 0),
+            pl.BlockSpec((Text, CT), ctile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Text, CT), ctile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, CT), ctile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 6, NTAPS), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_N_OFF, K_SYM, WIN), const,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((K_SYM, C), chunk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((K_SYM, C), chunk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((K_SYM, C), chunk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((K_SYM, C), chunk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((K_SYM, C), chunk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, C), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K_SYM, CT), chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K_SYM, CT), chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K_SYM, CT), chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K_SYM, CT), chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K_SYM, CT), chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, CT), ctile, memory_space=pltpu.VMEM),
         ],
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((8, C), jnp.float32),
+            pltpu.VMEM((8, CT), jnp.float32),
             pltpu.SemaphoreType.REGULAR,
         ],
         interpret=interpret,
