@@ -25,12 +25,9 @@ def main():
     def run_config(channels, block):
         n_chunks = int(np.ceil(block / (demod_mod.K_SYM * 1.96))) + 1
 
-        import os
-        use_mm = os.environ.get("BENCH_PALLAS_MM", "0") == "1"
-
         def step(state, xr, xi):
             state, outs = demod_mod._demod_block_impl(
-                state, xr, xi, n_chunks, True, use_mm)
+                state, xr, xi, n_chunks, True, True)
             # scalar checksum INSIDE the jit: forces execution without
             # compiling a separate reduction program (remote compiles are
             # minutes on this backend)
@@ -55,10 +52,11 @@ def main():
         dt = time.perf_counter() - t0
         return channels * block * iters / dt / 1e6
 
-    # the experimental backend rejects some large configurations; take the
-    # largest that runs (per-call overhead dominates, so bigger is faster)
+    # per-call overhead (~30 ms) dominates; throughput scales with channels
+    # until the per-tile VMEM budget caps the block length
     msps = 0.0
-    for channels, block in ((512, 18432), (256, 9216), (128, 4608)):
+    for channels, block in ((2048, 4608), (1024, 4608), (512, 4608),
+                            (128, 4608)):
         try:
             msps = run_config(channels, block)
             break
