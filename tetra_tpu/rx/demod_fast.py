@@ -404,8 +404,16 @@ def _demod_block_impl(state: FastDemodState, xr, xi, n_chunks: int,
     return new_state, outs
 
 
-USE_PALLAS = False     # stage-1 Pallas kernel (proven on TPU)
-USE_PALLAS_MM = False  # stage-2 Pallas kernel (opt-in until TPU-proven)
+# Pallas kernel selection: None = auto (fused kernels on TPU backends, XLA
+# scans on CPU, where compiled Pallas is unavailable); set True/False to force.
+USE_PALLAS = None
+USE_PALLAS_MM = None
+
+
+def _resolve_pallas(flag) -> bool:
+    if flag is not None:
+        return bool(flag)
+    return jax.default_backend() not in ("cpu",)
 
 
 def demod_block(state: FastDemodState, iq: np.ndarray):
@@ -416,5 +424,6 @@ def demod_block(state: FastDemodState, iq: np.ndarray):
     n_chunks = int(np.ceil(T / (K_SYM * _OMEGA_MIN))) + 1
     xr = jnp.asarray(np.ascontiguousarray(iq.real, dtype=np.float32))
     xi = jnp.asarray(np.ascontiguousarray(iq.imag, dtype=np.float32))
-    return _demod_block_impl(state, xr, xi, n_chunks, USE_PALLAS,
-                             USE_PALLAS_MM)
+    return _demod_block_impl(state, xr, xi, n_chunks,
+                             _resolve_pallas(USE_PALLAS),
+                             _resolve_pallas(USE_PALLAS_MM))
