@@ -172,3 +172,27 @@ def test_llc_mle_layer_decodes_sdus():
         assert tl is not None
         assert tl.pdisc_name == "CMCE"
         assert tl.pdu_name == "D-SDS DATA"
+
+
+def test_signal_dropout_and_relock():
+    """Sync-loss recovery (SURVEY.md section 5 'failure detection'): the
+    receiver must drop lock during a signal gap and re-acquire afterwards."""
+    bits1, _ = cell.downlink_bits(CFG, 170, start=START.copy())
+    # resume the TX one multiframe later so times keep advancing
+    bits2, recs2 = cell.downlink_bits(CFG, 170, start=TdmaTime(mn=9, fn=17, tn=4))
+    iq1 = np.asarray(modulate(jnp.asarray(bits1[None, :])))
+    iq2 = np.asarray(modulate(jnp.asarray(bits2[None, :])))
+    gap = np.zeros((1, 36000), np.complex64)  # 1 s of dead air
+    iq = np.concatenate([iq1, gap, iq2], axis=1)
+    iq = np.asarray(channel(jnp.asarray(iq), jax.random.key(8), snr_db=25.0,
+                            cfo_hz=100.0, sample_rate=P.SAMPLE_RATE))
+    rx = TetraReceiver(1)
+    T = 4096
+    for i in range(iq.shape[1] // T):
+        rx.process(iq[:, i * T:(i + 1) * T])
+    assert rx.locked()
+    assert rx.sync[0].lock_losses >= 1          # the gap broke the lock
+    d = rx.display()
+    assert (d.mcc, d.mnc, d.cc) == (CFG.mcc, CFG.mnc, CFG.cc)
+    # time tracking resumed on the post-gap stream
+    assert d.curr_multiframe >= 9
