@@ -196,3 +196,57 @@ def test_signal_dropout_and_relock():
     assert (d.mcc, d.mnc, d.cc) == (CFG.mcc, CFG.mnc, CFG.cc)
     # time tracking resumed on the post-gap stream
     assert d.curr_multiframe >= 9
+
+
+def test_stolen_slot_stch_bit_level():
+    """Clause 19.4.4 slot stealing: a traffic slot transmitted with training
+    sequence 2 carries STCH signalling in both half blocks.  The receiver
+    must flag block-1 stealing (tetra_lower_mac.c:197-200), parse the length
+    indicator 0x3E announcing the stolen second half, and decode both STCH
+    PDUs down through LLC/CMCE -- while normal voice slots keep decoding."""
+    from tetra_tpu.rx.tdma import PhyState
+
+    rng = np.random.default_rng(44)
+    framegen = lambda: rng.integers(0, 2, (2, 137)).astype(np.uint8)
+    stolen = {(5, 2), (9, 2)}
+    bits, records = cell.downlink_bits(
+        CFG, 170, start=START.copy(), voice_slots={2: framegen},
+        stolen_slots=stolen)
+    assert any(r.kind == "stch" for r in records)
+
+    phy = PhyState()
+    sync = BurstSync(phy=phy)
+    mac = LowerMac(phy=phy)
+    voice_times = []
+    mac.voice_cb = lambda time, type4: voice_times.append(time.copy())
+    stolen_flags = []
+    orig_resrc = mac.upper._rx_resrc
+
+    def spy_resrc(bits_, time):
+        n = orig_resrc(bits_, time)
+        stolen_flags.append((mac.upper.blk1_stolen, mac.upper.blk2_stolen))
+        return n
+
+    mac.upper._rx_resrc = spy_resrc
+    for i in range(0, len(bits), 510 * 4):
+        mac.process_bursts(sync.feed(bits[i:i + 510 * 4]))
+
+    ev = mac.upper.events
+    stch_rsd = [e[2] for e in ev if e[0] == "resource"
+                and e[2].addr.ssi == 0x654321]
+    # both STCH halves of at least one stolen slot parsed
+    assert len(stch_rsd) >= 2
+    from tetra_tpu.rx import mac_pdu as mp
+    assert any(r.macpdu_length == mp.MACPDU_LEN_2ND_STOLEN for r in stch_rsd)
+    # block-1 stealing was flagged before the STCH PDU parsed, and the
+    # 0x3E length indicator latched blk2_stolen
+    assert (True, True) in stolen_flags
+    # the LLC/CMCE payloads of the stolen halves decode by name
+    names = [e[3].pdu_name for e in ev if e[0] == "llc" and len(e) > 3
+             and getattr(e[3], "pdu_name", None)]
+    assert "D-ALERT" in names and "D-CONNECT ACK" in names
+    # no voice frame was synthesized for stolen slots; other traffic slots
+    # still produced voice
+    stolen_voice = [t for t in voice_times if (t.fn, t.tn) in stolen]
+    assert not stolen_voice
+    assert len(voice_times) > 10

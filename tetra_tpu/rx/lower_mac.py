@@ -101,6 +101,14 @@ class LowerMac:
                 d.last_crc_fail = False
             if self.upper.is_traffic and self.voice_cb is not None:
                 self.voice_cb(time, type4)
+        elif blk_type == P.TPSAP_T_NDB:
+            # Clause 19.4.4 slot stealing: a traffic slot transmitted with
+            # training sequence 2 carries STCH in its first half block
+            # (tetra_lower_mac.c:197-200); the PDUs inside still parse by
+            # MAC PDU type like any control block.
+            if self.upper.is_traffic and blk_num == 1:
+                self.upper.blk1_stolen = True
+            d.last_crc_fail = not crc_ok
         else:
             d.last_crc_fail = not crc_ok
         self.upper.receive(type1, lchan, crc_ok, time)

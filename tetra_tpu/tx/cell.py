@@ -88,18 +88,28 @@ def build_aach(dl_usage: int, ul_usage: int) -> np.ndarray:
 
 def build_resource_pdu(ssi: int, sdu_bits: np.ndarray,
                        fill_to: int = 124,
-                       crypto=None, time=None) -> np.ndarray:
+                       crypto=None, time=None,
+                       second_half_stolen: bool = False) -> np.ndarray:
     """MAC-RESOURCE with SSI address carrying a TM-SDU (21.4.3.1).
 
     Header is 43 bits (type/fill/grant/enc/raf/len/addr-type + 24-bit SSI +
     power/slot-grant/chan-alloc absent); total PDU length is padded to a
     whole number of octets and encoded in the length indicator.
+
+    second_half_stolen: emit length indicator 0x3E ("second half slot
+    stolen", table 21.89) -- the PDU fills this half slot and announces the
+    next half block is also STCH (clause 19.4.4).
     """
     header = 43
-    total_bits = header + len(sdu_bits)
-    length_oct = (total_bits + 7) // 8
-    assert length_oct <= 0x12 and length_oct * 8 <= fill_to
-    pad = length_oct * 8 - total_bits
+    if second_half_stolen:
+        length_oct = 0x3E
+        pad = fill_to - header - len(sdu_bits)
+        assert pad >= 0
+    else:
+        total_bits = header + len(sdu_bits)
+        length_oct = (total_bits + 7) // 8
+        assert length_oct <= 0x12 and length_oct * 8 <= fill_to
+        pad = length_oct * 8 - total_bits
     enc_mode = 1 if crypto is not None else 0
     bits = np.concatenate([
         _uint_to_bits(0, 2),            # MAC PDU type: MAC-RESOURCE
@@ -166,7 +176,8 @@ def downlink_bits(cfg: CellConfig, n_slots: int,
                   start: TdmaTime | None = None,
                   payload_rng: np.random.Generator | None = None,
                   voice_slots: dict | None = None,
-                  crypto=None
+                  crypto=None,
+                  stolen_slots: set | None = None
                   ) -> tuple[np.ndarray, list[SlotRecord]]:
     """Generate `n_slots` consecutive downlink slots (510 bits each).
 
@@ -178,6 +189,11 @@ def downlink_bits(cfg: CellConfig, n_slots: int,
     traffic (NORM-1 bursts carrying speech channel-coded SCH/F payloads, with
     AACH dl_usage marking the slot as traffic).  The generator is called with
     no args and must return (2, 137) codec frame bits.
+
+    stolen_slots: optional set of (fn, tn) - voice slots at those times are
+    transmitted with training sequence 2 instead (clause 19.4.4 slot
+    stealing): both half blocks carry STCH signalling, the first announcing
+    the second via length indicator 0x3E.
     """
     from ..voice import channel as vchannel
 
@@ -193,6 +209,31 @@ def downlink_bits(cfg: CellConfig, n_slots: int,
                     and time.fn != 18 and not is_bsch(time))
         aach = build_aach(dl_usage=5 if is_voice else 2, ul_usage=0)
         bbk5 = fec_enc.encode_block(aach, P.TPSAP_T_BBK, scramb)
+        if is_voice and stolen_slots and (time.fn, time.tn) in stolen_slots:
+            # stolen traffic slot: NORM-2 burst, both halves STCH
+            sdu1 = np.concatenate([
+                _uint_to_bits(2, 4),    # LLC: BL-UDATA
+                _uint_to_bits(2, 3),    # MLE pdisc: CMCE
+                _uint_to_bits(0x00, 5),  # CMCE: D-ALERT
+                payload_rng.integers(0, 2, 40).astype(np.uint8)])
+            stch1 = build_resource_pdu(ssi=0x654321, sdu_bits=sdu1,
+                                       second_half_stolen=True)
+            sdu2 = np.concatenate([
+                _uint_to_bits(2, 4),
+                _uint_to_bits(2, 3),
+                _uint_to_bits(0x03, 5),  # CMCE: D-CONNECT ACK
+                payload_rng.integers(0, 2, 40).astype(np.uint8)])
+            stch2 = build_resource_pdu(ssi=0x654321, sdu_bits=sdu2)
+            b = burst_mod.build_norm_burst(
+                fec_enc.encode_block(stch1, P.TPSAP_T_NDB, scramb),
+                bbk5,
+                fec_enc.encode_block(stch2, P.TPSAP_T_NDB, scramb),
+                two_log_chan=True)
+            records.append(SlotRecord(time.copy(), "stch",
+                                      dict(stch1=stch1, aach=aach,
+                                           stch2=stch2)))
+            out.append(b)
+            continue
         if is_voice:
             frames = np.asarray(voice_slots[time.tn](), np.uint8)
             type3 = vchannel.encode_slot(frames.reshape(-1))
