@@ -101,6 +101,37 @@ class NetsymsStreamer:
         return self.since_found < self.TS_EXPIRE
 
 
+def _format_event(e) -> str | None:
+    """One console line per upper-MAC event (the decoded-PDU dump the
+    reference prints from rx_tmv_unitdata_ind / rx_resrc / rx_bcast)."""
+    kind = e[0]
+    if kind == "resource":
+        rsd = e[2]
+        if rsd.addr.type == 0:  # NULL address filler
+            return None
+        extra = ""
+        if rsd.macpdu_length == -2:
+            extra = " 2nd-half-stolen"
+        elif rsd.macpdu_length == -1:
+            extra = " start-frag"
+        if rsd.is_encrypted:
+            extra += f" encrypted(mode={rsd.encryption_mode})"
+        return f"MAC-RESOURCE ssi=0x{rsd.addr.ssi:06x}{extra}"
+    if kind == "sysinfo":
+        sid = e[2]
+        return f"SYSINFO dl={sid.dl_freq_hz/1e6:.4f}MHz la={sid.la}"
+    if kind == "llc":
+        llc, tl = e[2], e[3]
+        if tl is None:
+            return f"LLC {llc.name}"
+        return f"LLC {llc.name} {tl.pdisc_name} {tl.pdu_name}"
+    if kind == "suppl":
+        return "MAC-SUPPLEMENTARY"
+    if kind == "tm_sdu_reassembled":
+        return f"TM-SDU reassembled ({len(e[2])} bits)"
+    return None
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("input", help="raw complex64 IQ file")
@@ -118,6 +149,9 @@ def main(argv=None):
                     help="crypto keystore file (reference text format)")
     ap.add_argument("--duration", type=float, default=10.0,
                     help="seconds to run for live (udp:) input")
+    ap.add_argument("-v", "--verbose", action="store_true",
+                    help="print each decoded PDU (the reference's console "
+                         "dump; rx_tmv_unitdata_ind et al.)")
     args = ap.parse_args(argv)
 
     live = args.input.startswith("udp:")
@@ -156,6 +190,16 @@ def main(argv=None):
                     m.upper.crypto_state = CryptoState(
                         store=KeyStore.load(args.keystore))
         rx.process(blk)
+        if args.verbose:
+            if i == 0:
+                ev_seen = [0] * C
+            for c in range(C):
+                events = rx.mac[c].upper.events
+                for e in events[ev_seen[c]:]:
+                    line = _format_event(e)
+                    if line:
+                        print(f"[ch {c}] {e[1]} {line}")
+                ev_seen[c] = len(events)
         if voice is not None and pcm_out is not None:
             voice.take_audio().tofile(pcm_out)
         if (i + 1) % status_blocks == 0:
