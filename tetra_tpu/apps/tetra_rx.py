@@ -152,7 +152,27 @@ def main(argv=None):
     ap.add_argument("-v", "--verbose", action="store_true",
                     help="print each decoded PDU (the reference's console "
                          "dump; rx_tmv_unitdata_ind et al.)")
+    ap.add_argument("--config", default=None, metavar="JSON",
+                    help="per-instance settings file: loaded as defaults, "
+                         "saved back on exit (the plugin's config "
+                         "persistence; main.cpp config load/save)")
+    # two-pass parse so a --config file supplies defaults that explicit
+    # flags still override
+    pre, _ = ap.parse_known_args(argv)
+    if pre.config:
+        import os
+        if os.path.exists(pre.config):
+            with open(pre.config) as f:
+                saved = json.load(f)
+            ap.set_defaults(**{k: v for k, v in saved.items()
+                               if k in {a.dest for a in ap._actions}})
     args = ap.parse_args(argv)
+    if args.config:
+        with open(args.config, "w") as f:
+            json.dump({"mode": args.mode, "udp": args.udp,
+                       "demod": args.demod, "block": args.block,
+                       "wideband": args.wideband,
+                       "status_every": args.status_every}, f, indent=1)
 
     live = args.input.startswith("udp:")
     blocks = None if live else list(iter_blocks(args))
