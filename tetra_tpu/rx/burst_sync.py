@@ -150,7 +150,16 @@ class BurstSync:
                     break
                 self.time.add_tn(1)
                 self.phy.slot_count += 1
-                m = find_train_seq(self.bitbuf, _SEARCH_SEQS_LOCKED)
+                # A good burst's match lies inside the current slot, so scan
+                # that region first and fall back to the full buffer only on
+                # a miss: same earliest-match result as one full scan (the
+                # reference scans its whole 4096-bit buffer every slot,
+                # tetra_burst_sync.c:118-127; our buffer is 16x larger and
+                # feeds are block-sized, so O(slot) beats O(buffer) here).
+                m = find_train_seq(self.bitbuf[:P.BITS_PER_TS + 64],
+                                   _SEARCH_SEQS_LOCKED)
+                if m is None:
+                    m = find_train_seq(self.bitbuf, _SEARCH_SEQS_LOCKED)
                 if m is None:
                     self.state = RX_UNLOCKED
                     self.lock_losses += 1

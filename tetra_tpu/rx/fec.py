@@ -144,12 +144,16 @@ def _decode_cch_block(type5: jnp.ndarray, ks: jnp.ndarray, blk_type: int):
 
 
 def decode_block(type5: jnp.ndarray, blk_type: int,
-                 scramb_init: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+                 scramb_init) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Decode a batch of type-5 blocks of one type.
 
     type5: (B, type345_bits) uint8.  Returns (type1 bits (B, t1), ok (B,)).
     SB1 blocks always use the predefined scrambling code (tetra_lower_mac.c:
     186-190); BBK blocks use the RM(30,14) path.
+
+    scramb_init: a single LFSR init shared by the whole batch, or a
+    length-B sequence of per-row inits (cross-channel batches, where each
+    row may belong to a different cell).
 
     Batches are padded to power-of-two buckets so repeated calls with varying
     burst counts reuse compiled programs (compiles are expensive, and on the
@@ -160,10 +164,18 @@ def decode_block(type5: jnp.ndarray, blk_type: int,
     name, t345, t2, t1, ia, has_crc = P.BLK_PARAMS[blk_type]
     B = type5.shape[0]
     bucket = 1 << max(2, (B - 1).bit_length())
+    if np.ndim(scramb_init) == 0:
+        ks = jnp.asarray(keystream(int(scramb_init), t345))
+    else:
+        assert len(scramb_init) == B
+        ks_rows = np.stack([keystream(int(s), t345) for s in scramb_init])
+        if bucket != B:
+            ks_rows = np.concatenate(
+                [ks_rows, np.zeros((bucket - B, t345), ks_rows.dtype)])
+        ks = jnp.asarray(ks_rows)
     if bucket != B:
         pad = jnp.zeros((bucket - B, type5.shape[1]), type5.dtype)
         type5 = jnp.concatenate([type5, pad], axis=0)
-    ks = jnp.asarray(keystream(int(scramb_init), t345))
     if blk_type == P.TPSAP_T_BBK:
         out, ok = rm3014_decode(type5 ^ ks)
     else:

@@ -114,50 +114,12 @@ class LowerMac:
         self.upper.receive(type1, lchan, crc_ok, time)
 
     def process_bursts(self, bursts: list[Burst]):
-        """Decode and dispatch a batch of bursts (order preserved).
+        """Decode and dispatch a batch of bursts (order preserved)."""
+        process_bursts_multi([self], [bursts])
 
-        Blocks are grouped by (type, scrambling code) and decoded in batched
-        device calls; SB1 first so a SYNC PDU's new scrambling code applies to
-        the rest of its own burst, like the sequential reference flow.
-        """
-        if not bursts:
-            return
-        # Pre-pass: decode all SB1 blocks (always the predefined scrambling)
-        items = []  # (burst_idx, blk_type, blk_num, type5)
-        for bi, burst in enumerate(bursts):
-            for blk_type, blk_num, type5 in burst.blocks():
-                items.append([bi, blk_type, blk_num, np.asarray(type5)])
-
-        sb1_idx = [i for i, it in enumerate(items) if it[1] == P.TPSAP_T_SB1]
-        decoded: dict[int, tuple[np.ndarray, bool]] = {}
-        if sb1_idx:
-            batch = np.stack([items[i][3] for i in sb1_idx])
-            t1, ok = rx_fec.decode_block(jnp.asarray(batch), P.TPSAP_T_SB1, 0)
-            t1, ok = np.asarray(t1), np.asarray(ok)
-            for j, i in enumerate(sb1_idx):
-                decoded[i] = (t1[j], bool(ok[j]))
-            # adopt the first good SYNC PDU's scrambling code for this batch
-            for j, i in enumerate(sb1_idx):
-                if ok[j]:
-                    mcc = bits_to_uint(t1[j], 31, 10)
-                    mnc = bits_to_uint(t1[j], 41, 14)
-                    cc = bits_to_uint(t1[j], 4, 6)
-                    self.cell.scramb_init = P.scramb_get_init(mcc, mnc, cc)
-                    break
-
+    def _dispatch_decoded(self, items, decoded, bursts):
+        """Sequential dispatch of pre-decoded blocks in burst/block order."""
         scramb = self.cell.scramb_init
-        for blk_type in (P.TPSAP_T_BBK, P.TPSAP_T_SB2, P.TPSAP_T_NDB,
-                         P.TPSAP_T_SCH_HU, P.TPSAP_T_SCH_F):
-            idxs = [i for i, it in enumerate(items) if it[1] == blk_type]
-            if not idxs:
-                continue
-            batch = np.stack([items[i][3] for i in idxs])
-            t1, ok = rx_fec.decode_block(jnp.asarray(batch), blk_type, scramb)
-            t1, ok = np.asarray(t1), np.asarray(ok)
-            for j, i in enumerate(idxs):
-                decoded[i] = (t1[j], bool(ok[j]))
-
-        # Sequential dispatch in burst/block order
         self._resync_base = None
         for i, (bi, blk_type, blk_num, type5) in enumerate(items):
             burst = bursts[bi]
@@ -181,3 +143,64 @@ class LowerMac:
             self.upper.display.timeslot_content[(burst.time.tn - 1) % 4] = tc
             self._dispatch(blk_type, blk_num, type1, ok, burst.time, type4,
                            burst.slot_index)
+
+
+def process_bursts_multi(macs: list[LowerMac],
+                         bursts_list: list[list[Burst]]):
+    """Decode bursts for many channels with cross-channel batched FEC.
+
+    All channels' same-typed blocks decode in ONE device call per block type
+    (SB1 first so each channel adopts its own SYNC PDU's scrambling code
+    before its other blocks decode, like the sequential reference flow, then
+    per-row scrambling keystreams for the rest).  Device-call count stays
+    constant as channel count grows -- the per-call overhead on this backend
+    (~tens of ms) would otherwise dominate a 256-channel receiver.  Dispatch
+    then runs per channel in order, exactly as the single-channel path.
+    """
+    all_items = []
+    for bursts in bursts_list:
+        items = []  # (burst_idx, blk_type, blk_num, type5)
+        for bi, burst in enumerate(bursts):
+            for blk_type, blk_num, type5 in burst.blocks():
+                items.append([bi, blk_type, blk_num, np.asarray(type5)])
+        all_items.append(items)
+
+    decoded: dict[tuple[int, int], tuple[np.ndarray, bool]] = {}
+    sb1_refs = [(mi, i) for mi, items in enumerate(all_items)
+                for i, it in enumerate(items) if it[1] == P.TPSAP_T_SB1]
+    if sb1_refs:
+        batch = np.stack([all_items[mi][i][3] for mi, i in sb1_refs])
+        t1, ok = rx_fec.decode_block(jnp.asarray(batch), P.TPSAP_T_SB1, 0)
+        t1, ok = np.asarray(t1), np.asarray(ok)
+        adopted = set()
+        for j, (mi, i) in enumerate(sb1_refs):
+            decoded[(mi, i)] = (t1[j], bool(ok[j]))
+            # adopt the channel's first good SYNC PDU's scrambling code
+            if ok[j] and mi not in adopted:
+                mcc = bits_to_uint(t1[j], 31, 10)
+                mnc = bits_to_uint(t1[j], 41, 14)
+                cc = bits_to_uint(t1[j], 4, 6)
+                macs[mi].cell.scramb_init = P.scramb_get_init(mcc, mnc, cc)
+                adopted.add(mi)
+
+    for blk_type in (P.TPSAP_T_BBK, P.TPSAP_T_SB2, P.TPSAP_T_NDB,
+                     P.TPSAP_T_SCH_HU, P.TPSAP_T_SCH_F):
+        refs = [(mi, i) for mi, items in enumerate(all_items)
+                for i, it in enumerate(items) if it[1] == blk_type]
+        if not refs:
+            continue
+        batch = np.stack([all_items[mi][i][3] for mi, i in refs])
+        scrambs = [macs[mi].cell.scramb_init for mi, _ in refs]
+        # scalar when uniform: keeps the single-cell compiled-program cache
+        scr = scrambs[0] if len(set(scrambs)) == 1 else scrambs
+        t1, ok = rx_fec.decode_block(jnp.asarray(batch), blk_type, scr)
+        t1, ok = np.asarray(t1), np.asarray(ok)
+        for j, (mi, i) in enumerate(refs):
+            decoded[(mi, i)] = (t1[j], bool(ok[j]))
+
+    for mi, mac in enumerate(macs):
+        if all_items[mi]:
+            mac._dispatch_decoded(
+                all_items[mi],
+                {i: decoded[(mi, i)] for i in range(len(all_items[mi]))},
+                bursts_list[mi])

@@ -14,7 +14,7 @@ import numpy as np
 from . import demod as demod_exact
 from . import demod_fast
 from .burst_sync import BurstSync
-from .lower_mac import LowerMac
+from .lower_mac import LowerMac, process_bursts_multi
 from .tdma import PhyState
 
 
@@ -41,6 +41,9 @@ class TetraReceiver:
         dibits = np.asarray(outs["dibits"])
         valid = np.asarray(outs["valid"])
         dist = np.asarray(outs["dist"])
+        # burst sync per channel (host), then ONE cross-channel batched FEC
+        # pass: device-call count stays constant as channels grow
+        macs, bursts_list = [], []
         for c in range(self.channels):
             v = valid[c]
             if not v.any():
@@ -49,7 +52,10 @@ class TetraReceiver:
             bits = demod_exact.dibits_to_bits(dibits[c][v])
             bursts = self.sync[c].feed(bits)
             if bursts:
-                self.mac[c].process_bursts(bursts)
+                macs.append(self.mac[c])
+                bursts_list.append(bursts)
+        if macs:
+            process_bursts_multi(macs, bursts_list)
 
     # -- convenience views ---------------------------------------------------
 
