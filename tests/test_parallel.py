@@ -137,3 +137,61 @@ def test_device_train_seq_correlation():
             m = find_train_seq(bits[c], (sid,))
             want = m[1] if m else -1
             assert hits[sid][c] == want, (c, sid)
+
+
+def test_multihost_2d_mesh_wideband_demod():
+    """BASELINE config 5 shape (scaled to the virtual mesh): 2 hosts x 4
+    chips, each host ingesting its own 16x25 kHz wideband feed; channels
+    shard over each host's chips, hosts stay communication-free except the
+    psum'd fleet health scalar."""
+    import jax.numpy as jnp2
+    from tetra_tpu.rx.burst_sync import BurstSync, RX_LOCKED
+    from tetra_tpu.rx.demod import dibits_to_bits
+    from tetra_tpu.rx.tdma import TdmaTime
+    from tetra_tpu.tx import cell
+    from tetra_tpu.tx.modulator import modulate
+    from tetra_tpu.tx.wideband import assemble_wideband
+
+    N = 16
+    start = TdmaTime(mn=1, fn=17, tn=4)
+    occupied = {0: [1, 6, 11], 1: [3, 9, 14]}
+    feeds = []
+    for h, ks in occupied.items():
+        chans = {}
+        for k in ks:
+            cfg = cell.CellConfig(mcc=300 + 10 * h + k, mnc=100 * h + k + 1,
+                                  cc=(h * 16 + k) % 64)
+            # 170 slots: SYNC at ~1/73/145 so a marginal channel (the TX
+            # fixture's L=100 image filter leaves residual distortion) can
+            # re-acquire after a single mid-stream lock loss
+            bits, _ = cell.downlink_bits(cfg, 170, start=start.copy())
+            chans[k] = np.asarray(modulate(jnp2.asarray(bits[None, :])))[0]
+        feeds.append(assemble_wideband(chans, N, amplitude=0.5))
+
+    mesh = pmesh.make_mesh_2d(2, 4)
+    step, wide_len, advance = pmesh.sharded_wideband_demod_step(mesh, N)
+    state = pmesh.sharded_wideband_demod_init(mesh, N)
+
+    T = min(len(f) for f in feeds)
+    wide = np.stack([f[:T] for f in feeds])  # (2, T)
+    syncs = [BurstSync() for _ in range(2 * N)]
+    fleet = None
+    n_steps = (T - wide_len) // advance + 1
+    for i in range(n_steps):
+        s0 = i * advance
+        blk = wide[:, s0:s0 + wide_len]
+        state, outs = step(state,
+                           jnp2.asarray(blk.real.astype(np.float32)),
+                           jnp2.asarray(blk.imag.astype(np.float32)))
+        dib = np.asarray(outs["dibits"])
+        val = np.asarray(outs["valid"])
+        fleet = float(outs["fleet_dist"])
+        for c in range(2 * N):
+            syncs[c].feed(dibits_to_bits(dib[c][val[c]]))
+    assert np.isfinite(fleet) and fleet > 0
+    for h, ks in occupied.items():
+        for k in ks:
+            s = syncs[h * N + k]
+            assert s.state == RX_LOCKED and s.lock_losses <= 1, (h, k)
+        for k in set(range(N)) - set(ks):
+            assert syncs[h * N + k].state != RX_LOCKED, (h, k)

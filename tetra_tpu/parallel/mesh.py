@@ -96,3 +96,95 @@ def halo_fir(mesh: Mesh, h: np.ndarray, axis: str = "t"):
                           in_specs=Pspec(None, axis),
                           out_specs=Pspec(None, axis))
     return jax.jit(shard)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host: 2-D (host, chip) mesh — per-host wideband ingestion
+# ---------------------------------------------------------------------------
+
+
+def make_mesh_2d(n_hosts: int, n_chips: int) -> Mesh:
+    """(host, chip) mesh: the host axis maps to DCN-connected workers, the
+    chip axis to each worker's ICI-connected chips."""
+    devs = np.array(jax.devices()[: n_hosts * n_chips])
+    return Mesh(devs.reshape(n_hosts, n_chips), ("host", "chip"))
+
+
+def sharded_wideband_demod_step(mesh: Mesh, n_ch: int, t50_new: int = 5600):
+    """Multi-host front end (BASELINE config 5 shape, scaled by mesh size):
+    each host ingests its own n_ch x 25 kHz wideband antenna feed,
+    channelizes + resamples it locally, and its n_ch channels shard over
+    that host's chips for the chunked demod.
+
+    The host axis carries NO bulk traffic — feeds are per-host, channels
+    never cross hosts — so samples/s scales linearly with hosts (the >=80%
+    1->N-host efficiency target is met by construction; DCN carries only the
+    scalar psum'd health metric below).  Within a host the channelizer runs
+    replicated per chip (its FLOPs are ~1% of the demod's); each chip slices
+    its own channel range BEFORE resampling, avoiding an all-to-all, and the
+    18/25 resampler carries per-channel history in the step state so blocks
+    continue the sample stream exactly (no per-block transients).
+
+    t50_new: 50 kHz samples produced per step; must be a multiple of 25 with
+    t36 = t50_new*18/25 a multiple of the demod chunk (default 5600 -> 4032).
+
+    Returns (jitted step, wide_len, advance): feed raw windows wr/wi of
+    shape (n_hosts, wide_len) float32 host-sharded, advancing the raw
+    stream by `advance` samples per step (windows overlap by the filterbank
+    history).  outs channel axis is host-major: global channel index =
+    h*n_ch + chip*ch_per_chip + j.  outs["fleet_dist"] is the psum'd global
+    mean symbol distance — cross-host health in one collective.
+    """
+    from . import channelizer as CH
+
+    n_chips = mesh.shape["chip"]
+    assert n_ch % n_chips == 0, "channels must split evenly over chips"
+    ch_per_chip = n_ch // n_chips
+    hop = n_ch // 2
+    L = n_ch * CH.TAPS_PER_BRANCH
+    assert t50_new % 25 == 0
+    t36 = t50_new * 18 // 25
+    assert t36 % demod_mod.K_SAMP == 0, (
+        f"t50_new {t50_new} gives t36={t36}, not a multiple of the demod "
+        f"chunk K_SAMP={demod_mod.K_SAMP}")
+    wide_len = (t50_new - 1) * hop + L
+    advance = t50_new * hop
+    n_chunks = int(np.ceil(t36 / (demod_mod.K_SYM * 1.96))) + 1
+
+    def step(state, wr, wi):
+        dstate, hr, hi = state
+        yr, yi = CH._channelize_block(wr[0], wi[0], n_ch)  # (n_ch, t50_new)
+        c0 = jax.lax.axis_index("chip") * ch_per_chip
+        yr = jax.lax.dynamic_slice_in_dim(yr, c0, ch_per_chip, 0)
+        yi = jax.lax.dynamic_slice_in_dim(yi, c0, ch_per_chip, 0)
+        rr, ri, hr, hi = CH._resample_stream_block(yr, yi, hr, hi, t36)
+        dstate, outs = demod_mod._demod_block_impl(dstate, rr, ri, n_chunks)
+        nv = jnp.sum(outs["valid"]).astype(jnp.float32)
+        ds = jnp.sum(jnp.where(outs["valid"], outs["dist"], 0.0))
+        tot = jax.lax.psum(jnp.stack([ds, nv]), ("host", "chip"))
+        outs = dict(outs, fleet_dist=tot[0] / jnp.maximum(tot[1], 1.0))
+        return (dstate, hr, hi), outs
+
+    cspec = Pspec(("host", "chip"))
+    state_spec = (jax.tree.map(lambda _: cspec, demod_mod.demod_init(1)),
+                  cspec, cspec)
+    out_spec = dict(sym_re=cspec, sym_im=cspec, dibits=cspec, valid=cspec,
+                    dist=cspec, fll_freq=cspec, agc_gain=cspec,
+                    fleet_dist=Pspec())
+    shard = jax.shard_map(step, mesh=mesh,
+                          in_specs=(state_spec, Pspec("host"), Pspec("host")),
+                          out_specs=(state_spec, out_spec))
+    return jax.jit(shard), wide_len, advance
+
+
+def sharded_wideband_demod_init(mesh: Mesh, n_ch: int):
+    """(demod state, resampler history) for n_hosts*n_ch channels,
+    host-major, sharded over the 2-D mesh so step() never reshards."""
+    from . import channelizer as CH
+
+    C = mesh.shape["host"] * n_ch
+    state = demod_mod.demod_init(C)
+    spec = NamedSharding(mesh, Pspec(("host", "chip")))
+    state = jax.tree.map(lambda x: jax.device_put(x, spec), state)
+    hist = jnp.zeros((C, CH.RS_TAPS_PER_PHASE - 1), jnp.float32)
+    return (state, jax.device_put(hist, spec), jax.device_put(hist, spec))
