@@ -68,3 +68,56 @@ def test_fast_block_size_invariance():
     b, _ = _run(demod_fast, iq[:, :28672], block=2048)
     n = min(len(a), len(b))
     assert (a[:n] == b[:n]).all()
+
+
+def test_amplitude_robustness():
+    """The chunked AGC must normalize any input level without limit-cycling
+    (an additive chunk update used to fall into a +-6 dB/chunk oscillation
+    whenever the converged gain was far from 1, wrecking strong or weak
+    inputs and every channelizer output)."""
+    import jax.numpy as jnp2
+    from tetra_tpu.rx.tdma import TdmaTime
+    from tetra_tpu.tx import cell
+    from tetra_tpu.tx.modulator import modulate
+
+    bits, _ = cell.downlink_bits(cell.CellConfig(), 40,
+                                 start=TdmaTime(mn=1, fn=17, tn=4))
+    x = np.asarray(modulate(jnp2.asarray(bits[None, :])))[0]
+    for scale in (0.1, 1.0, 16.0):
+        st = demod_fast.demod_init(1)
+        ds = []
+        T = (len(x) // 4096) * 4096
+        for i in range(T // 4096):
+            st, outs = demod_fast.demod_block(
+                st, (x * scale)[None, i * 4096:(i + 1) * 4096])
+            v = np.asarray(outs["valid"])[0]
+            ds.append(np.asarray(outs["dist"])[0][v])
+        d = np.concatenate(ds[3:]).mean()
+        assert d < 0.12, (scale, d)
+
+
+def test_wideband_channel_quality():
+    """A channelized wideband signal must demod well inside the sync-quality
+    gate (cascade filters are flat over the RRC band and the AGC handles the
+    filterbank gain)."""
+    import jax.numpy as jnp2
+    from tetra_tpu.parallel import channelizer as CH
+    from tetra_tpu.rx.tdma import TdmaTime
+    from tetra_tpu.tx import cell
+    from tetra_tpu.tx.modulator import modulate
+    from tetra_tpu.tx.wideband import assemble_wideband
+
+    bits, _ = cell.downlink_bits(cell.CellConfig(), 40,
+                                 start=TdmaTime(mn=1, fn=17, tn=4))
+    x = np.asarray(modulate(jnp2.asarray(bits[None, :])))[0]
+    y = CH.resample_50_to_36(
+        CH.channelize(assemble_wideband({5: x}, 16), 16))[5]
+    st = demod_fast.demod_init(1)
+    ds = []
+    T = (len(y) // 4096) * 4096
+    for i in range(T // 4096):
+        st, outs = demod_fast.demod_block(st, y[None, i * 4096:(i + 1) * 4096])
+        v = np.asarray(outs["valid"])[0]
+        ds.append(np.asarray(outs["dist"])[0][v])
+    d = np.concatenate(ds[3:]).mean()
+    assert d < P.SYNC_QUALITY_THRESHOLD / 3, d

@@ -126,10 +126,13 @@ def _kernel(xr_ref, xi_ref, gain0, phase0, freq0, hist_r0, hist_i0, Hs_ref,
     mfr_ref[:, :] = jnp.dot(Hrrc.T, er, preferred_element_type=jnp.float32)
     mfi_ref[:, :] = jnp.dot(Hrrc.T, ei, preferred_element_type=jnp.float32)
 
-    # loop updates (identical to demod_fast._agc_fll_chunked)
-    dg = P.AGC_RATE * jnp.sum(P.AGC_SETPOINT - amp, axis=0)
-    new_gain = jnp.clip(gain + dg, gain * 0.5, gain * 2.0 + 1e-3)
-    new_gain = jnp.minimum(new_gain, P.AGC_MAX_GAIN)
+    # loop updates (identical to demod_fast._agc_fll_chunked, incl. the
+    # multiplicative log-domain AGC step -- see the note there)
+    r_eff = 1.0 - (1.0 - P.AGC_RATE) ** K_SAMP
+    amp_mean = jnp.maximum(jnp.mean(amp, axis=0), 1e-9)
+    ratio = jnp.clip(P.AGC_SETPOINT / amp_mean, 0.25, 4.0)
+    ratio = jnp.where(amp_mean < 0.01 * P.AGC_SETPOINT, 1.0, ratio)
+    new_gain = jnp.minimum(gain * ratio ** r_eff, P.AGC_MAX_GAIN)
     new_freq = jnp.clip(freq + _FLL_BETA * err, -_FLL_FREQ_LIM, _FLL_FREQ_LIM)
     new_phase = phase + freq * K_SAMP
     new_phase = new_phase - 2 * np.pi * jnp.floor(

@@ -160,7 +160,7 @@ def _kernel(T, mfr_ref, mfi_ref, st0_ref, polys_ref, sel_ref,
         d_i += cd * xi_
 
     sgn = lambda v: jnp.where(v > 0, 1.0, -1.0)
-    err = jnp.clip(sgn(f0r) * d_r + sgn(f0i) * d_i, -1.0, 1.0)
+    err = jnp.clip(sgn(f0r) * d_r + sgn(f0i) * d_i, -4.0, 4.0)
     err = jnp.where(valid, err, 0.0)
     err_sum = jnp.sum(err, axis=0)
     n_valid = jnp.sum(valid.astype(jnp.float32), axis=0)
@@ -178,7 +178,11 @@ def _kernel(T, mfr_ref, mfi_ref, st0_ref, polys_ref, sel_ref,
     cerr = jnp.clip(sgn(sr) * si - sgn(si) * sr, -1.0, 1.0)
     cerr = jnp.where(valid, cerr, 0.0)
     cerr_sum = jnp.sum(cerr, axis=0)
-    cfreq = jnp.clip((1.0 - 0.05) * cfreq + _COSTAS_BETA * cerr_sum,
+    # rail-gated leak: mirrors rx/demod_fast (leak only near the rail, else
+    # a sustained FLL residual becomes a standing constellation offset)
+    leak = jnp.where(jnp.abs(cfreq) > 0.3 * _COSTAS_FREQ_LIM_CHUNKED,
+                     0.05, 0.0)
+    cfreq = jnp.clip((1.0 - leak) * cfreq + _COSTAS_BETA * cerr_sum,
                      -_COSTAS_FREQ_LIM_CHUNKED, _COSTAS_FREQ_LIM_CHUNKED)
     cphase_n = cphase + cfreq * n_valid + _COSTAS_ALPHA * cerr_sum
     cphase = cphase_n - 2 * np.float32(np.pi) * jnp.floor(

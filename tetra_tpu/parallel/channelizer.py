@@ -27,17 +27,26 @@ import numpy as np
 
 from ..core.taps import nuttall
 
-TAPS_PER_BRANCH = 16
+TAPS_PER_BRANCH = 48
 
 
 @lru_cache(maxsize=8)
 def _prototype(n_ch: int, taps_per_branch: int = TAPS_PER_BRANCH) -> np.ndarray:
-    """Lowpass prototype for the filterbank: Nuttall-windowed sinc, cutoff
-    at half the channel spacing, unity branch gain."""
+    """Lowpass prototype for the filterbank: Nuttall-windowed sinc.
+
+    The bank is 2x oversampled (50 kHz out per 25 kHz channel), so the
+    passband can extend past half the channel spacing.  Cutoff 0.53/n_ch
+    with 48 taps/branch keeps the TETRA RRC band edge (+-12.15 kHz) in the
+    FLAT region (-0.2 dB; cutoff at half-spacing would put -6 dB right at
+    the band edge and wreck the matched filter's Nyquist property) while
+    still rejecting adjacent-channel energy by -71 dB at 15 kHz -- the
+    demod's band-edge FLL discriminator sits at +-12.15 kHz and a leaky
+    prototype biases it (the reference's 30 kHz VFO prefilter plays this
+    role, main.cpp:35-36)."""
     L = n_ch * taps_per_branch
     n = np.arange(L)
     c = (L - 1) / 2.0
-    cutoff = 0.5 / n_ch  # cycles/sample at the wideband rate
+    cutoff = 0.53 / n_ch  # cycles/sample at the wideband rate
     h = 2 * cutoff * np.sinc(2 * cutoff * (n - c)) * nuttall(n, L)
     h = h / h.sum() * n_ch
     return h.astype(np.float32)
@@ -99,18 +108,22 @@ def channelize(iq: np.ndarray, n_ch: int) -> np.ndarray:
 # Rational polyphase resampler (50 kHz -> 36 kHz: L=18, M=25)
 # ---------------------------------------------------------------------------
 
-RS_TAPS_PER_PHASE = 8
+RS_TAPS_PER_PHASE = 24
 
 
 @lru_cache(maxsize=8)
 def _resamp_bank(L: int, M: int) -> np.ndarray:
     """Polyphase bank for rational L/M resampling (upsample L, filter,
-    downsample M).  Anti-alias cutoff at min(in, out) Nyquist in the
-    L-upsampled domain; unity passband gain."""
+    downsample M).  Cutoff at 0.48x the lower of the two Nyquists: the
+    Nuttall transition then straddles the band 12.5..23.85 kHz (for 50->36)
+    so the TETRA signal band stays flat while everything that would fold
+    onto it is stopped.  24 taps/phase keeps the RRC band-edge droop at
+    -0.09 dB with -62 dB at the first alias edge (the original 8 taps/phase
+    drooped ~2 dB at the band edge and wrecked wideband EVM)."""
     total = L * RS_TAPS_PER_PHASE
     n = np.arange(total)
     c = (total - 1) / 2.0
-    cutoff = 0.5 / max(L, M)  # cycles/sample in the upsampled domain
+    cutoff = 0.48 / max(L, M)  # cycles/sample in the upsampled domain
     h = 2 * cutoff * np.sinc(2 * cutoff * (n - c)) * nuttall(n, total)
     h = h * (L / h.sum())     # DC gain L compensates the zero-stuffing
     bank = np.zeros((L, RS_TAPS_PER_PHASE), np.float64)
@@ -166,3 +179,30 @@ def resample_50_to_36(iq: np.ndarray) -> np.ndarray:
 
 def resample_36_to_50(iq: np.ndarray) -> np.ndarray:
     return resample(iq, 25, 18)
+
+
+@partial(jax.jit, static_argnames=("t_out", "L", "M"))
+def _resample_stream_block(xr, xi, hr, hi, t_out: int, L: int = 18,
+                           M: int = 25):
+    """Streaming polyphase resampler block with carried history.
+
+    xr/xi: (..., t_in) NEW input samples; hr/hi: (..., RS_TAPS_PER_PHASE-1)
+    tail of the previous block's inputs.  Requires t_out*M == t_in*L (the
+    polyphase pattern then repeats identically every block, so static
+    indices give exact sample-stream continuity).  Returns (yr, yi, hr2,
+    hi2) with hr2/hi2 the new history.
+    """
+    t_in = xr.shape[-1]
+    assert t_out * M == t_in * L, (t_out, M, t_in, L)
+    pad = RS_TAPS_PER_PHASE - 1
+    n = np.arange(t_out)
+    base = (n * M) // L + pad
+    phase = (n * M) % L
+    bank = jnp.asarray(_resamp_bank(L, M))
+    coef = jnp.flip(bank[jnp.asarray(phase)], axis=-1)   # (t_out, taps)
+    xr = jnp.concatenate([hr, xr], axis=-1)
+    xi = jnp.concatenate([hi, xi], axis=-1)
+    idx = jnp.asarray(base)[:, None] - pad + jnp.arange(RS_TAPS_PER_PHASE)
+    yr = jnp.sum(xr[..., idx] * coef, axis=-1)
+    yi = jnp.sum(xi[..., idx] * coef, axis=-1)
+    return yr, yi, xr[..., -pad:], xi[..., -pad:]

@@ -109,6 +109,22 @@ class BurstSync:
     def time(self) -> TdmaTime:
         return self.phy.time
 
+    def _unlock(self):
+        """Drop lock and discard stale buffered bits beyond the reference's
+        4096-bit window.  Our buffer is 16x the reference's (block feeds),
+        so after a signal gap it can still hold minutes-old bursts whose
+        training sequences re-acquisition would otherwise latch onto --
+        a false lock that consumes the whole stale region slot-by-slot
+        before the live stream is reached (tetra_burst_sync.c bounds this
+        staleness to 8 slots by construction)."""
+        self.state = RX_UNLOCKED
+        self.lock_losses += 1
+        keep = 4096
+        if len(self.bitbuf) > keep:
+            drop = len(self.bitbuf) - keep
+            self.bitbuf = self.bitbuf[drop:]
+            self.bitbuf_start_bitnum += drop
+
     def feed(self, bits: np.ndarray) -> list[Burst]:
         """Append demodulated bits; return any completed bursts."""
         bits = np.asarray(bits, np.uint8).reshape(-1)
@@ -161,8 +177,7 @@ class BurstSync:
                 if m is None:
                     m = find_train_seq(self.bitbuf, _SEARCH_SEQS_LOCKED)
                 if m is None:
-                    self.state = RX_UNLOCKED
-                    self.lock_losses += 1
+                    self._unlock()
                 else:
                     seq_id, offs = m
                     if seq_id == P.TRAIN_SEQ_SYNC:
@@ -172,8 +187,21 @@ class BurstSync:
                                              self.time.copy(),
                                              self.phy.slot_count))
                         else:
-                            self.state = RX_UNLOCKED
+                            # a SYNC training sequence at the wrong offset
+                            # means our slot alignment slipped -- but the y
+                            # we just saw IS a fresh acquisition: re-align
+                            # to it directly instead of unlocking and
+                            # waiting up to 72 slots for the next SYNC
+                            # burst (+ vs reference, which just unlocks
+                            # and usually consumes this y with the slot,
+                            # tetra_burst_sync.c:121-127)
                             self.lock_losses += 1
+                            self.state = RX_KNOW_FSTART
+                            self.next_frame_start_bitnum = (
+                                self.bitbuf_start_bitnum + offs
+                                + P.SYNC_TRAIN_TO_NEXT_SLOT)
+                            progress = True
+                            continue
                     else:
                         if offs == P.NORM_TRAIN_OFFSET:
                             out.append(Burst(seq_id,

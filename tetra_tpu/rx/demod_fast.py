@@ -88,20 +88,43 @@ _POLY = None
 
 
 def _bank_polys():
-    """Degree-5 polynomial fits of the interpolator bank and its derivative
-    bank as functions of the fractional delay mu in [0, 1): evaluating a
-    Horner polynomial per tap replaces the 128-row bank lookup entirely
-    (max fit error ~2e-4, far below the symbol decision margins; and the
-    continuous evaluation removes the reference's 1/128 phase quantization).
-    Returns (Pb, Pd) of shape (6, ntaps), highest power first."""
+    """Degree-5 Horner-polynomial fractional-delay interpolator + derivative.
+
+    The taps are least-squares designed per mu against the ideal band-limited
+    delay e^{-j2pi f(D+mu)} over |f| <= 0.36 cycles/sample (the TETRA signal
+    occupies +-0.3375 at 2 sps), then fitted as degree-5 polynomials in mu
+    (max fit error 4e-5).  This replaces the reference's 128x8
+    Nuttall-windowed-sinc bank (complex_fd.cpp:153-158, kept verbatim in the
+    per-sample parity chain): the windowed-sinc bank has a ~4% gain droop
+    and a delay bias at fractional mu whose biased timing S-curve makes the
+    CHUNKED loop slip one symbol every few hundred -- each slip steps the
+    pi/4 derotation parity and masquerades as a ~13 Hz carrier rotation.
+    The LS taps are flat (-43 dB worst-case interpolation error vs -25 dB)
+    and bias-free at every mu.  Returns (Pb, Pd), shape (6, ntaps),
+    highest power first; the derivative taps target d/dmu of the same ideal
+    response (the timing-error dfdt of complex_fd.cpp:104-125)."""
     global _POLY
     if _POLY is None:
-        _, _, bank = _tables()
-        dbank = _deriv_bank()
-        mu = np.arange(bank.shape[0]) / bank.shape[0]
-        V = np.vander(mu, 6)
-        Pb, *_ = np.linalg.lstsq(V, bank, rcond=None)
-        Pd, *_ = np.linalg.lstsq(V, dbank, rcond=None)
+        ntaps = P.INTERP_TAP_COUNT
+        D = ntaps // 2 - 1
+        fgrid = np.linspace(-0.36, 0.36, 481)
+        E = np.exp(-2j * np.pi * np.outer(fgrid, np.arange(ntaps)))
+        A = np.vstack([E.real, E.imag])
+        mus = np.linspace(0.0, 1.0, 129)
+        C = np.empty((len(mus), ntaps))
+        Cd = np.empty((len(mus), ntaps))
+        for i, mu in enumerate(mus):
+            tgt = np.exp(-2j * np.pi * fgrid * (D + mu))
+            C[i], *_ = np.linalg.lstsq(
+                A, np.concatenate([tgt.real, tgt.imag]), rcond=None)
+            # derivative at natural d/dmu scale (see _mm_costas_chunked:
+            # the error normalization that keeps the clock loop damped)
+            tgtd = -2j * np.pi * fgrid * tgt
+            Cd[i], *_ = np.linalg.lstsq(
+                A, np.concatenate([tgtd.real, tgtd.imag]), rcond=None)
+        V = np.vander(mus, 6)
+        Pb, *_ = np.linalg.lstsq(V, C, rcond=None)
+        Pd, *_ = np.linalg.lstsq(V, Cd, rcond=None)
         _POLY = (Pb.astype(np.float32), Pd.astype(np.float32))
     return _POLY
 
@@ -164,10 +187,29 @@ def _agc_fll_chunked(xr, xi, gain, phase, freq, hre, him, be):
         cr, ci = xc                               # (C, K)
         yr, yi = cr * gain[:, None], ci * gain[:, None]
         amp = jnp.sqrt(yr * yr + yi * yi)
-        # aggregate per-sample AGC updates at frozen gain
-        dg = P.AGC_RATE * jnp.sum(P.AGC_SETPOINT - amp, axis=1)
-        new_gain = jnp.clip(gain + dg, gain * 0.5, gain * 2.0 + 1e-3)
-        new_gain = jnp.minimum(new_gain, P.AGC_MAX_GAIN)
+        # multiplicative (log-domain) chunk update.  Naively summing K raw
+        # per-sample steps (rate * sum(setpoint - amp)) is an ADDITIVE step
+        # whose size does not scale with the gain: whenever the converged
+        # gain is far from 1 (strong or weak inputs), |dg| ~ gain and the
+        # loop falls into a +-6 dB/chunk limit cycle -- chunk-rate AM that
+        # wrecks the constellation (dist 0.5 on a clean signal at 16x
+        # amplitude).  The per-sample reference loop (fast_agc.h) never
+        # sees this because its error shrinks within the chunk as it
+        # adapts.  A geometric step gain *= (setpoint/amp)^r is
+        # scale-invariant: first-order in log domain, same equilibrium
+        # (mean amp == setpoint), converges from any input level in a
+        # couple of chunks with no cycling.  r matches the aggregate
+        # per-sample convergence 1-(1-rate)^K.
+        r_eff = 1.0 - (1.0 - P.AGC_RATE) ** K_SAMP
+        amp_mean = jnp.maximum(jnp.mean(amp, axis=1), 1e-9)
+        ratio = jnp.clip(P.AGC_SETPOINT / amp_mean, 0.25, 4.0)
+        # dead-air squelch: when the chunk is essentially empty (signal
+        # gap), hold the gain instead of ramping to AGC_MAX_GAIN -- a
+        # maxed-out gain turns the first chunks after signal return into a
+        # ~1e7x overload that slams the FLL to its rail and stalls
+        # re-acquisition for seconds
+        ratio = jnp.where(amp_mean < 0.01 * P.AGC_SETPOINT, 1.0, ratio)
+        new_gain = jnp.minimum(gain * ratio ** r_eff, P.AGC_MAX_GAIN)
         # frozen phase ramp across the chunk
         ph = phase[:, None] + freq[:, None] * n[None, :]
         c, s = jnp.cos(ph), jnp.sin(ph)
@@ -242,7 +284,14 @@ def _mm_costas_chunked(yr, yi, tail_re, tail_im, pos, omega,
         dr = jnp.sum(wre * cd, axis=2)
         di = jnp.sum(wim * cd, axis=2)
         sgn = lambda v: jnp.where(v > 0, 1.0, -1.0)
-        err = jnp.clip(sgn(f0r) * dr + sgn(f0i) * di, -1.0, 1.0)
+        # natural d/dmu derivative scale: the reference's adjacent-row
+        # differences (1/128 phase step) shrink the timing S-curve slope to
+        # ~1/128 of what its criticallyDamped gain design assumes, leaving
+        # the clock loop at damping ~0.06 -- a noise-pumped resonance that
+        # random-walks the block loop's mu estimate.  d/dmu units restore
+        # slope ~0.8 and the designed ~0.7 damping; the clip scales
+        # accordingly (it only exists to bound outliers).
+        err = jnp.clip(sgn(f0r) * dr + sgn(f0i) * di, -4.0, 4.0)
         err = jnp.where(valid, err, 0.0)
         err_sum = jnp.sum(err, axis=1)
         n_valid = jnp.sum(valid, axis=1).astype(jnp.float32)
@@ -263,12 +312,19 @@ def _mm_costas_chunked(yr, yi, tail_re, tail_im, pos, omega,
         cerr = jnp.clip(sgn(sr) * si - sgn(si) * sr, -1.0, 1.0)
         cerr = jnp.where(valid, cerr, 0.0)
         cerr_sum = jnp.sum(cerr, axis=1)
-        # leaky integrator: during FLL pull-in the residual rotation exceeds
-        # the chunked tracking range and the aggregated S-curve error loses
-        # its restoring force; the leak lets a railed integrator decay back
-        # once the FLL has taken over (exact-mode loops don't need this
-        # because they update per sample)
-        cfreq = jnp.clip((1.0 - 0.05) * cfreq + _COSTAS_BETA * cerr_sum,
+        # rail-gated leaky integrator: during FLL pull-in the residual
+        # rotation exceeds the chunked tracking range and the aggregated
+        # S-curve error loses its restoring force, so a railed integrator
+        # must decay back once the FLL has taken over (exact-mode loops
+        # don't need this because they update per sample).  The leak only
+        # engages NEAR THE RAIL: a steady leak would demand a standing
+        # phase error proportional to any sustained cfreq -- the band-edge
+        # FLL parks a few Hz off on band-limited (channelized) inputs and
+        # the Costas holds the difference, so an always-on leak turned that
+        # into a ~0.4 rad constellation offset on every wideband channel.
+        leak = jnp.where(
+            jnp.abs(cfreq) > 0.3 * _COSTAS_FREQ_LIM_CHUNKED, 0.05, 0.0)
+        cfreq = jnp.clip((1.0 - leak) * cfreq + _COSTAS_BETA * cerr_sum,
                          -_COSTAS_FREQ_LIM_CHUNKED, _COSTAS_FREQ_LIM_CHUNKED)
         cphase_n = cphase + cfreq * n_valid + _COSTAS_ALPHA * cerr_sum
         cphase = cphase_n - 2 * np.pi * jnp.floor(
