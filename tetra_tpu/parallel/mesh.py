@@ -43,9 +43,12 @@ def sharded_demod_step(mesh: Mesh, block_len: int):
     between blocks.
     """
     n_chunks = int(np.ceil(block_len / (demod_mod.K_SYM * 1.96))) + 1
+    use_pallas = demod_mod._resolve_pallas(demod_mod.USE_PALLAS)
+    use_pallas_mm = demod_mod._resolve_pallas(demod_mod.USE_PALLAS_MM)
 
     def step(state, xr, xi):
-        return demod_mod._demod_block_impl(state, xr, xi, n_chunks)
+        return demod_mod._demod_block_impl(state, xr, xi, n_chunks,
+                                           use_pallas, use_pallas_mm)
 
     cspec = Pspec("ch")
     state_spec = jax.tree.map(lambda _: cspec, demod_mod.demod_init(1))
@@ -150,6 +153,8 @@ def sharded_wideband_demod_step(mesh: Mesh, n_ch: int, t50_new: int = 5600):
     wide_len = (t50_new - 1) * hop + L
     advance = t50_new * hop
     n_chunks = int(np.ceil(t36 / (demod_mod.K_SYM * 1.96))) + 1
+    use_pallas = demod_mod._resolve_pallas(demod_mod.USE_PALLAS)
+    use_pallas_mm = demod_mod._resolve_pallas(demod_mod.USE_PALLAS_MM)
 
     def step(state, wr, wi):
         dstate, hr, hi = state
@@ -158,7 +163,8 @@ def sharded_wideband_demod_step(mesh: Mesh, n_ch: int, t50_new: int = 5600):
         yr = jax.lax.dynamic_slice_in_dim(yr, c0, ch_per_chip, 0)
         yi = jax.lax.dynamic_slice_in_dim(yi, c0, ch_per_chip, 0)
         rr, ri, hr, hi = CH._resample_stream_block(yr, yi, hr, hi, t36)
-        dstate, outs = demod_mod._demod_block_impl(dstate, rr, ri, n_chunks)
+        dstate, outs = demod_mod._demod_block_impl(dstate, rr, ri, n_chunks,
+                                                    use_pallas, use_pallas_mm)
         nv = jnp.sum(outs["valid"]).astype(jnp.float32)
         ds = jnp.sum(jnp.where(outs["valid"], outs["dist"], 0.0))
         tot = jax.lax.psum(jnp.stack([ds, nv]), ("host", "chip"))
