@@ -73,3 +73,49 @@ def test_wideband_16ch_multicell_decode():
         assert d.mcc == cells[k].mcc, (c, k, d.mcc)
         assert d.mnc == cells[k].mnc
         assert d.cc == cells[k].cc
+
+
+def test_wideband_operating_region_20db():
+    """Full wideband path at the BASELINE operating point: 20 dB SNR + CFO
+    on the wideband capture, channelize -> resample -> demod -> MAC; the
+    occupied channel must lock and decode its cell cleanly (the cascade
+    filters are flat over the RRC band, so the narrowband operating region
+    carries over)."""
+    import jax
+    from tetra_tpu import params as P
+    from tetra_tpu.rx.burst_sync import BurstSync, RX_LOCKED
+    from tetra_tpu.rx.demod import dibits_to_bits
+    from tetra_tpu.rx import demod_fast
+    from tetra_tpu.rx.lower_mac import LowerMac
+    from tetra_tpu.rx.tdma import TdmaTime
+    from tetra_tpu.tx import cell
+    from tetra_tpu.tx.channel import channel as chan
+    from tetra_tpu.tx.modulator import modulate
+    from tetra_tpu.tx.wideband import assemble_wideband
+
+    N = 16
+    cfg = cell.CellConfig()
+    bits, _ = cell.downlink_bits(cfg, 170, start=TdmaTime(mn=1, fn=17, tn=4))
+    x = np.asarray(modulate(jnp.asarray(bits[None, :])))[0]
+    wide = assemble_wideband({5: x}, N)
+    # impair at the WIDEBAND rate: AWGN across the whole band + CFO
+    wide = np.asarray(chan(jnp.asarray(wide[None]), jax.random.key(3),
+                           snr_db=20.0 - 10 * np.log10(N / 2), cfo_hz=300.0,
+                           sample_rate=N * 25_000.0))[0]
+    y = CH.resample_50_to_36(CH.channelize(wide, N))[5]
+    sync = BurstSync()
+    mac = LowerMac(phy=sync.phy)
+    st = demod_fast.demod_init(1)
+    T = (len(y) // 4096) * 4096
+    for i in range(T // 4096):
+        st, outs = demod_fast.demod_block(st, y[None, i * 4096:(i + 1) * 4096])
+        v = np.asarray(outs["valid"])[0]
+        bursts = sync.feed(dibits_to_bits(np.asarray(outs["dibits"])[0][v]))
+        if bursts:
+            mac.process_bursts(bursts)
+    assert sync.state == RX_LOCKED
+    d = mac.upper.display
+    assert (d.mcc, d.mnc, d.cc) == (cfg.mcc, cfg.mnc, cfg.cc)
+    # acquisition may consume up to two SYNC periods at 20 dB with CFO
+    # (same allowance as the narrowband operating-region test)
+    assert mac.crc_oks >= 60
