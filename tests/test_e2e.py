@@ -282,3 +282,36 @@ def test_multi_channel_cross_batched_fec_different_cells():
             cfg.mcc, cfg.mnc, cfg.cc)
         # post-acquisition blocks decode cleanly for every cell
         assert macs[c].crc_oks >= 3 * 85, c
+
+
+def test_cell_handover_scrambling_change():
+    """Soak element: the serving cell changes mid-stream (new MCC/MNC/CC =
+    new scrambling code).  The receiver must keep slot lock (continuous
+    bits), decode the new cell's SYNC PDU under predefined SB1 scrambling,
+    adopt the new scrambling code, and decode the new cell's payloads."""
+    from tetra_tpu.rx.tdma import PhyState
+
+    cfg_a = cell.CellConfig(mcc=262, mnc=1234, cc=7)
+    cfg_b = cell.CellConfig(mcc=505, mnc=88, cc=33)
+    bits_a, _ = cell.downlink_bits(cfg_a, 170, start=START.copy())
+    # cell B continues the TDMA timeline (same slot grid, new identity)
+    bits_b, _ = cell.downlink_bits(cfg_b, 170,
+                                   start=TdmaTime(mn=4, fn=5, tn=1))
+    bits = np.concatenate([bits_a, bits_b])
+    phy = PhyState()
+    sync = BurstSync(phy=phy)
+    mac = LowerMac(phy=phy)
+    crc_at_switch = None
+    for i in range(0, len(bits), 510 * 4):
+        mac.process_bursts(sync.feed(bits[i:i + 510 * 4]))
+        if crc_at_switch is None and i >= 170 * 510:
+            crc_at_switch = mac.crc_oks
+    assert sync.state == RX_LOCKED
+    assert sync.lock_losses == 0           # lock survives the handover
+    d = mac.upper.display
+    # new cell adopted
+    assert (d.mcc, d.mnc, d.cc) == (cfg_b.mcc, cfg_b.mnc, cfg_b.cc)
+    assert mac.cell.scramb_init == P.scramb_get_init(
+        cfg_b.mcc, cfg_b.mnc, cfg_b.cc)
+    # cell B's payloads decode after its first SYNC PDU
+    assert mac.crc_oks >= crc_at_switch + 150
