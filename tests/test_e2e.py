@@ -315,3 +315,39 @@ def test_cell_handover_scrambling_change():
         cfg_b.mcc, cfg_b.mnc, cfg_b.cc)
     # cell B's payloads decode after its first SYNC PDU
     assert mac.crc_oks >= crc_at_switch + 150
+
+
+def test_fragment_reassembly_e2e():
+    """Fragmented TM-SDU across slots: START (fills half block) + MAC-FRAG
+    + MAC-END on the next frame's same timeslot reassemble into one SDU
+    that parses through LLC/CMCE (21.4.3.1-3; fragslots keyed per
+    timeslot, aged on fn 18)."""
+    from tetra_tpu.rx.tdma import PhyState
+
+    rng = np.random.default_rng(55)
+    # message: LLC BL-UDATA -> CMCE D-SDS DATA + payload, 280 bits total
+    msg = np.concatenate([
+        np.array([0,0,1,0], np.uint8),          # LLC BL-UDATA
+        np.array([0,1,0], np.uint8),            # MLE pdisc CMCE
+        np.array([0,1,1,1,1], np.uint8),        # CMCE D-SDS DATA (0x0F)
+        rng.integers(0, 2, 268).astype(np.uint8)])
+    bits, records = cell.downlink_bits(
+        CFG, 170, start=START.copy(), frag_message=((5, 3), msg))
+    kinds = [r.kind for r in records]
+    assert "frag_start" in kinds and "frag_end" in kinds
+    phy = PhyState()
+    sync = BurstSync(phy=phy)
+    mac = LowerMac(phy=phy)
+    for i in range(0, len(bits), 510 * 4):
+        mac.process_bursts(sync.feed(bits[i:i + 510 * 4]))
+    reass = [e for e in mac.upper.events if e[0] == "tm_sdu_reassembled"]
+    assert len(reass) >= 1
+    got = reass[-1][2]
+    # reassembled SDU = message (+ zero padding from the octet-aligned END)
+    assert len(got) >= len(msg)
+    assert (got[:len(msg)] == msg).all()
+    assert not got[len(msg):].any()
+    # and it parsed through LLC down to the CMCE PDU name
+    names = [e[3].pdu_name for e in mac.upper.events
+             if e[0] == "llc" and e[3] is not None]
+    assert "D-SDS DATA" in names

@@ -137,6 +137,66 @@ def build_resource_pdu(ssi: int, sdu_bits: np.ndarray,
     return np.concatenate([bits, tail])
 
 
+def build_frag_start_pdu(ssi: int, frag: np.ndarray,
+                         fill_to: int = 124) -> np.ndarray:
+    """MAC-RESOURCE with length indicator 0x3F ("start of fragmentation"):
+    the PDU fills the half slot and its TM-SDU part is the first fragment
+    (rx_resrc START_FRAG branch expects the fragment to run to the end of
+    the block, so `frag` must be exactly fill_to - 43 bits)."""
+    header = 43
+    assert len(frag) == fill_to - header
+    return np.concatenate([
+        _uint_to_bits(0, 2),    # MAC PDU type: MAC-RESOURCE
+        _uint_to_bits(0, 1),    # fill bits (none)
+        _uint_to_bits(0, 1),    # grant position
+        _uint_to_bits(0, 2),    # encryption mode
+        _uint_to_bits(0, 1),    # random access flag
+        _uint_to_bits(0x3F, 6),  # length: start of fragmentation
+        _uint_to_bits(1, 3),    # address type SSI
+        _uint_to_bits(ssi, 24),
+        _uint_to_bits(0, 1),    # power control absent
+        _uint_to_bits(0, 1),    # slot granting absent
+        _uint_to_bits(0, 1),    # channel allocation absent
+        np.asarray(frag, np.uint8),
+    ])
+
+
+def build_frag_cont_pdu(frag: np.ndarray, fill_to: int = 124) -> np.ndarray:
+    """MAC-FRAG continuation: [01][0][fill=0] + fragment filling the block
+    (21.4.3.2; _rx_macfrag consumes everything after the 4 header bits)."""
+    assert len(frag) == fill_to - 4
+    return np.concatenate([
+        _uint_to_bits(1, 2),    # MAC PDU type: FRAG/END
+        _uint_to_bits(0, 1),    # subtype MAC-FRAG
+        _uint_to_bits(0, 1),    # fill bits (none)
+        np.asarray(frag, np.uint8),
+    ])
+
+
+def build_frag_end_pdu(frag: np.ndarray, fill_to: int = 124) -> np.ndarray:
+    """MAC-END: [01][1][fill=0][grant-pos][len 6][slot-grant 0][chanalloc 0]
+    + final fragment (21.4.3.3).  The length indicator covers header+fragment
+    in octets; the fragment is zero-padded to the octet boundary (trailing
+    pad after the SDU, like any length-delimited PDU)."""
+    header = 13
+    length_oct = (header + len(frag) + 7) // 8
+    assert length_oct <= 0x12 and length_oct * 8 <= fill_to
+    pad = length_oct * 8 - header - len(frag)
+    bits = np.concatenate([
+        _uint_to_bits(1, 2),    # MAC PDU type: FRAG/END
+        _uint_to_bits(1, 1),    # subtype MAC-END
+        _uint_to_bits(0, 1),    # fill bits
+        _uint_to_bits(0, 1),    # position of grant
+        _uint_to_bits(length_oct, 6),
+        _uint_to_bits(0, 1),    # slot granting absent
+        _uint_to_bits(0, 1),    # channel allocation absent
+        np.asarray(frag, np.uint8),
+        np.zeros(pad, np.uint8),
+    ])
+    tail = np.zeros(fill_to - len(bits), np.uint8)
+    return np.concatenate([bits, tail])
+
+
 def build_null_pdu(fill_to: int = 124) -> np.ndarray:
     """MAC-RESOURCE with NULL address (fills remainder of the slot)."""
     bits = np.concatenate([
@@ -177,7 +237,8 @@ def downlink_bits(cfg: CellConfig, n_slots: int,
                   payload_rng: np.random.Generator | None = None,
                   voice_slots: dict | None = None,
                   crypto=None,
-                  stolen_slots: set | None = None
+                  stolen_slots: set | None = None,
+                  frag_message: tuple | None = None
                   ) -> tuple[np.ndarray, list[SlotRecord]]:
     """Generate `n_slots` consecutive downlink slots (510 bits each).
 
@@ -194,6 +255,11 @@ def downlink_bits(cfg: CellConfig, n_slots: int,
     transmitted with training sequence 2 instead (clause 19.4.4 slot
     stealing): both half blocks carry STCH signalling, the first announcing
     the second via length indicator 0x3E.
+
+    frag_message: optional ((fn, tn), sdu_bits) - transmit sdu_bits as a
+    fragmented TM-SDU: START (fills the first half block) + MAC-FRAG
+    (second half block) at (fn, tn), then MAC-END on the same timeslot of
+    the NEXT frame (21.4.3.1-3 fragmentation; fragslots are per-timeslot).
     """
     from ..voice import channel as vchannel
 
@@ -203,6 +269,7 @@ def downlink_bits(cfg: CellConfig, n_slots: int,
     scramb = P.scramb_get_init(cfg.mcc, cfg.mnc, cfg.cc)
     out = []
     records = []
+    frag_pending = None  # (tn, remaining_bits) awaiting the MAC-END slot
     for _ in range(n_slots):
         time.add_tn(1)
         is_voice = (voice_slots is not None and time.tn in voice_slots
@@ -242,6 +309,34 @@ def downlink_bits(cfg: CellConfig, n_slots: int,
                 type5[:216], bbk5, type5[216:], two_log_chan=False)
             records.append(SlotRecord(time.copy(), "voice",
                                       dict(frames=frames, aach=aach)))
+            out.append(b)
+            continue
+        want_frag = (frag_message is not None
+                     and (time.fn, time.tn) == frag_message[0]
+                     and not is_bsch(time) and not is_voice)
+        if want_frag or (frag_pending is not None
+                         and frag_pending[0] == time.tn
+                         and not is_bsch(time) and not is_voice):
+            if want_frag:
+                msg = np.asarray(frag_message[1], np.uint8)
+                f1, f2 = msg[:81], msg[81:201]
+                assert len(msg) > 201, "message too short to need fragmenting"
+                ndb1 = build_frag_start_pdu(ssi=0x24680, frag=f1)
+                ndb2 = build_frag_cont_pdu(np.pad(f2, (0, 120 - len(f2))))
+                frag_pending = (time.tn, msg[201:])
+                kind = "frag_start"
+            else:
+                ndb1 = build_frag_end_pdu(frag_pending[1])
+                ndb2 = build_null_pdu()
+                frag_pending = None
+                kind = "frag_end"
+            b = burst_mod.build_norm_burst(
+                fec_enc.encode_block(ndb1, P.TPSAP_T_NDB, scramb),
+                bbk5,
+                fec_enc.encode_block(ndb2, P.TPSAP_T_NDB, scramb),
+                two_log_chan=True)
+            records.append(SlotRecord(time.copy(), kind,
+                                      dict(ndb1=ndb1, aach=aach, ndb2=ndb2)))
             out.append(b)
             continue
         if is_bsch(time):
