@@ -70,3 +70,51 @@ class TetraReceiver:
         """Signal-quality gate analogous to dqpsk_sym_extr.cpp:25-29."""
         from .. import params as P
         return self.sym_quality[c] < P.SYNC_QUALITY_THRESHOLD
+
+    # -- checkpoint / resume -------------------------------------------------
+    # The reference has no state persistence at all (SURVEY.md section 5:
+    # "DSP/decoder state is ephemeral").  For long-running production
+    # receivers we checkpoint the resumable signal-path state: demod loop
+    # state, burst-sync lock + bit buffer, TDMA time, and each channel's
+    # cell data (scrambling).  Event logs and fragment slots are transient
+    # by design (fragments age out after N203 multiframes anyway) and are
+    # not part of the checkpoint.
+
+    def save_state(self, path: str) -> None:
+        data = {}
+        for k, v in self.state._asdict().items():
+            data[f"demod_{k}"] = np.asarray(v)
+        for c in range(self.channels):
+            s, m = self.sync[c], self.mac[c]
+            t = s.phy.time
+            data[f"sync{c}"] = np.array([
+                s.state, s.bitbuf_start_bitnum, s.next_frame_start_bitnum,
+                s.lock_losses, s.phy.slot_count,
+                t.hn, t.mn, t.fn, t.tn, t.sn], np.int64)
+            data[f"bitbuf{c}"] = s.bitbuf
+            data[f"cell{c}"] = np.array([
+                m.cell.mcc, m.cell.mnc, m.cell.colour_code,
+                m.cell.scramb_init, m.crc_oks, m.crc_fails], np.int64)
+        data["sym_quality"] = self.sym_quality
+        np.savez(path, **data)
+
+    def load_state(self, path: str) -> None:
+        import jax.numpy as jnp
+        z = np.load(path)
+        fields = {k[len("demod_"):]: jnp.asarray(z[k])
+                  for k in z.files if k.startswith("demod_")}
+        self.state = type(self.state)(**fields)
+        for c in range(self.channels):
+            s, m = self.sync[c], self.mac[c]
+            (s.state, s.bitbuf_start_bitnum, s.next_frame_start_bitnum,
+             s.lock_losses, s.phy.slot_count,
+             hn, mn, fn, tn, sn) = (int(x) for x in z[f"sync{c}"])
+            t = s.phy.time
+            t.hn, t.mn, t.fn, t.tn, t.sn = hn, mn, fn, tn, sn
+            s.bitbuf = z[f"bitbuf{c}"].astype(np.uint8)
+            (m.cell.mcc, m.cell.mnc, m.cell.colour_code,
+             m.cell.scramb_init, m.crc_oks, m.crc_fails) = (
+                int(x) for x in z[f"cell{c}"])
+            d = m.upper.display
+            d.mcc, d.mnc, d.cc = m.cell.mcc, m.cell.mnc, m.cell.colour_code
+        self.sym_quality = z["sym_quality"]
