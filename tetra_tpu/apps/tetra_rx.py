@@ -152,6 +152,9 @@ def main(argv=None):
     ap.add_argument("-v", "--verbose", action="store_true",
                     help="print each decoded PDU (the reference's console "
                          "dump; rx_tmv_unitdata_ind et al.)")
+    ap.add_argument("--state", default=None, metavar="NPZ",
+                    help="receiver checkpoint: loaded if present, saved on "
+                         "exit (resume decoding without re-acquisition)")
     ap.add_argument("--config", default=None, metavar="JSON",
                     help="per-instance settings file: loaded as defaults, "
                          "saved back on exit (the plugin's config "
@@ -209,6 +212,10 @@ def main(argv=None):
                 for m in rx.mac:
                     m.upper.crypto_state = CryptoState(
                         store=KeyStore.load(args.keystore))
+            if args.state:
+                import os as _os
+                if _os.path.exists(args.state):
+                    rx.load_state(args.state)
         rx.process(blk)
         if args.verbose:
             if i == 0:
@@ -237,6 +244,8 @@ def main(argv=None):
                     print(f"[ch {c}] UNLOCKED q={rx.sym_quality[c]:.2f}")
     if pcm_out:
         pcm_out.close()
+    if args.state and rx is not None:
+        rx.save_state(args.state)
     # final summary as one JSON line
     summary = []
     for c in range(C):
