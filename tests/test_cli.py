@@ -71,3 +71,33 @@ def test_cli_netsyms_mode(capture):
     except socket.timeout:
         pass
     assert total > 10000
+
+
+def test_cli_verbose_config_state(capture, tmp_path):
+    """-v prints decoded PDUs; --config persists settings; --state resumes
+    without re-acquisition."""
+    path, cfg = capture
+    cfgfile = str(tmp_path / "rx.json")
+    statefile = str(tmp_path / "rx.npz")
+    r = _run_cli([path, "-v", "--config", cfgfile, "--state", statefile,
+                  "--status-every", "9", "--block", "8192"])
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "SYSINFO" in r.stdout
+    assert "MAC-RESOURCE ssi=0x123456" in r.stdout
+    assert "LLC BL-UDATA CMCE D-SDS DATA" in r.stdout
+    saved = json.load(open(cfgfile))
+    assert saved["block"] == 8192
+    assert os.path.exists(statefile)
+    first = json.loads(r.stdout.strip().splitlines()[-1])
+
+    # resume on the same capture: config supplies block=8192 as the default,
+    # the checkpoint restores lock (no cold-start CRC failures)
+    r2 = _run_cli([path, "--config", cfgfile, "--state", statefile,
+                   "--status-every", "9"])
+    assert r2.returncode == 0, r2.stderr[-500:]
+    second = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert second[0]["locked"] and second[0]["mcc"] == cfg.mcc
+    # resumed run starts locked with the scrambling known: total failures
+    # barely grow (an unresumed run would repeat ~first[0] cold-start fails)
+    assert second[0]["crc_fail"] - first[0]["crc_fail"] < 30
+    assert second[0]["crc_ok"] > first[0]["crc_ok"] * 1.5
