@@ -101,6 +101,35 @@ class NetsymsStreamer:
         return self.since_found < self.TS_EXPIRE
 
 
+def _render_dashboard(rx, C):
+    """Terminal panel with the reference status GUI's field set
+    (menuHandler, main.cpp:199-374) rendered from DisplayState."""
+    lines = ["\x1b[2J\x1b[H=== tetra_tpu receiver status ==="]
+    tc_names = {0: "-", 1: "CTRL", 2: "NDB2", 3: "SYNC", 4: "VOICE"}
+    for c in range(C):
+        d = rx.display(c)
+        lock = "LOCK" if rx.locked(c) else "----"
+        q = rx.sym_quality[c]
+        qflag = "ok" if rx.quality_ok(c) else "BAD"
+        slots = "/".join(tc_names.get(t, "?") for t in d.timeslot_content)
+        lines.append(
+            f"ch{c:3d} [{lock}] q={q:.2f}({qflag}) "
+            f"net {d.mcc}/{d.mnc} cc {d.cc}  "
+            f"t {d.curr_hyperframe}:{d.curr_multiframe:02d}/{d.curr_frame:02d}  "
+            f"dl {d.dl_freq/1e6:9.4f} MHz ul {d.ul_freq/1e6:9.4f} MHz")
+        lines.append(
+            f"      slots [{slots}]  usage {d.dl_usage}/{d.ul_usage}  "
+            f"access {d.access1_code}{d.access1}/{d.access2_code}{d.access2}  "
+            f"crc {rx.mac[c].crc_oks}/{rx.mac[c].crc_fails}"
+            f"{'  CRC-FAIL' if d.last_crc_fail else ''}")
+        flags = [n for n in ("voice_service", "normal_mode", "air_encryption",
+                             "sndcp_data", "circuit_data", "advanced_link")
+                 if getattr(d, n)]
+        if flags:
+            lines.append(f"      services: {' '.join(flags)}")
+    print("\n".join(lines), flush=True)
+
+
 def _format_event(e) -> str | None:
     """One console line per upper-MAC event (the decoded-PDU dump the
     reference prints from rx_tmv_unitdata_ind / rx_resrc / rx_bcast)."""
@@ -152,6 +181,9 @@ def main(argv=None):
     ap.add_argument("-v", "--verbose", action="store_true",
                     help="print each decoded PDU (the reference's console "
                          "dump; rx_tmv_unitdata_ind et al.)")
+    ap.add_argument("--dashboard", action="store_true",
+                    help="render a refreshing terminal status panel (the "
+                         "reference GUI's field set, main.cpp:199-374)")
     ap.add_argument("--state", default=None, metavar="NPZ",
                     help="receiver checkpoint: loaded if present, saved on "
                          "exit (resume decoding without re-acquisition)")
@@ -229,7 +261,9 @@ def main(argv=None):
                 ev_seen[c] = len(events)
         if voice is not None and pcm_out is not None:
             voice.take_audio().tofile(pcm_out)
-        if (i + 1) % status_blocks == 0:
+        if args.dashboard and (i + 1) % status_blocks == 0:
+            _render_dashboard(rx, C)
+        elif (i + 1) % status_blocks == 0:
             for c in range(C):
                 d = rx.display(c)
                 if rx.locked(c):
