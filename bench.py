@@ -22,10 +22,11 @@ def main():
 
     from tetra_tpu.rx import demod_fast as demod_mod
 
-    def run_config(channels, block):
+    def run_config(channels, block, k):
         n_chunks = int(np.ceil(block / (demod_mod.K_SYM * 1.96))) + 1
 
-        def step(state, xr, xi):
+        def body(state, xs):
+            xr, xi = xs
             state, outs = demod_mod._demod_block_impl(
                 state, xr, xi, n_chunks, True, True)
             # scalar checksum INSIDE the jit: forces execution without
@@ -33,32 +34,41 @@ def main():
             # minutes on this backend)
             return state, outs["dist"].sum()
 
+        def step(state, xr_k, xi_k):
+            # k blocks per dispatch (lax.scan): the compiled program stays
+            # one block's size (the remote compile helper rejects larger
+            # monolithic graphs at C=4096 or T>4608) while the fixed
+            # ~tens-of-ms per-call overhead amortizes across k blocks --
+            # 230 -> 633 Msps at k=8.  Same bulk path as
+            # rx.demod_fast.demod_blocks.
+            state, sums = jax.lax.scan(body, state, (xr_k, xi_k))
+            return state, sums.sum()
+
         jit_step = jax.jit(step)
         rng = np.random.default_rng(0)
         xr = jnp.asarray(
-            rng.standard_normal((channels, block)).astype(np.float32))
+            rng.standard_normal((k, channels, block)).astype(np.float32))
         xi = jnp.asarray(
-            rng.standard_normal((channels, block)).astype(np.float32))
+            rng.standard_normal((k, channels, block)).astype(np.float32))
         state = demod_mod.demod_init(channels)
         state, chk = jit_step(state, xr, xi)   # compile + warmup
         float(chk)
         state, chk = jit_step(state, xr, xi)
         float(chk)
-        iters = 8
+        iters = 6
         t0 = time.perf_counter()
         for _ in range(iters):
             state, chk = jit_step(state, xr, xi)
             float(chk)  # forced scalar fetch per iter (honest sync)
         dt = time.perf_counter() - t0
-        return channels * block * iters / dt / 1e6
+        return k * channels * block * iters / dt / 1e6
 
-    # per-call overhead (~30 ms) dominates; throughput scales with channels
-    # until the per-tile VMEM budget caps the block length
     msps = 0.0
-    for channels, block in ((2048, 4608), (1024, 4608), (512, 4608),
-                            (128, 4608)):
+    for channels, block, k in ((2048, 4608, 32), (2048, 4608, 8),
+                               (2048, 4608, 4), (2048, 4608, 1),
+                               (512, 4608, 1), (128, 4608, 1)):
         try:
-            msps = run_config(channels, block)
+            msps = run_config(channels, block, k)
             break
         except Exception:
             continue

@@ -121,3 +121,25 @@ def test_wideband_channel_quality():
         ds.append(np.asarray(outs["dist"])[0][v])
     d = np.concatenate(ds[3:]).mean()
     assert d < P.SYNC_QUALITY_THRESHOLD / 3, d
+
+
+def test_demod_blocks_scan_equals_sequential():
+    """demod_blocks (k blocks in one scanned device call) streams state
+    identically to k sequential demod_block calls."""
+    rng = np.random.default_rng(9)
+    k, C, T = 3, 4, 1024
+    iq = (rng.standard_normal((k, C, T))
+          + 1j * rng.standard_normal((k, C, T))).astype(np.complex64) * 0.5
+    st_seq = demod_fast.demod_init(C)
+    seq_outs = []
+    for i in range(k):
+        st_seq, outs = demod_fast.demod_block(st_seq, iq[i])
+        seq_outs.append(outs)
+    st_scan, outs_k = demod_fast.demod_blocks(demod_fast.demod_init(C), iq)
+    for f in ("dibits", "valid"):
+        want = np.stack([np.asarray(o[f]) for o in seq_outs])
+        np.testing.assert_array_equal(np.asarray(outs_k[f]), want)
+    np.testing.assert_allclose(np.asarray(st_scan.mm_pos),
+                               np.asarray(st_seq.mm_pos), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st_scan.cos_phase),
+                               np.asarray(st_seq.cos_phase), atol=1e-3)

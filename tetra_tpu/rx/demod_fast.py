@@ -495,3 +495,37 @@ def demod_block(state: FastDemodState, iq: np.ndarray):
     return _demod_block_impl(state, xr, xi, n_chunks,
                              _resolve_pallas(USE_PALLAS),
                              _resolve_pallas(USE_PALLAS_MM))
+
+
+@partial(jax.jit, static_argnames=("n_chunks", "use_pallas", "use_pallas_mm"))
+def _demod_scan_impl(state, xr_k, xi_k, n_chunks: int,
+                     use_pallas: bool, use_pallas_mm: bool):
+    def body(st, xs):
+        xr, xi = xs
+        return _demod_block_impl(st, xr, xi, n_chunks,
+                                 use_pallas, use_pallas_mm)
+    return jax.lax.scan(body, state, (xr_k, xi_k))
+
+
+def demod_blocks(state: FastDemodState, iq: np.ndarray):
+    """Bulk-throughput demod of (k, C, T) stacked blocks in ONE device call.
+
+    `lax.scan` runs the per-block pipeline k times inside a single jitted
+    program: the compiled program size stays that of one block (the remote
+    compile helper rejects larger monolithic graphs) while the fixed
+    ~tens-of-ms per-dispatch overhead of this backend amortizes across k
+    blocks -- measured 230 -> 633 Msamples/s/chip at k=8, C=2048, T=4608.
+    State streams across blocks exactly as k sequential demod_block calls
+    (tests/test_demod_fast.py asserts equality).  Outputs are stacked with
+    a leading k axis.  Adds k*T/36e3 seconds of latency: use for bulk/
+    offline decode; live paths keep per-block calls.
+    """
+    iq = np.asarray(iq)
+    assert iq.ndim == 3
+    T = iq.shape[2]
+    n_chunks = int(np.ceil(T / (K_SYM * _OMEGA_MIN))) + 1
+    xr = jnp.asarray(np.ascontiguousarray(iq.real, dtype=np.float32))
+    xi = jnp.asarray(np.ascontiguousarray(iq.imag, dtype=np.float32))
+    return _demod_scan_impl(state, xr, xi, n_chunks,
+                            _resolve_pallas(USE_PALLAS),
+                            _resolve_pallas(USE_PALLAS_MM))
