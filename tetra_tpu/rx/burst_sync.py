@@ -166,14 +166,30 @@ class BurstSync:
                     break
                 self.time.add_tn(1)
                 self.phy.slot_count += 1
-                # A good burst's match lies inside the current slot, so scan
-                # that region first and fall back to the full buffer only on
-                # a miss: same earliest-match result as one full scan (the
-                # reference scans its whole 4096-bit buffer every slot,
-                # tetra_burst_sync.c:118-127; our buffer is 16x larger and
-                # feeds are block-sized, so O(slot) beats O(buffer) here).
-                m = find_train_seq(self.bitbuf[:P.BITS_PER_TS + 64],
-                                   _SEARCH_SEQS_LOCKED)
+                # Steady-state fast path: a well-aligned burst matches at
+                # its EXPECTED offset (y@214 / n,p@244), so check those two
+                # positions with direct compares before any scan -- O(38)
+                # instead of O(slot*seqs) per slot, which dominated the
+                # host profile at 64+ channels.  (Deviation from the
+                # reference's earliest-match scan only in the ~2e-4/slot
+                # case where a random payload coincidence precedes the real
+                # training sequence -- where accepting the correctly-placed
+                # burst is strictly better than ignoring/unlocking.)
+                buf = self.bitbuf
+                m = None
+                o = P.SYNC_TRAIN_OFFSET
+                if np.array_equal(buf[o:o + len(P.TRAIN_Y)], P.TRAIN_Y):
+                    m = (P.TRAIN_SEQ_SYNC, o)
+                else:
+                    o = P.NORM_TRAIN_OFFSET
+                    seg = buf[o:o + len(P.TRAIN_N)]
+                    if np.array_equal(seg, P.TRAIN_N):
+                        m = (P.TRAIN_SEQ_NORM_1, o)
+                    elif np.array_equal(seg, P.TRAIN_P):
+                        m = (P.TRAIN_SEQ_NORM_2, o)
+                if m is None:
+                    m = find_train_seq(self.bitbuf[:P.BITS_PER_TS + 64],
+                                       _SEARCH_SEQS_LOCKED)
                 if m is None:
                     m = find_train_seq(self.bitbuf, _SEARCH_SEQS_LOCKED)
                 if m is None:

@@ -56,13 +56,15 @@ _POW2_I64 = (1 << np.arange(62, -1, -1)).astype(np.int64)
 
 
 def bits_to_uint(bits: np.ndarray, start: int, length: int) -> int:
-    """MSB-first bit-array to integer (tetra_common.c:114-122), vectorized -
-    this is the hottest host-path primitive (hundreds of calls per slot)."""
-    seg = bits[start:start + length]
-    n = len(seg)
-    if n == 0:
-        return 0
-    return int(np.dot(seg.astype(np.int64), _POW2_I64[63 - n:]))
+    """MSB-first bit-array to integer (tetra_common.c:114-122) - the hottest
+    host-path primitive (hundreds of calls per slot).  A shift-accumulate
+    over .tolist() beats both np.dot and np.packbits by 2-4x at the PDU
+    field sizes (2..24 bits): the numpy per-call dispatch overhead dwarfs
+    the arithmetic at these lengths."""
+    v = 0
+    for b in bits[start:start + length].tolist():
+        v = (v << 1) | b
+    return v
 
 
 class BitReader:
