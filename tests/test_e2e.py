@@ -387,3 +387,59 @@ def test_checkpoint_resume_continuity(tmp_path):
     # no re-acquisition penalty: identical decode totals
     assert rx2.mac[0].crc_oks == rx_ref.mac[0].crc_oks
     assert rx2.mac[0].crc_fails == rx_ref.mac[0].crc_fails
+
+
+def test_soak_all_features_mixed_stream():
+    """Integration soak: one continuous stream exercising voice traffic,
+    slot stealing, a fragmented SDU, a cell handover (scrambling change)
+    and a signal dropout with re-acquisition -- decoded through the full
+    modem at 25 dB SNR with CFO."""
+    from tetra_tpu.rx.tdma import PhyState
+    from tetra_tpu.voice.pipeline import VoicePipeline
+
+    rng = np.random.default_rng(77)
+    framegen = lambda: rng.integers(0, 2, (2, 137)).astype(np.uint8)
+    msg = np.concatenate([
+        np.array([0, 0, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0], np.uint8),
+        rng.integers(0, 2, 260).astype(np.uint8)])  # BL-UDATA MM pdu
+    cfg_a = cell.CellConfig(mcc=262, mnc=1234, cc=7)
+    cfg_b = cell.CellConfig(mcc=901, mnc=42, cc=11)
+    bits_a, _ = cell.downlink_bits(
+        cfg_a, 240, start=START.copy(), voice_slots={2: framegen},
+        stolen_slots={(6, 2)}, frag_message=((9, 3), msg))
+    bits_b, _ = cell.downlink_bits(
+        cfg_b, 170, start=TdmaTime(mn=9, fn=17, tn=4))
+    iq_a = np.asarray(modulate(jnp.asarray(bits_a[None, :])))
+    iq_b = np.asarray(modulate(jnp.asarray(bits_b[None, :])))
+    gap = np.zeros((1, 18000), np.complex64)  # 0.5 s dead air = handover
+    iq = np.concatenate([iq_a, gap, iq_b], axis=1)
+    iq = np.asarray(channel(jnp.asarray(iq), jax.random.key(5), snr_db=25.0,
+                            cfo_hz=-250.0, sample_rate=P.SAMPLE_RATE))
+
+    voice_slots_seen = []
+    vp = VoicePipeline()
+
+    def voice_cb(time, type4):
+        voice_slots_seen.append(time.copy())
+        vp(time, type4)
+
+    rx = TetraReceiver(1, voice_cb=voice_cb)
+    T = 4096
+    for i in range(iq.shape[1] // T):
+        rx.process(iq[:, i * T:(i + 1) * T])
+
+    ev = rx.mac[0].upper.events
+    # 1. voice decoded on the traffic timeslot
+    assert len(voice_slots_seen) > 10
+    assert vp.slots_decoded > 10
+    # 2. stolen slot STCH parsed
+    stch = [e for e in ev if e[0] == "resource" and e[2].addr.ssi == 0x654321]
+    assert len(stch) >= 2
+    # 3. fragment reassembled bit-exact
+    reass = [e for e in ev if e[0] == "tm_sdu_reassembled"]
+    assert any((r[2][:len(msg)] == msg).all() for r in reass)
+    # 4. dropout detected and lock re-acquired on the new cell
+    assert rx.sync[0].lock_losses >= 1
+    assert rx.locked()
+    d = rx.display()
+    assert (d.mcc, d.mnc, d.cc) == (cfg_b.mcc, cfg_b.mnc, cfg_b.cc)
