@@ -101,3 +101,44 @@ def test_voice_pipeline_slot_flow():
     assert audio.shape == (480,)
     assert vp.slots_decoded == 1
     assert vp.bad_frames == 0
+
+
+def test_half_slot_loopback_clean():
+    """Half-stolen slot speech: one frame in 216 bits, clean round trip."""
+    frames = RNG.integers(0, 2, (4, 137)).astype(np.uint8)
+    halves = np.stack([vch.encode_half_slot(f) for f in frames])
+    assert halves.shape == (4, 216)
+    dec, bfi = vch.decode_half_slot(halves)
+    assert (dec == frames).all()
+    assert not bfi.any()
+
+
+def test_half_slot_error_correction_and_bfi():
+    frame = RNG.integers(0, 2, 137).astype(np.uint8)
+    half = vch.encode_half_slot(frame)
+    # a few channel errors: protected classes must correct them
+    err = half.copy()
+    err[[60, 120, 180]] ^= 1
+    dec, bfi = vch.decode_half_slot(err[None])
+    # class 1+2 bits (positions from the reorder) must survive
+    prot = np.concatenate([vch._CLASS1_POS, vch._CLASS2_POS]) - 1
+    assert (dec[0][prot] == frame[prot]).all()
+    # heavy corruption of the class-2 region flips BFI
+    bad = half.copy()
+    bad[RNG.permutation(216)[:90]] ^= 1
+    _, bfi2 = vch.decode_half_slot(bad[None])
+    assert bfi2[0]
+
+
+def test_voice_pipeline_half_slot_flow():
+    from tetra_tpu.rx.tdma import TdmaTime
+    from tetra_tpu.voice.pipeline import VoicePipeline
+    vp = VoicePipeline()
+    frame = RNG.integers(0, 2, 137).astype(np.uint8)
+    t = TdmaTime(mn=3, fn=6, tn=2, sn=1)
+    vp.half(t, vch.encode_half_slot(frame))
+    audio = vp.take_audio()
+    # audio clock stays 480/slot: 240 silence (stolen frame) + 240 decoded
+    assert audio.shape == (480,)
+    assert (audio[:240] == 0).all()
+    assert vp.slots_decoded == 1 and vp.bad_frames == 0

@@ -108,6 +108,16 @@ class LowerMac:
             # MAC PDU type like any control block.
             if self.upper.is_traffic and blk_num == 1:
                 self.upper.blk1_stolen = True
+            if (self.upper.is_traffic and blk_num == 2
+                    and self.upper.blk1_stolen
+                    and not self.upper.blk2_stolen):
+                # Only the first half was stolen: the second half block still
+                # carries one speech frame.  The reference drops it
+                # (both halves go to signalling); we decode it (+, ROADMAP).
+                half_cb = getattr(self.voice_cb, "half", None)
+                if half_cb is not None and type4 is not None:
+                    half_cb(time, type4)
+                return
             d.last_crc_fail = not crc_ok
         else:
             d.last_crc_fail = not crc_ok
@@ -132,7 +142,10 @@ class LowerMac:
                     burst.time = t
             type1, ok = decoded[i]
             type4 = None
-            if blk_type == P.TPSAP_T_SCH_F:
+            if blk_type == P.TPSAP_T_SCH_F or (
+                    blk_type == P.TPSAP_T_NDB and blk_num == 2):
+                # NDB blk2's descrambled bits are kept in case the slot turns
+                # out to be a half-stolen traffic slot (speech in blk2)
                 type4 = type5 ^ rx_fec.keystream(scramb, len(type5))
             self.upper.display.curr_multiframe = burst.time.mn
             self.upper.display.curr_frame = burst.time.fn

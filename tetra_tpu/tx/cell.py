@@ -254,7 +254,10 @@ def downlink_bits(cfg: CellConfig, n_slots: int,
     stolen_slots: optional set of (fn, tn) - voice slots at those times are
     transmitted with training sequence 2 instead (clause 19.4.4 slot
     stealing): both half blocks carry STCH signalling, the first announcing
-    the second via length indicator 0x3E.
+    the second via length indicator 0x3E.  A dict {(fn, tn): "both"|"first"}
+    selects per-slot whether both halves are stolen or only the first --
+    with "first" the second half block carries the slot's surviving speech
+    frame (frame 2) as a 216-bit half-slot speech block.
 
     frag_message: optional ((fn, tn), sdu_bits) - transmit sdu_bits as a
     fragmented TM-SDU: START (fills the first half block) + MAC-FRAG
@@ -277,28 +280,37 @@ def downlink_bits(cfg: CellConfig, n_slots: int,
         aach = build_aach(dl_usage=5 if is_voice else 2, ul_usage=0)
         bbk5 = fec_enc.encode_block(aach, P.TPSAP_T_BBK, scramb)
         if is_voice and stolen_slots and (time.fn, time.tn) in stolen_slots:
-            # stolen traffic slot: NORM-2 burst, both halves STCH
+            steal = (stolen_slots[(time.fn, time.tn)]
+                     if isinstance(stolen_slots, dict) else "both")
             sdu1 = np.concatenate([
                 _uint_to_bits(2, 4),    # LLC: BL-UDATA
                 _uint_to_bits(2, 3),    # MLE pdisc: CMCE
                 _uint_to_bits(0x00, 5),  # CMCE: D-ALERT
                 payload_rng.integers(0, 2, 40).astype(np.uint8)])
             stch1 = build_resource_pdu(ssi=0x654321, sdu_bits=sdu1,
-                                       second_half_stolen=True)
-            sdu2 = np.concatenate([
-                _uint_to_bits(2, 4),
-                _uint_to_bits(2, 3),
-                _uint_to_bits(0x03, 5),  # CMCE: D-CONNECT ACK
-                payload_rng.integers(0, 2, 40).astype(np.uint8)])
-            stch2 = build_resource_pdu(ssi=0x654321, sdu_bits=sdu2)
+                                       second_half_stolen=(steal == "both"))
+            if steal == "both":
+                # stolen traffic slot: NORM-2 burst, both halves STCH
+                sdu2 = np.concatenate([
+                    _uint_to_bits(2, 4),
+                    _uint_to_bits(2, 3),
+                    _uint_to_bits(0x03, 5),  # CMCE: D-CONNECT ACK
+                    payload_rng.integers(0, 2, 40).astype(np.uint8)])
+                stch2 = build_resource_pdu(ssi=0x654321, sdu_bits=sdu2)
+                blk2_type5 = fec_enc.encode_block(stch2, P.TPSAP_T_NDB,
+                                                  scramb)
+                rec = dict(stch1=stch1, aach=aach, stch2=stch2)
+            else:
+                # first half stolen only: frame 2's speech survives in blk2
+                frames = np.asarray(voice_slots[time.tn](), np.uint8)
+                half3 = vchannel.encode_half_slot(frames.reshape(2, -1)[1])
+                blk2_type5 = fec_enc.scramble(half3, scramb)
+                rec = dict(stch1=stch1, aach=aach,
+                           frames=frames.reshape(2, -1))
             b = burst_mod.build_norm_burst(
                 fec_enc.encode_block(stch1, P.TPSAP_T_NDB, scramb),
-                bbk5,
-                fec_enc.encode_block(stch2, P.TPSAP_T_NDB, scramb),
-                two_log_chan=True)
-            records.append(SlotRecord(time.copy(), "stch",
-                                      dict(stch1=stch1, aach=aach,
-                                           stch2=stch2)))
+                bbk5, blk2_type5, two_log_chan=True)
+            records.append(SlotRecord(time.copy(), "stch", rec))
             out.append(b)
             continue
         if is_voice:

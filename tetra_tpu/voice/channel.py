@@ -130,6 +130,129 @@ def reorder_from_codec(frames: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Half-slot speech (first half stolen for STCH, clause 19.4.4 / EN 300 395-2
+# 5.6): the surviving 216-bit half block carries ONE speech frame:
+#
+#   class 0: 51 bits unprotected
+#   class 1: 56 bits  -> K=5 N=3 mother (168) -> 8/12 punctured -> 84
+#   class 2: 30 bits + 4-bit CRC + 4 tail = 38 -> mother (114)
+#            -> 8/17 STCH punctured -> 80   (the reference carries this
+#            puncturer as TETRA_RCPC_PUNCT_38_80, tetra_conv_enc.c:185-201,
+#            geometry 38->80 rate-1/3 per its self-test table :268)
+#   51 + 84 + 80 + 1 fill = 216, block-interleaved 12x18.
+#
+# The reference DROPS voice entirely in stolen slots (tetra_lower_mac.c
+# routes both halves to signalling); decoding the surviving half is a
+# capability extension.  As with the full slot, the exact ETSI half-slot
+# interleaver/CRC patterns live in the non-redistributable codec sources;
+# the 12x18 interleaver and CRC-4 (poly x^4+x+1) here are documented
+# self-consistent choices shared by the TX fixture.
+# ---------------------------------------------------------------------------
+
+N_HALF_BITS = 216
+N_HC1_CODED = 84
+N_HC2_CODED = 80
+N_HC2_BLOCK = N_CLASS2 + 4 + 4   # 38 (info + crc4 + tail)
+CRC4_POLY = 0x3                  # x^4 + x + 1
+_IL_HALF_COLS = 12
+
+
+@lru_cache(maxsize=1)
+def _half_interleave_perm() -> np.ndarray:
+    idx = np.arange(N_HALF_BITS).reshape(_IL_HALF_COLS,
+                                         N_HALF_BITS // _IL_HALF_COLS)
+    return idx.T.reshape(-1).astype(np.int32)
+
+
+@lru_cache(maxsize=1)
+def _half_deinterleave_perm() -> np.ndarray:
+    perm = _half_interleave_perm()
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(N_HALF_BITS, dtype=np.int32)
+    return inv
+
+
+def crc4_bits(bits: np.ndarray) -> np.ndarray:
+    """CRC-4 over a bit array, MSB-first, init 0."""
+    crc = 0
+    for b in np.asarray(bits, np.uint8):
+        crc ^= int(b) << 3
+        crc = ((crc << 1) ^ CRC4_POLY) & 0xF if crc & 0x8 else (crc << 1) & 0xF
+    return np.array([(crc >> (3 - i)) & 1 for i in range(4)], np.uint8)
+
+
+def _reorder_to_codec_1(seq137: np.ndarray) -> np.ndarray:
+    """[class0 | class1 | class2] of ONE frame -> 137-bit codec frame."""
+    seq137 = np.asarray(seq137, np.uint8)
+    out = np.zeros(N_FRAME_BITS, np.uint8)
+    cur = 0
+    for tbl in (_CLASS0_POS, _CLASS1_POS, _CLASS2_POS):
+        out[tbl - 1] = seq137[cur:cur + len(tbl)]
+        cur += len(tbl)
+    return out
+
+
+def _reorder_from_codec_1(frame: np.ndarray) -> np.ndarray:
+    frame = np.asarray(frame, np.uint8)
+    return np.concatenate([frame[_CLASS0_POS - 1], frame[_CLASS1_POS - 1],
+                           frame[_CLASS2_POS - 1]])
+
+
+def encode_half_slot(frame: np.ndarray) -> np.ndarray:
+    """One 137-bit codec frame -> 216 type-3 half-slot bits (TX fixture)."""
+    seq = _reorder_from_codec_1(frame)
+    c0 = seq[:N_CLASS0]
+    c1 = seq[N_CLASS0:N_CLASS0 + N_CLASS1]
+    c2 = seq[N_CLASS0 + N_CLASS1:]
+    c1_coded = fec_enc.puncture(fec_enc.conv_encode(c1, P.CONV_TCH_POLYS),
+                                P.PUNCT_112_168, N_HC1_CODED)
+    c2_blk = np.concatenate([c2, crc4_bits(c2), np.zeros(4, np.uint8)])
+    c2_coded = fec_enc.puncture(fec_enc.conv_encode(c2_blk, P.CONV_TCH_POLYS),
+                                P.PUNCT_38_80, N_HC2_CODED)
+    type3 = np.concatenate([c0, c1_coded, c2_coded, np.zeros(1, np.uint8)])
+    return type3[_half_interleave_perm()]
+
+
+@partial(jax.jit)
+def _decode_half_device(type4: jnp.ndarray):
+    """(B, 216) interleaved type-4 half-slot bits ->
+    (seq137 (B, 137), crc_bits (B, 4), c2_info (B, 30))."""
+    perm = jnp.asarray(_half_deinterleave_perm())
+    type3 = type4[..., perm]
+    c0 = type3[..., :N_CLASS0]
+    c1_coded = type3[..., N_CLASS0:N_CLASS0 + N_HC1_CODED]
+    c2_coded = type3[..., N_CLASS0 + N_HC1_CODED:
+                     N_CLASS0 + N_HC1_CODED + N_HC2_CODED]
+    idx1 = jnp.asarray(P.puncture_indices(P.PUNCT_112_168, N_HC1_CODED))
+    soft1 = jnp.zeros(c1_coded.shape[:-1] + (N_CLASS1 * 3,), jnp.float32)
+    soft1 = soft1.at[..., idx1].set(1.0 - 2.0 * c1_coded.astype(jnp.float32))
+    c1 = viterbi_decode(soft1.reshape(soft1.shape[0], N_CLASS1, 3), "tch",
+                        term="truncate")
+    idx2 = jnp.asarray(P.puncture_indices(P.PUNCT_38_80, N_HC2_CODED))
+    soft2 = jnp.zeros(c2_coded.shape[:-1] + (N_HC2_BLOCK * 3,), jnp.float32)
+    soft2 = soft2.at[..., idx2].set(1.0 - 2.0 * c2_coded.astype(jnp.float32))
+    c2_full = viterbi_decode(soft2.reshape(soft2.shape[0], N_HC2_BLOCK, 3),
+                             "tch")
+    c2 = c2_full[..., :N_CLASS2]
+    crc_rx = c2_full[..., N_CLASS2:N_CLASS2 + 4]
+    seq = jnp.concatenate([c0.astype(jnp.uint8), c1, c2], axis=-1)
+    return seq, crc_rx, c2
+
+
+def decode_half_slot(type4: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(B, 216) descrambled surviving-half bits -> (frames (B, 137), bfi (B,))."""
+    type4 = np.atleast_2d(np.asarray(type4, np.uint8))
+    seq, crc_rx, c2 = jax.device_get(_decode_half_device(jnp.asarray(type4)))
+    B = type4.shape[0]
+    frames = np.zeros((B, N_FRAME_BITS), np.uint8)
+    bfi = np.zeros(B, bool)
+    for b in range(B):
+        frames[b] = _reorder_to_codec_1(seq[b])
+        bfi[b] = not (crc4_bits(c2[b]) == crc_rx[b]).all()
+    return frames, bfi
+
+
+# ---------------------------------------------------------------------------
 # Encode (TX fixture) / Decode (device path)
 # ---------------------------------------------------------------------------
 

@@ -29,13 +29,36 @@ class VoicePipeline:
     bad_frames: int = 0
     crypto_state: object = None   # optional CryptoState for encrypted voice
 
-    def __call__(self, time: TdmaTime, type4: np.ndarray):
-        """LowerMac voice callback: one traffic slot's descrambled bits."""
+    def _gate(self, time: TdmaTime) -> bool:
         # active-timeslot gate (tetra_lower_mac.c:364-370)
         if time.fn != self.last_frame:
             self.active_timeslot = time.tn
             self.last_frame = time.fn
-        if time.tn != self.active_timeslot:
+        return time.tn == self.active_timeslot
+
+    def half(self, time: TdmaTime, type4: np.ndarray):
+        """Stolen-slot voice callback: the surviving 216-bit second half of a
+        traffic slot whose first half carries STCH (clause 19.4.4).
+
+        The reference drops voice entirely in stolen slots; recovering the
+        second frame is a capability extension (ROADMAP).  The stolen first
+        frame's 240 samples are padded with silence so the audio clock stays
+        at 480 samples/slot like put_voice_data (osmotetra_dec.h:216-223).
+        """
+        if not self._gate(time):
+            return
+        frame, bfi = vchannel.decode_half_slot(np.asarray(type4)[None])
+        is_bad = bool(bfi[0])
+        self.slots_decoded += 1
+        if is_bad:
+            self.bad_frames += 1
+        pcm = self.decoder.decode_frame(frame[0], bfi=is_bad)
+        self.audio.append(np.zeros(240, np.int16))
+        self.audio.append(pcm)
+
+    def __call__(self, time: TdmaTime, type4: np.ndarray):
+        """LowerMac voice callback: one traffic slot's descrambled bits."""
+        if not self._gate(time):
             return
         frames, bfi = vchannel.decode_slot(type4[None])
         f2, is_bad = frames[0], bool(bfi[0])
