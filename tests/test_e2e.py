@@ -508,3 +508,54 @@ def test_half_stolen_slot_recovers_speech():
     # audio clock: every decoded slot contributed 480 samples
     audio = vp.take_audio()
     assert len(audio) % 480 == 0 and vp.slots_decoded > 2
+
+
+def test_device_acquire_scan_matches_host_path():
+    """Batched device SYNC acquisition (ops/train_corr via
+    device_acquire_scan) must reproduce the host scan's lock behavior
+    exactly: same bursts, same state trajectory, across chunked feeds with
+    a noisy prefix and a mid-stream dropout."""
+    from tetra_tpu.rx.burst_sync import BurstSync, device_acquire_scan
+
+    rng = np.random.default_rng(11)
+    bits, _ = cell.downlink_bits(CFG, 60, start=START.copy())
+    bits2, _ = cell.downlink_bits(CFG, 40, start=START.copy())
+    stream = np.concatenate([
+        rng.integers(0, 2, 2977).astype(np.uint8),   # noise prefix
+        bits,
+        rng.integers(0, 2, 4000).astype(np.uint8),   # dropout garbage
+        bits2])
+
+    host, dev = BurstSync(), BurstSync()
+    bursts_h, bursts_d = [], []
+    for i in range(0, len(stream), 2048):
+        chunk = stream[i:i + 2048]
+        bursts_h += host.feed(chunk.copy())
+        if dev.state == 0:  # RX_UNLOCKED: stage the device scan result
+            device_acquire_scan([dev], [chunk], pad_channels=4)
+        bursts_d += dev.feed(chunk.copy())
+
+    assert host.state == dev.state
+    assert host.bitbuf_start_bitnum == dev.bitbuf_start_bitnum
+    assert len(bursts_h) == len(bursts_d) and len(bursts_h) > 50
+    for bh, bd in zip(bursts_h, bursts_d):
+        assert bh.train_seq == bd.train_seq
+        assert (bh.bits == bd.bits).all()
+
+
+def test_receiver_device_acquire_end_to_end():
+    """TetraReceiver with device_acquire=True locks and decodes the cell
+    through the RF chain just like the host-acquisition path."""
+    # 240 slots: the FLL pull-in (~0.8 s) eats the first BSCH; the next
+    # two arrive at slots ~77 and ~149
+    bits, _ = cell.downlink_bits(CFG, 240, start=START.copy())
+    iq = np.asarray(channel(modulate(jnp.asarray(bits[None, :])),
+                            jax.random.key(2), snr_db=28.0, cfo_hz=150.0,
+                            sample_rate=P.SAMPLE_RATE))
+    rx = TetraReceiver(1, device_acquire=True)
+    T = 4096
+    for i in range(iq.shape[1] // T):
+        rx.process(iq[:, i * T:(i + 1) * T])
+    assert rx.locked()
+    d = rx.display()
+    assert (d.mcc, d.mnc, d.cc) == (CFG.mcc, CFG.mnc, CFG.cc)

@@ -104,6 +104,14 @@ class BurstSync:
     next_frame_start_bitnum: int = 0
     phy: PhyState = field(default_factory=PhyState)
     lock_losses: int = 0
+    # UNLOCKED-scan bookkeeping: absolute bitnum below which the buffer is
+    # known to contain no SYNC training-sequence start, so repeated feeds
+    # never rescan it (the reference rescans its whole 4096-bit ring every
+    # call, tetra_burst_sync.c:75).
+    scan_from: int = 0
+    # device-acquisition result staged by device_acquire_scan():
+    # (abs offset of earliest SYNC hit or -1, abs bitnum scanned up to)
+    pending_scan: tuple[int, int] | None = None
 
     @property
     def time(self) -> TdmaTime:
@@ -124,6 +132,8 @@ class BurstSync:
             drop = len(self.bitbuf) - keep
             self.bitbuf = self.bitbuf[drop:]
             self.bitbuf_start_bitnum += drop
+        self.scan_from = self.bitbuf_start_bitnum
+        self.pending_scan = None
 
     def feed(self, bits: np.ndarray) -> list[Burst]:
         """Append demodulated bits; return any completed bursts."""
@@ -143,8 +153,32 @@ class BurstSync:
             if self.state == RX_UNLOCKED:
                 if len(self.bitbuf) < P.BITS_PER_TS * 2:
                     break
-                m = find_train_seq(self.bitbuf, (P.TRAIN_SEQ_SYNC,))
+                m = None
+                if self.pending_scan is not None:
+                    # result of a batched device correlation scan staged by
+                    # device_acquire_scan(): trust it for the region it
+                    # covered, fall through to the host search only for
+                    # bits appended after it ran
+                    hit, upto = self.pending_scan
+                    self.pending_scan = None
+                    if hit >= self.bitbuf_start_bitnum:
+                        m = (P.TRAIN_SEQ_SYNC,
+                             hit - self.bitbuf_start_bitnum)
+                    else:
+                        self.scan_from = max(self.scan_from, upto)
                 if m is None:
+                    # resume the host scan where previous feeds left off
+                    # (a window may straddle the seam, hence the -L+1 lap)
+                    L = len(P.TRAIN_SEQS[P.TRAIN_SEQ_SYNC])
+                    start = max(0, self.scan_from
+                                - self.bitbuf_start_bitnum - (L - 1))
+                    f = find_train_seq(self.bitbuf[start:],
+                                       (P.TRAIN_SEQ_SYNC,))
+                    if f is not None:
+                        m = (f[0], f[1] + start)
+                if m is None:
+                    self.scan_from = (self.bitbuf_start_bitnum
+                                      + len(self.bitbuf))
                     break
                 _, offs = m
                 self.state = RX_KNOW_FSTART
@@ -231,3 +265,56 @@ class BurstSync:
                 self.next_frame_start_bitnum += P.BITS_PER_TS
                 progress = True
         return out
+
+
+def device_acquire_scan(syncs: list["BurstSync"],
+                        bits_list: list[np.ndarray],
+                        pad_channels: int | None = None,
+                        pad_quantum: int = 4096) -> None:
+    """Batched on-device SYNC acquisition for UNLOCKED channels.
+
+    For each (sync, new_bits) pair, correlates the channel's unscanned buffer
+    tail plus its incoming bits against the SYNC training sequence in ONE
+    device call for all channels (ops/train_corr), and stages the earliest
+    hit on `sync.pending_scan` for the next `feed()` to consume.  This moves
+    the O(buffer x channels) acquisition search off the host: the per-channel
+    Python scans of the reference's bit-serial matcher (tetra_burst.c:271-341)
+    were the startup/dropout hot spot at 256+ channels.
+
+    Shapes are padded to (pad_channels, k*pad_quantum) so the whole receiver
+    lifetime reuses one compiled program per quantum step (remote TPU
+    compiles cost minutes; CLAUDE.md).  Rows are padded with an alternating
+    01 pattern that cannot contain a training sequence, and hits whose
+    window would extend past a row's true length are masked out.
+    """
+    from ..ops.train_corr import train_seq_hits
+    import jax.numpy as jnp
+    import jax
+
+    if not syncs:
+        return
+    L_seq = len(P.TRAIN_SEQS[P.TRAIN_SEQ_SYNC])
+    regions, bases = [], []
+    for s, bits in zip(syncs, bits_list):
+        bits = np.asarray(bits, np.uint8).reshape(-1)
+        start = max(0, s.scan_from - s.bitbuf_start_bitnum - (L_seq - 1))
+        region = np.concatenate([s.bitbuf[start:], bits])
+        regions.append(region)
+        bases.append(s.bitbuf_start_bitnum + start)
+    maxlen = max(len(r) for r in regions)
+    C = pad_channels if pad_channels is not None else len(syncs)
+    Lp = max(pad_quantum, -(-maxlen // pad_quantum) * pad_quantum)
+    mat = np.empty((C, Lp), np.uint8)
+    mat[:] = (np.arange(Lp) & 1).astype(np.uint8)  # 0101... never matches
+    for i, r in enumerate(regions):
+        mat[i, :len(r)] = r
+    masks = jax.device_get(train_seq_hits(jnp.asarray(mat)))
+    sync_mask = masks[P.TRAIN_SEQ_SYNC]
+    for i, s in enumerate(syncs):
+        row = sync_mask[i, :max(0, len(regions[i]) - L_seq + 1)]
+        hits = np.nonzero(row)[0]
+        scanned_upto = bases[i] + len(regions[i])
+        if hits.size:
+            s.pending_scan = (bases[i] + int(hits[0]), scanned_upto)
+        else:
+            s.pending_scan = (-1, scanned_upto)

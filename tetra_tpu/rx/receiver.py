@@ -19,15 +19,24 @@ from .tdma import PhyState
 
 
 class TetraReceiver:
-    def __init__(self, channels: int = 1, voice_cb=None, mode: str = "fast"):
+    def __init__(self, channels: int = 1, voice_cb=None, mode: str = "fast",
+                 device_acquire: bool | None = None):
         """mode: "fast" = chunked-update production loops (demod_fast);
-        "exact" = per-sample reference-parity loops (demod)."""
+        "exact" = per-sample reference-parity loops (demod).
+
+        device_acquire: batch UNLOCKED-channel SYNC acquisition on device
+        (one correlation call for all searching channels,
+        rx.burst_sync.device_acquire_scan).  Default: on for >= 64 channels,
+        where the host's per-channel scans dominate startup/dropout; below
+        that the per-dispatch device overhead outweighs them."""
         self.channels = channels
         self.demod = demod_fast if mode == "fast" else demod_exact
         self.state = self.demod.demod_init(channels)
         self.phy = [PhyState() for _ in range(channels)]
         self.sync = [BurstSync(phy=p) for p in self.phy]
         self.mac = [LowerMac(phy=p) for p in self.phy]
+        self.device_acquire = (channels >= 64 if device_acquire is None
+                               else device_acquire)
         if voice_cb is not None:
             for m in self.mac:
                 m.voice_cb = voice_cb
@@ -43,13 +52,23 @@ class TetraReceiver:
         dist = np.asarray(outs["dist"])
         # burst sync per channel (host), then ONE cross-channel batched FEC
         # pass: device-call count stays constant as channels grow
-        macs, bursts_list = [], []
+        feeds: dict[int, np.ndarray] = {}
         for c in range(self.channels):
             v = valid[c]
             if not v.any():
                 continue
             self.sym_quality[c] = float(dist[c][v].mean())
-            bits = demod_exact.dibits_to_bits(dibits[c][v])
+            feeds[c] = demod_exact.dibits_to_bits(dibits[c][v])
+        if self.device_acquire:
+            from .burst_sync import RX_UNLOCKED, device_acquire_scan
+            searching = [c for c in feeds
+                         if self.sync[c].state == RX_UNLOCKED]
+            if searching:
+                device_acquire_scan([self.sync[c] for c in searching],
+                                    [feeds[c] for c in searching],
+                                    pad_channels=self.channels)
+        macs, bursts_list = [], []
+        for c, bits in feeds.items():
             bursts = self.sync[c].feed(bits)
             if bursts:
                 macs.append(self.mac[c])
@@ -112,6 +131,10 @@ class TetraReceiver:
             t = s.phy.time
             t.hn, t.mn, t.fn, t.tn, t.sn = hn, mn, fn, tn, sn
             s.bitbuf = z[f"bitbuf{c}"].astype(np.uint8)
+            # scan bookkeeping restarts from the buffer head (safe: merely
+            # rescans the restored buffer once)
+            s.scan_from = s.bitbuf_start_bitnum
+            s.pending_scan = None
             (m.cell.mcc, m.cell.mnc, m.cell.colour_code,
              m.cell.scramb_init, m.crc_oks, m.crc_fails) = (
                 int(x) for x in z[f"cell{c}"])
