@@ -119,3 +119,42 @@ def test_wideband_operating_region_20db():
     # acquisition may consume up to two SYNC periods at 20 dB with CFO
     # (same allowance as the narrowband operating-region test)
     assert mac.crc_oks >= 60
+
+
+def test_resampler_matmul_matches_direct_definition():
+    """The banded-matmul resampler (gather-free, _resamp_matrix) must equal
+    the direct polyphase definition y[n] = sum_t x[(nM)//L + t - pad] *
+    flip(bank[(nM)%L])[t] for both rates, and the streaming variant must be
+    seam-exact across blocks."""
+    taps = CH.RS_TAPS_PER_PHASE
+    pad = taps - 1
+    rng = np.random.default_rng(0)
+    for (L, M) in ((18, 25), (25, 18)):
+        n_in = 2000
+        x = rng.standard_normal(n_in).astype(np.float32)
+        bank = CH._resamp_bank(L, M)
+        n_out = (n_in - taps) * L // M
+        xp = np.concatenate([np.zeros(pad, np.float32), x])
+        y_ref = np.array(
+            [(xp[(n * M) // L:(n * M) // L + taps]
+              * bank[(n * M) % L][::-1]).sum() for n in range(n_out)],
+            np.float32)
+        yr, _ = CH._resample_block(jnp.asarray(x), jnp.asarray(x), n_in, L, M)
+        assert np.abs(np.asarray(yr) - y_ref).max() < 2e-5
+
+    L, M = 18, 25
+    t_in, t_out = 1000, 720
+    x = rng.standard_normal(3 * t_in).astype(np.float32)
+    hr = hi = jnp.zeros(pad, np.float32)
+    outs = []
+    for b in range(3):
+        xb = jnp.asarray(x[b * t_in:(b + 1) * t_in])
+        yr, yi, hr, hi = CH._resample_stream_block(xb, xb, hr, hi, t_out, L, M)
+        outs.append(np.asarray(yr))
+    xc = np.concatenate([np.zeros(pad, np.float32), x])
+    bank = CH._resamp_bank(L, M)
+    y_ref = np.array(
+        [(xc[(n * M) // L:(n * M) // L + taps]
+          * bank[(n * M) % L][::-1]).sum() for n in range(3 * t_out)],
+        np.float32)
+    assert np.abs(np.concatenate(outs) - y_ref).max() < 2e-5

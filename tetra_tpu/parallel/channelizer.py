@@ -12,9 +12,10 @@ Design:
   * rational 18/25 polyphase resampler: 50 kHz -> 36 kHz so the demod chain
     sees its native 2 samples/symbol.
 
-Everything is a stateless gather/matmul over a block with small tail carries,
-so it composes with the sharded demod (channels axis) and the halo-exchange
-time sharding of mesh.py.
+Everything is stateless slices + matmuls over a block with small tail carries
+(gather-free: this backend's gathers run ~6 ns/element), so it composes with
+the sharded demod (channels axis) and the halo-exchange time sharding of
+mesh.py and keeps the wideband front-end on the MXU.
 """
 
 from __future__ import annotations
@@ -66,21 +67,33 @@ def _channelize_block(xr, xi, n_ch: int):
 
     2x oversampled: hop = n_ch//2.  Input must be padded so that
     (T - L) % hop == 0 with L = n_ch*TAPS_PER_BRANCH.
+
+    Gather-free framing: with hop = n_ch/2, frame sample
+    x[m*hop + j*n_ch + b] for branch b = d*hop + c (d in {0,1}) equals
+    z[m + 2j + d, c] of the hop-reshaped input, so the polyphase fold is a
+    sum of 2*TAPS_PER_BRANCH static slices of z weighted by the folded
+    prototype -- no gather (this backend gathers at ~6 ns/element;
+    slices/matmuls keep the wideband front-end on the TPU fast path).
     """
     hop = n_ch // 2
     L = n_ch * TAPS_PER_BRANCH
-    h = jnp.asarray(_prototype(n_ch))
+    h2 = _prototype(n_ch).reshape(TAPS_PER_BRANCH, 2, hop)  # [j, d, c]
     Wr, Wi = map(jnp.asarray, _dft_basis(n_ch))
     T = xr.shape[0]
     n_out = (T - L) // hop + 1
-    # frame the signal: (n_out, L)
-    starts = jnp.arange(n_out) * hop
-    idx = starts[:, None] + jnp.arange(L)[None, :]
-    fr = xr[idx] * h[None, :]
-    fi = xi[idx] * h[None, :]
-    # fold the L-long windows into n_ch branches (sum over taps_per_branch)
-    fr = fr.reshape(n_out, TAPS_PER_BRANCH, n_ch).sum(axis=1)
-    fi = fi.reshape(n_out, TAPS_PER_BRANCH, n_ch).sum(axis=1)
+    n_z = T // hop
+    zr = xr[:n_z * hop].reshape(n_z, hop)
+    zi = xi[:n_z * hop].reshape(n_z, hop)
+    acc = [[jnp.zeros((n_out, hop), xr.dtype) for _ in range(2)]
+           for _ in range(2)]  # [re/im][d]
+    for s in range(2 * TAPS_PER_BRANCH):
+        j, d = s // 2, s % 2
+        w = jnp.asarray(h2[j, d])
+        acc[0][d] = acc[0][d] + zr[s:s + n_out] * w
+        acc[1][d] = acc[1][d] + zi[s:s + n_out] * w
+    # branch order b = d*hop + c
+    fr = jnp.concatenate(acc[0], axis=-1)
+    fi = jnp.concatenate(acc[1], axis=-1)
     # DFT across branches: y[m, k] = sum_b f[m, b] * exp(+j 2 pi k b / N)
     yr = fr @ Wr.T - fi @ Wi.T          # (n_out, n_ch)
     yi = fr @ Wi.T + fi @ Wr.T
@@ -132,36 +145,65 @@ def _resamp_bank(L: int, M: int) -> np.ndarray:
     return bank.astype(np.float32)
 
 
-@lru_cache(maxsize=64)
-def _resamp_indices(n_in: int, L: int, M: int):
-    """Output sample n taps the window starting at floor(n*M/L) with
-    polyphase phase (n*M) % L."""
-    n_out = (n_in - RS_TAPS_PER_PHASE) * L // M
-    n = np.arange(n_out)
-    base = (n * M) // L
-    phase = (n * M) % L
-    return base.astype(np.int32), phase.astype(np.int32), n_out
+@lru_cache(maxsize=8)
+def _resamp_matrix(L: int, M: int) -> tuple[np.ndarray, int, int]:
+    """Banded resampling matrix for the block-matmul formulation.
+
+    Output n = q*L + p reads input window x[q*M + off_p - pad .. q*M + off_p]
+    (off_p = floor(p*M/L), pad = taps-1).  Grouping outputs into blocks of L
+    and inputs into blocks of M, every output block q is a matmul of the B
+    consecutive input blocks q..q+B-1 of the ZF-front-padded stream against
+    one (B*M, L) matrix: y[q, p] = sum_j xpp[q*M + j] W[j, p] with
+    W[ZF + off_p + t, p] = flip(bank[p])[t].  One MXU matmul replaces the
+    previous (n_out, taps) gather (pathological on this backend).
+    Returns (W, B, ZF)."""
+    bank = _resamp_bank(L, M)
+    pad = RS_TAPS_PER_PHASE - 1
+    B = 1 + -(-pad // M)          # input blocks per window
+    ZF = (B - 1) * M - pad        # front zero-padding that aligns windows
+    W = np.zeros((B * M, L), np.float32)
+    for p in range(L):
+        off = (p * M) // L
+        coef = bank[(p * M) % L][::-1]   # polyphase index of output q*L + p
+        for t in range(RS_TAPS_PER_PHASE):
+            W[ZF + off + t, p] += coef[t]
+    return W, B, ZF
+
+
+def _resample_matmul(xpp_r, xpp_i, Wm, n_q: int, B: int, M: int, L: int):
+    """xpp: (..., (n_q+B-1)*M) padded stream pair -> (..., n_q*L) outputs."""
+    shp = xpp_r.shape[:-1]
+    zr = xpp_r.reshape(shp + (n_q + B - 1, M))
+    zi = xpp_i.reshape(shp + (n_q + B - 1, M))
+    zbr = jnp.concatenate([zr[..., k:k + n_q, :] for k in range(B)], axis=-1)
+    zbi = jnp.concatenate([zi[..., k:k + n_q, :] for k in range(B)], axis=-1)
+    yr = (zbr @ Wm).reshape(shp + (n_q * L,))
+    yi = (zbi @ Wm).reshape(shp + (n_q * L,))
+    return yr, yi
 
 
 @partial(jax.jit, static_argnames=("n_in", "L", "M"))
 def _resample_block(xr, xi, n_in: int, L: int, M: int):
     # y[n] = sum_k x[base - k] h[r + k L] with base = floor(nM/L), r = nM%L:
-    # the window runs BACKWARD from base.  Implemented as a forward window
-    # over a (taps-1)-zero-padded input with flipped per-phase coefficients
-    # (constant taps-1-sample delay).
-    base, phase, n_out = _resamp_indices(n_in, L, M)
-    bank = jnp.asarray(_resamp_bank(L, M))
-    pad = RS_TAPS_PER_PHASE - 1
-    zshape = xr.shape[:-1] + (pad,)
+    # the window runs BACKWARD from base, i.e. over a (taps-1)-zero-padded
+    # input with flipped per-phase coefficients.  Computed as the banded
+    # matmul of _resamp_matrix (gather-free).
+    Wnp, B, _ = _resamp_matrix(L, M)
+    n_out = (n_in - RS_TAPS_PER_PHASE) * L // M
+    n_q = -(-n_out // L)
+    need = (n_q + B - 1) * M
+    front = (B - 1) * M  # = ZF + pad: zero history + window alignment
+    zshape = xr.shape[:-1] + (front,)
     xr = jnp.concatenate([jnp.zeros(zshape, xr.dtype), xr], axis=-1)
     xi = jnp.concatenate([jnp.zeros(zshape, xi.dtype), xi], axis=-1)
-    idx = jnp.asarray(base)[:, None] + jnp.arange(RS_TAPS_PER_PHASE)[None, :]
-    coef = jnp.flip(bank[jnp.asarray(phase)], axis=-1)  # (n_out, taps)
-    wr = xr[..., idx]                                # (..., n_out, taps)
-    wi = xi[..., idx]
-    yr = jnp.sum(wr * coef, axis=-1)
-    yi = jnp.sum(wi * coef, axis=-1)
-    return yr, yi
+    if xr.shape[-1] < need:
+        back = xr.shape[:-1] + (need - xr.shape[-1],)
+        xr = jnp.concatenate([xr, jnp.zeros(back, xr.dtype)], axis=-1)
+        xi = jnp.concatenate([xi, jnp.zeros(back, xi.dtype)], axis=-1)
+    else:
+        xr, xi = xr[..., :need], xi[..., :need]
+    yr, yi = _resample_matmul(xr, xi, jnp.asarray(Wnp), n_q, B, M, L)
+    return yr[..., :n_out], yi[..., :n_out]
 
 
 def resample(iq: np.ndarray, L: int, M: int) -> np.ndarray:
@@ -195,14 +237,12 @@ def _resample_stream_block(xr, xi, hr, hi, t_out: int, L: int = 18,
     t_in = xr.shape[-1]
     assert t_out * M == t_in * L, (t_out, M, t_in, L)
     pad = RS_TAPS_PER_PHASE - 1
-    n = np.arange(t_out)
-    base = (n * M) // L + pad
-    phase = (n * M) % L
-    bank = jnp.asarray(_resamp_bank(L, M))
-    coef = jnp.flip(bank[jnp.asarray(phase)], axis=-1)   # (t_out, taps)
+    Wnp, B, ZF = _resamp_matrix(L, M)
+    n_q = t_in // M          # t_in is a multiple of M (t_out*M == t_in*L)
     xr = jnp.concatenate([hr, xr], axis=-1)
     xi = jnp.concatenate([hi, xi], axis=-1)
-    idx = jnp.asarray(base)[:, None] - pad + jnp.arange(RS_TAPS_PER_PHASE)
-    yr = jnp.sum(xr[..., idx] * coef, axis=-1)
-    yi = jnp.sum(xi[..., idx] * coef, axis=-1)
+    zshape = xr.shape[:-1] + (ZF,)
+    xpr = jnp.concatenate([jnp.zeros(zshape, xr.dtype), xr], axis=-1)
+    xpi = jnp.concatenate([jnp.zeros(zshape, xi.dtype), xi], axis=-1)
+    yr, yi = _resample_matmul(xpr, xpi, jnp.asarray(Wnp), n_q, B, M, L)
     return yr, yi, xr[..., -pad:], xi[..., -pad:]
