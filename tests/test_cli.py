@@ -101,3 +101,21 @@ def test_cli_verbose_config_state(capture, tmp_path):
     # barely grow (an unresumed run would repeat ~first[0] cold-start fails)
     assert second[0]["crc_fail"] - first[0]["crc_fail"] < 30
     assert second[0]["crc_ok"] > first[0]["crc_ok"] * 1.5
+
+
+def test_multihost_launcher_selftest():
+    """Multi-host bring-up launcher: virtual 2x4 (host, chip) mesh in one
+    process, synthetic per-host cells, end-of-run decode validation."""
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    r = subprocess.run(
+        [sys.executable, "-m", "tetra_tpu.apps.multihost", "--hosts", "2",
+         "--chips", "4", "--channels", "16", "--selftest",
+         "--status-every", "0"],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "SELFTEST PASS" in r.stdout
+    assert "mesh (host=2, chip=4)" in r.stdout
