@@ -1,0 +1,87 @@
+"""Wideband on-TPU probe: channelizer -> resampler -> demod in one program.
+
+Measures sustained wideband IQ throughput (raw antenna samples/s) for the
+full front-end + demod cascade on one chip: polyphase channelize n_ch x
+25 kHz (gather-free slice/matmul framing), 18/25 banded-matmul resample,
+chunked demod.  Same bulk-scan dispatch pattern as bench.py.  Prints one
+JSON line; falls back through configs on backend shape rejections.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tetra_tpu.parallel import channelizer as CH
+    from tetra_tpu.rx import demod_fast as demod_mod
+
+    def run_config(n_ch, t50, k):
+        hop = n_ch // 2
+        L = n_ch * CH.TAPS_PER_BRANCH
+        t36 = t50 * 18 // 25
+        assert t50 % 25 == 0 and t36 % demod_mod.K_SAMP == 0
+        wide_len = (t50 - 1) * hop + L
+        advance = t50 * hop
+        n_chunks = int(np.ceil(t36 / (demod_mod.K_SYM * 1.96))) + 1
+
+        def body(carry, xs):
+            dstate, hr, hi = carry
+            wr, wi = xs
+            yr, yi = CH._channelize_block(wr, wi, n_ch)
+            rr, ri, hr, hi = CH._resample_stream_block(yr, yi, hr, hi, t36)
+            dstate, outs = demod_mod._demod_block_impl(
+                dstate, rr, ri, n_chunks, True, True)
+            return (dstate, hr, hi), outs["dist"].sum()
+
+        def step(carry, wr_k, wi_k):
+            carry, sums = jax.lax.scan(body, carry, (wr_k, wi_k))
+            return carry, sums.sum()
+
+        jit_step = jax.jit(step)
+        rng = np.random.default_rng(0)
+        wr = jnp.asarray(rng.standard_normal((k, wide_len)).astype(np.float32))
+        wi = jnp.asarray(rng.standard_normal((k, wide_len)).astype(np.float32))
+        hist = jnp.zeros((n_ch, CH.RS_TAPS_PER_PHASE - 1), jnp.float32)
+        carry = (demod_mod.demod_init(n_ch), hist, hist)
+        carry, chk = jit_step(carry, wr, wi)
+        float(chk)
+        carry, chk = jit_step(carry, wr, wi)
+        float(chk)
+        iters = 6
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            carry, chk = jit_step(carry, wr, wi)
+            float(chk)
+        dt = time.perf_counter() - t0
+        return k * advance * iters / dt / 1e6
+
+    result = None
+    for n_ch, t50, k in ((256, 5600, 8), (256, 5600, 1), (128, 5600, 8),
+                         (128, 5600, 1), (64, 5600, 1)):
+        try:
+            msps = run_config(n_ch, t50, k)
+            result = dict(n_ch=n_ch, t50=t50, k=k, msps=round(msps, 3))
+            break
+        except Exception as e:
+            print(f"# config ({n_ch},{t50},{k}) failed: "
+                  f"{type(e).__name__}: {str(e)[:160]}")
+            continue
+    # wideband Msamples/s at n_ch*25 kHz == n_ch/40 real-time multiplexes
+    print(json.dumps({
+        "metric": "wideband_frontend_throughput",
+        "value": result["msps"] if result else 0.0,
+        "unit": "wideband Msamples/s/chip",
+        "config": result,
+        "realtime_multiplexes": (round(result["msps"] * 1e6
+                                       / (result["n_ch"] * 25_000), 1)
+                                 if result else 0.0),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,12 @@ RX_LOCKED = 2
 
 _SEARCH_SEQS_LOCKED = (P.TRAIN_SEQ_SYNC, P.TRAIN_SEQ_NORM_1, P.TRAIN_SEQ_NORM_2)
 
+# byte images for the steady-state expected-offset compares (one C-level
+# bytes compare per slot instead of three numpy array_equal dispatches)
+_TRAIN_Y_B = np.asarray(P.TRAIN_Y, np.uint8).tobytes()
+_TRAIN_N_B = np.asarray(P.TRAIN_N, np.uint8).tobytes()
+_TRAIN_P_B = np.asarray(P.TRAIN_P, np.uint8).tobytes()
+
 
 def find_train_seq(bits: np.ndarray, which: tuple[int, ...]
                    ) -> tuple[int, int] | None:
@@ -212,14 +218,14 @@ class BurstSync:
                 buf = self.bitbuf
                 m = None
                 o = P.SYNC_TRAIN_OFFSET
-                if np.array_equal(buf[o:o + len(P.TRAIN_Y)], P.TRAIN_Y):
+                if buf[o:o + len(P.TRAIN_Y)].tobytes() == _TRAIN_Y_B:
                     m = (P.TRAIN_SEQ_SYNC, o)
                 else:
                     o = P.NORM_TRAIN_OFFSET
-                    seg = buf[o:o + len(P.TRAIN_N)]
-                    if np.array_equal(seg, P.TRAIN_N):
+                    seg = buf[o:o + len(P.TRAIN_N)].tobytes()
+                    if seg == _TRAIN_N_B:
                         m = (P.TRAIN_SEQ_NORM_1, o)
-                    elif np.array_equal(seg, P.TRAIN_P):
+                    elif seg == _TRAIN_P_B:
                         m = (P.TRAIN_SEQ_NORM_2, o)
                 if m is None:
                     m = find_train_seq(self.bitbuf[:P.BITS_PER_TS + 64],

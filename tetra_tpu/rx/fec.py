@@ -23,8 +23,11 @@ from .viterbi import viterbi_decode
 # ---------------------------------------------------------------------------
 
 
-@lru_cache(maxsize=64)
+@lru_cache(maxsize=4096)
 def keystream(lfsr_init: int, length: int) -> np.ndarray:
+    # maxsize must exceed (cells x block lengths) in flight: a 256-channel
+    # receiver with per-channel cells thrashed the old 64-entry cache,
+    # putting scramb_keystream back on the hot path every batch
     return fec_enc.scramb_keystream(lfsr_init, length)
 
 

@@ -13,7 +13,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .mac_pdu import bits_to_uint
+from .mac_pdu import BitReader
 
 # Table 21.1
 PDUT_BL_ADATA = 0
@@ -88,7 +88,8 @@ def parse_llc(bits: np.ndarray) -> LlcPdu:
     out = LlcPdu()
     if len(bits) < 4:
         return out
-    pdu_type = bits_to_uint(bits, 0, 4)
+    r = BitReader(bits)
+    pdu_type = r.peek(0, 4)
     out.pdu_type = pdu_type
     out.name = PDU_NAMES.get(pdu_type, "UNKNOWN")
     if len(bits) < _MIN_LEN.get(pdu_type, 4):
@@ -97,7 +98,7 @@ def parse_llc(bits: np.ndarray) -> LlcPdu:
 
     def take(n):
         nonlocal pos
-        v = bits_to_uint(bits, pos, n)
+        v = r.peek(pos, n)
         pos += n
         return v
 
@@ -105,7 +106,7 @@ def parse_llc(bits: np.ndarray) -> LlcPdu:
         sdu = bits[pos:]
         if with_fcs:
             out.have_fcs = True
-            out.fcs = bits_to_uint(bits, len(bits) - 32, 32)
+            out.fcs = r.peek(len(bits) - 32, 32)
             sdu = sdu[:-32]
             out.fcs_ok = llc_fcs(sdu) == out.fcs
         out.tl_sdu = sdu

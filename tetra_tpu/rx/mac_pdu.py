@@ -68,14 +68,33 @@ def bits_to_uint(bits: np.ndarray, start: int, length: int) -> int:
 
 
 class BitReader:
-    """Sequential MSB-first reader over a bit-per-byte array."""
+    """Sequential MSB-first reader over a bit-per-byte array.
+
+    Packs the whole array into one Python int up front (np.packbits is a
+    single C call); each field read is then a shift+mask -- ~10x cheaper
+    than per-field slice+accumulate at PDU field sizes, which dominates the
+    host profile at 100+ channels.  Reads past the end clip to the
+    available bits (same semantics as bits_to_uint's slice)."""
+
+    __slots__ = ("bits", "pos", "_big", "_shift")
 
     def __init__(self, bits: np.ndarray, pos: int = 0):
         self.bits = np.asarray(bits, np.uint8)
         self.pos = pos
+        self._shift = ((len(self.bits) + 7) // 8) * 8
+        self._big = int.from_bytes(np.packbits(self.bits).tobytes(), "big")
+
+    def peek(self, pos: int, n: int) -> int:
+        end = pos + n
+        L = len(self.bits)
+        if end > L:
+            end = L
+        if end <= pos:
+            return 0
+        return (self._big >> (self._shift - end)) & ((1 << (end - pos)) - 1)
 
     def take(self, n: int) -> int:
-        v = bits_to_uint(self.bits, self.pos, n)
+        v = self.peek(self.pos, n)
         self.pos += n
         return v
 
@@ -151,8 +170,8 @@ def decode_sync_pdu(bits: np.ndarray) -> SyncPdu:
     s.ts_reserved_frames = r.take(3)
     s.u_plane_dtx = r.take(1)
     s.frame_18_ext = r.take(1)
-    s.mcc = bits_to_uint(bits, 31, 10)
-    s.mnc = bits_to_uint(bits, 41, 14)
+    s.mcc = r.peek(31, 10)
+    s.mnc = r.peek(41, 14)
     return s
 
 
@@ -348,15 +367,15 @@ def decode_resource(bits: np.ndarray, is_decrypted: bool = False
     if d.addr.type == ADDR_TYPE_NULL:
         return d, 0
     if d.addr.type in (ADDR_TYPE_SSI, ADDR_TYPE_USSI, ADDR_TYPE_SMI):
-        d.addr.ssi = bits_to_uint(bits, r.pos, 24)
+        d.addr.ssi = r.peek(r.pos, 24)
     elif d.addr.type == ADDR_TYPE_EVENT_LABEL:
-        d.addr.event_label = bits_to_uint(bits, r.pos, 10)
+        d.addr.event_label = r.peek(r.pos, 10)
     elif d.addr.type in (ADDR_TYPE_SSI_EVENT, ADDR_TYPE_SMI_EVENT):
-        d.addr.ssi = bits_to_uint(bits, r.pos, 24)
-        d.addr.event_label = bits_to_uint(bits, r.pos + 24, 10)
+        d.addr.ssi = r.peek(r.pos, 24)
+        d.addr.event_label = r.peek(r.pos + 24, 10)
     elif d.addr.type == ADDR_TYPE_SSI_USAGE:
-        d.addr.ssi = bits_to_uint(bits, r.pos, 24)
-        d.addr.usage_marker = bits_to_uint(bits, r.pos + 24, 6)
+        d.addr.ssi = r.peek(r.pos, 24)
+        d.addr.usage_marker = r.peek(r.pos + 24, 6)
     r.skip(_ADDR_LEN[d.addr.type])
     d.power_control_pres = r.take(1)
     if d.power_control_pres:
@@ -388,9 +407,10 @@ class AccessAssign:
 
 def decode_access_assign(bits: np.ndarray, frame18: bool) -> AccessAssign:
     a = AccessAssign()
-    a.hdr = bits_to_uint(bits, 0, 2)
-    f1 = bits_to_uint(bits, 2, 6)
-    f2 = bits_to_uint(bits, 8, 6)
+    v = bits_to_uint(bits, 0, 14)   # one extraction for all three fields
+    a.hdr = v >> 12
+    f1 = (v >> 6) & 0x3F
+    f2 = v & 0x3F
     acc = lambda f: ((f >> 4) & 3, f & 0xF)
     if not frame18:
         if a.hdr == 0:       # DL CC, UL CO

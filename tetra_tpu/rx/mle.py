@@ -13,7 +13,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .mac_pdu import bits_to_uint
+from .mac_pdu import BitReader
 
 # Protocol discriminators (tetra_mle_pdu.h:26-33)
 PDISC_MM = 1
@@ -81,21 +81,22 @@ def rx_tl_sdu(bits: np.ndarray) -> TlSdu:
     out = TlSdu()
     if len(bits) < 3:
         return out
-    out.pdisc = bits_to_uint(bits, 0, 3)
+    r = BitReader(bits)
+    out.pdisc = r.peek(0, 3)
     out.pdisc_name = PDISC_NAMES.get(out.pdisc, f"?{out.pdisc}")
     if out.pdisc == PDISC_MM and len(bits) >= 7:
-        out.pdu_name = MM_PDU_NAMES.get(bits_to_uint(bits, 3, 4), "?")
+        out.pdu_name = MM_PDU_NAMES.get(r.peek(3, 4), "?")
     elif out.pdisc == PDISC_CMCE and len(bits) >= 8:
-        out.pdu_name = CMCE_PDU_NAMES.get(bits_to_uint(bits, 3, 5), "?")
+        out.pdu_name = CMCE_PDU_NAMES.get(r.peek(3, 5), "?")
     elif out.pdisc == PDISC_SNDCP and len(bits) >= 7:
-        out.pdu_name = SNDCP_PDU_NAMES.get(bits_to_uint(bits, 3, 4), "?")
+        out.pdu_name = SNDCP_PDU_NAMES.get(r.peek(3, 4), "?")
         if len(bits) >= 3 + 4 + 4 + 4 + 4 + 4:
-            out.nsapi = bits_to_uint(bits, 7, 4)
-            out.pcomp = bits_to_uint(bits, 11, 4)
-            out.dcomp = bits_to_uint(bits, 15, 4)
-            out.ip_version = bits_to_uint(bits, 19, 4)
+            out.nsapi = r.peek(7, 4)
+            out.pcomp = r.peek(11, 4)
+            out.dcomp = r.peek(15, 4)
+            out.ip_version = r.peek(19, 4)
         if len(bits) >= 3 + 4 + 4 + 4 + 4 + 4 + 64 + 8:
-            out.ip_proto = bits_to_uint(bits, 3 + 4 + 4 + 4 + 4 + 4 + 64, 8)
+            out.ip_proto = r.peek(3 + 4 + 4 + 4 + 4 + 4 + 64, 8)
     elif out.pdisc == PDISC_MLE and len(bits) >= 6:
-        out.pdu_name = MLE_PDU_NAMES.get(bits_to_uint(bits, 3, 3), "?")
+        out.pdu_name = MLE_PDU_NAMES.get(r.peek(3, 3), "?")
     return out
