@@ -119,3 +119,18 @@ def test_multihost_launcher_selftest():
     assert r.returncode == 0, r.stdout + r.stderr
     assert "SELFTEST PASS" in r.stdout
     assert "mesh (host=2, chip=4)" in r.stdout
+
+
+def test_cli_mac_workers_pool(capture):
+    """--mac-workers N: pooled host-MAC dispatch decodes identically."""
+    path, cfg = capture
+    r = _run_cli([path, "--mac-workers", "2", "--status-every", "5"])
+    assert r.returncode == 0, r.stderr[-800:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary[0]["locked"]
+    assert summary[0]["mcc"] == cfg.mcc
+    assert summary[0]["crc_ok"] > 50
+    # same decode tallies as the in-process run
+    r2 = _run_cli([path, "--status-every", "5"])
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert summary == s2

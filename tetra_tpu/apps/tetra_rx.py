@@ -120,7 +120,7 @@ def _render_dashboard(rx, C):
         lines.append(
             f"      slots [{slots}]  usage {d.dl_usage}/{d.ul_usage}  "
             f"access {d.access1_code}{d.access1}/{d.access2_code}{d.access2}  "
-            f"crc {rx.mac[c].crc_oks}/{rx.mac[c].crc_fails}"
+            f"crc {rx.crc_counts(c)[0]}/{rx.crc_counts(c)[1]}"
             f"{'  CRC-FAIL' if d.last_crc_fail else ''}")
         flags = [n for n in ("voice_service", "normal_mode", "air_encryption",
                              "sndcp_data", "circuit_data", "advanced_link")
@@ -174,6 +174,9 @@ def main(argv=None):
     ap.add_argument("--status-every", type=float, default=1.0,
                     help="seconds of air time between status lines")
     ap.add_argument("--demod", choices=("fast", "exact"), default="fast")
+    ap.add_argument("--mac-workers", type=int, default=0, metavar="N",
+                    help="shard host MAC dispatch over N worker processes "
+                         "(rx.hostpool; for 100+ channel configs)")
     ap.add_argument("--keystore", default=None,
                     help="crypto keystore file (reference text format)")
     ap.add_argument("--duration", type=float, default=10.0,
@@ -230,7 +233,8 @@ def main(argv=None):
                           "ts_found": streamer.ts_found}))
         return 0
 
-    voice = VoicePipeline() if args.voice else None
+    pooled = args.mac_workers > 0
+    voice = VoicePipeline() if (args.voice and not pooled) else None
     rx = None
     status_blocks = max(1, int(args.status_every * P.SAMPLE_RATE / args.block))
     pcm_out = open(args.voice, "wb") if args.voice else None
@@ -238,13 +242,19 @@ def main(argv=None):
     for i, blk in enumerate(blocks or iter_blocks(args)):
         if rx is None:
             C = blk.shape[0]
-            rx = TetraReceiver(C, voice_cb=voice, mode=args.demod)
-            if args.keystore:
+            if pooled:
+                rx = TetraReceiver(C, mode=args.demod,
+                                   mac_workers=args.mac_workers,
+                                   voice=bool(args.voice),
+                                   keystore=args.keystore)
+            else:
+                rx = TetraReceiver(C, voice_cb=voice, mode=args.demod)
+            if args.keystore and not pooled:
                 from ..crypto.state import CryptoState, KeyStore
                 for m in rx.mac:
                     m.upper.crypto_state = CryptoState(
                         store=KeyStore.load(args.keystore))
-            if args.state:
+            if args.state and not pooled:
                 import os as _os
                 if _os.path.exists(args.state):
                     rx.load_state(args.state)
@@ -253,14 +263,18 @@ def main(argv=None):
             if i == 0:
                 ev_seen = [0] * C
             for c in range(C):
-                events = rx.mac[c].upper.events
+                events = (rx.pool.views[c].events if pooled
+                          else rx.mac[c].upper.events)
                 for e in events[ev_seen[c]:]:
                     line = _format_event(e)
                     if line:
                         print(f"[ch {c}] {e[1]} {line}")
                 ev_seen[c] = len(events)
-        if voice is not None and pcm_out is not None:
-            voice.take_audio().tofile(pcm_out)
+        if pcm_out is not None:
+            if pooled:
+                rx.pool.take_audio().tofile(pcm_out)
+            elif voice is not None:
+                voice.take_audio().tofile(pcm_out)
         if args.dashboard and (i + 1) % status_blocks == 0:
             _render_dashboard(rx, C)
         elif (i + 1) % status_blocks == 0:
@@ -272,22 +286,24 @@ def main(argv=None):
                           f"dl={d.dl_freq/1e6:.4f}MHz "
                           f"usage={d.dl_usage}/{d.ul_usage} "
                           f"slots={d.timeslot_content} "
-                          f"crc={rx.mac[c].crc_oks}/{rx.mac[c].crc_fails} "
+                          f"crc={rx.crc_counts(c)[0]}/{rx.crc_counts(c)[1]} "
                           f"q={rx.sym_quality[c]:.2f}")
                 else:
                     print(f"[ch {c}] UNLOCKED q={rx.sym_quality[c]:.2f}")
     if pcm_out:
         pcm_out.close()
-    if args.state and rx is not None:
+    if args.state and rx is not None and not pooled:
         rx.save_state(args.state)
     # final summary as one JSON line
     summary = []
     for c in range(C):
         d = rx.display(c)
+        oks, fails = rx.crc_counts(c)
         summary.append(dict(channel=c, locked=rx.locked(c), mcc=d.mcc,
-                            mnc=d.mnc, cc=d.cc, crc_ok=rx.mac[c].crc_oks,
-                            crc_fail=rx.mac[c].crc_fails))
+                            mnc=d.mnc, cc=d.cc, crc_ok=oks, crc_fail=fails))
     print(json.dumps(summary))
+    if pooled:
+        rx.pool.close()
     return 0
 
 

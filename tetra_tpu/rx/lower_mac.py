@@ -158,17 +158,21 @@ class LowerMac:
                            burst.slot_index)
 
 
-def process_bursts_multi(macs: list[LowerMac],
-                         bursts_list: list[list[Burst]]):
-    """Decode bursts for many channels with cross-channel batched FEC.
+def decode_bursts_multi(cells: list[CellData],
+                        bursts_list: list[list[Burst]]):
+    """Batched device FEC for many channels' bursts (no dispatch).
 
     All channels' same-typed blocks decode in ONE device call per block type
     (SB1 first so each channel adopts its own SYNC PDU's scrambling code
     before its other blocks decode, like the sequential reference flow, then
     per-row scrambling keystreams for the rest).  Device-call count stays
     constant as channel count grows -- the per-call overhead on this backend
-    (~tens of ms) would otherwise dominate a 256-channel receiver.  Dispatch
-    then runs per channel in order, exactly as the single-channel path.
+    (~tens of ms) would otherwise dominate a 256-channel receiver.
+
+    Mutates each channel's CellData scramb_init on its first good SB1 (the
+    one piece of MAC state the decode itself depends on).  Returns
+    (all_items, decoded): per channel the block list [(burst_idx, blk_type,
+    blk_num, type5)] and {(chan_idx, item_idx): (type1, crc_ok)}.
     """
     all_items = []
     for bursts in bursts_list:
@@ -193,7 +197,7 @@ def process_bursts_multi(macs: list[LowerMac],
                 mcc = bits_to_uint(t1[j], 31, 10)
                 mnc = bits_to_uint(t1[j], 41, 14)
                 cc = bits_to_uint(t1[j], 4, 6)
-                macs[mi].cell.scramb_init = P.scramb_get_init(mcc, mnc, cc)
+                cells[mi].scramb_init = P.scramb_get_init(mcc, mnc, cc)
                 adopted.add(mi)
 
     for blk_type in (P.TPSAP_T_BBK, P.TPSAP_T_SB2, P.TPSAP_T_NDB,
@@ -203,14 +207,22 @@ def process_bursts_multi(macs: list[LowerMac],
         if not refs:
             continue
         batch = np.stack([all_items[mi][i][3] for mi, i in refs])
-        scrambs = [macs[mi].cell.scramb_init for mi, _ in refs]
+        scrambs = [cells[mi].scramb_init for mi, _ in refs]
         # scalar when uniform: keeps the single-cell compiled-program cache
         scr = scrambs[0] if len(set(scrambs)) == 1 else scrambs
         t1, ok = rx_fec.decode_block(jnp.asarray(batch), blk_type, scr)
         t1, ok = np.asarray(t1), np.asarray(ok)
         for j, (mi, i) in enumerate(refs):
             decoded[(mi, i)] = (t1[j], bool(ok[j]))
+    return all_items, decoded
 
+
+def process_bursts_multi(macs: list[LowerMac],
+                         bursts_list: list[list[Burst]]):
+    """Decode bursts for many channels (batched device FEC) then dispatch
+    per channel in order, exactly as the single-channel path."""
+    all_items, decoded = decode_bursts_multi([m.cell for m in macs],
+                                             bursts_list)
     for mi, mac in enumerate(macs):
         if all_items[mi]:
             mac._dispatch_decoded(

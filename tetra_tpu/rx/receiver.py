@@ -20,7 +20,8 @@ from .tdma import PhyState
 
 class TetraReceiver:
     def __init__(self, channels: int = 1, voice_cb=None, mode: str = "fast",
-                 device_acquire: bool | None = None):
+                 device_acquire: bool | None = None, mac_workers: int = 0,
+                 voice: bool = False, keystore: str | None = None):
         """mode: "fast" = chunked-update production loops (demod_fast);
         "exact" = per-sample reference-parity loops (demod).
 
@@ -28,18 +29,33 @@ class TetraReceiver:
         (one correlation call for all searching channels,
         rx.burst_sync.device_acquire_scan).  Default: on for >= 64 channels,
         where the host's per-channel scans dominate startup/dropout; below
-        that the per-dispatch device overhead outweighs them."""
+        that the per-dispatch device overhead outweighs them.
+
+        mac_workers: >0 shards the host MAC dispatch over that many worker
+        processes (rx.hostpool.MacPool); device FEC stays batched here.  In
+        pool mode use voice=True (worker-side pipelines + pool.take_audio())
+        instead of voice_cb, keystore= for worker-side decryption, and
+        display(c)/events come from the pooled snapshots;
+        save_state/load_state are unsupported."""
         self.channels = channels
         self.demod = demod_fast if mode == "fast" else demod_exact
         self.state = self.demod.demod_init(channels)
         self.phy = [PhyState() for _ in range(channels)]
         self.sync = [BurstSync(phy=p) for p in self.phy]
-        self.mac = [LowerMac(phy=p) for p in self.phy]
         self.device_acquire = (channels >= 64 if device_acquire is None
                                else device_acquire)
-        if voice_cb is not None:
-            for m in self.mac:
-                m.voice_cb = voice_cb
+        self.pool = None
+        if mac_workers:
+            from .hostpool import MacPool
+            assert voice_cb is None, "pool mode: use voice=True instead"
+            self.mac = []
+            self.pool = MacPool(channels, mac_workers, voice=voice,
+                                keystore=keystore)
+        else:
+            self.mac = [LowerMac(phy=p) for p in self.phy]
+            if voice_cb is not None:
+                for m in self.mac:
+                    m.voice_cb = voice_cb
         self.sym_quality = np.zeros(channels, np.float32)
 
     def process(self, iq: np.ndarray) -> None:
@@ -67,6 +83,17 @@ class TetraReceiver:
                 device_acquire_scan([self.sync[c] for c in searching],
                                     [feeds[c] for c in searching],
                                     pad_channels=self.channels)
+        if self.pool is not None:
+            chan_ids, phys, bursts_list = [], [], []
+            for c, bits in feeds.items():
+                bursts = self.sync[c].feed(bits)
+                if bursts:
+                    chan_ids.append(c)
+                    phys.append(self.phy[c])
+                    bursts_list.append(bursts)
+            if chan_ids:
+                self.pool.process_bursts(phys, chan_ids, bursts_list)
+            return
         macs, bursts_list = [], []
         for c, bits in feeds.items():
             bursts = self.sync[c].feed(bits)
@@ -79,11 +106,22 @@ class TetraReceiver:
     # -- convenience views ---------------------------------------------------
 
     def display(self, c: int = 0):
+        if self.pool is not None:
+            from .display import DisplayState
+            d = self.pool.views[c].display
+            return DisplayState(**d) if d else DisplayState()
         return self.mac[c].upper.display
 
     def locked(self, c: int = 0) -> bool:
         from .burst_sync import RX_LOCKED
         return self.sync[c].state == RX_LOCKED
+
+    def crc_counts(self, c: int = 0) -> tuple[int, int]:
+        """(crc_oks, crc_fails) — works in both in-process and pool modes."""
+        if self.pool is not None:
+            v = self.pool.views[c]
+            return v.crc_oks, v.crc_fails
+        return self.mac[c].crc_oks, self.mac[c].crc_fails
 
     def quality_ok(self, c: int = 0) -> bool:
         """Signal-quality gate analogous to dqpsk_sym_extr.cpp:25-29."""
@@ -100,6 +138,9 @@ class TetraReceiver:
     # not part of the checkpoint.
 
     def save_state(self, path: str) -> None:
+        if self.pool is not None:
+            raise NotImplementedError("checkpointing unsupported in "
+                                      "mac_workers pool mode")
         data = {}
         for k, v in self.state._asdict().items():
             data[f"demod_{k}"] = np.asarray(v)
