@@ -134,3 +134,33 @@ def test_cli_mac_workers_pool(capture):
     r2 = _run_cli([path, "--status-every", "5"])
     s2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert summary == s2
+
+
+def test_cli_voice_and_audio_rate(tmp_path):
+    """--voice writes s16 8k PCM; --audio-rate renders the reference audio
+    tail (rational resample + stereo interleave) as float32."""
+    rng = np.random.default_rng(9)
+    framegen = lambda: rng.integers(0, 2, (2, 137)).astype(np.uint8)
+    cfg = cell.CellConfig()
+    bits, _ = cell.downlink_bits(cfg, 170, start=TdmaTime(mn=1, fn=17, tn=4),
+                                 voice_slots={2: framegen})
+    iq = modulate(jnp.asarray(bits[None, :]))
+    iq = np.asarray(channel(iq, jax.random.key(3), snr_db=28.0, cfo_hz=100.0,
+                            sample_rate=P.SAMPLE_RATE))[0]
+    cap = tmp_path / "voicecap.cf32"
+    iq.astype(np.complex64).tofile(cap)
+
+    raw = tmp_path / "voice.s16"
+    r = _run_cli([str(cap), "--voice", str(raw), "--status-every", "10"])
+    assert r.returncode == 0, r.stderr[-500:]
+    pcm = np.fromfile(raw, np.int16)
+    assert len(pcm) >= 480 and len(pcm) % 480 == 0
+
+    hi = tmp_path / "voice.f32"
+    r = _run_cli([str(cap), "--voice", str(hi), "--audio-rate", "48000",
+                  "--status-every", "10"])
+    assert r.returncode == 0, r.stderr[-500:]
+    audio = np.fromfile(hi, np.float32)
+    # 48k stereo: ~12x the 8k mono sample count (6x rate * 2 channels)
+    assert abs(len(audio) - 12 * len(pcm)) < 0.05 * len(audio)
+    assert np.abs(audio).max() <= 4.0  # unclamped float path; ringing ok

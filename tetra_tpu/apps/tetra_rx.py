@@ -170,6 +170,10 @@ def main(argv=None):
     ap.add_argument("--mode", type=int, default=0, choices=(0, 1))
     ap.add_argument("--udp", default="localhost:8355")
     ap.add_argument("--voice", default=None, help="write voice PCM (s16 8k)")
+    ap.add_argument("--audio-rate", type=int, default=0, metavar="HZ",
+                    help="with --voice: resample to HZ float32 stereo "
+                         "(reference audio tail, main.cpp:96-103) instead "
+                         "of raw s16 8k")
     ap.add_argument("--block", type=int, default=4096)
     ap.add_argument("--status-every", type=float, default=1.0,
                     help="seconds of air time between status lines")
@@ -238,6 +242,10 @@ def main(argv=None):
     rx = None
     status_blocks = max(1, int(args.status_every * P.SAMPLE_RATE / args.block))
     pcm_out = open(args.voice, "wb") if args.voice else None
+    audio_out = None
+    if args.voice and args.audio_rate:
+        from ..voice.audio_out import AudioOutput
+        audio_out = AudioOutput(out_rate=args.audio_rate)
     C = 1
     for i, blk in enumerate(blocks or iter_blocks(args)):
         if rx is None:
@@ -271,10 +279,14 @@ def main(argv=None):
                         print(f"[ch {c}] {e[1]} {line}")
                 ev_seen[c] = len(events)
         if pcm_out is not None:
-            if pooled:
-                rx.pool.take_audio().tofile(pcm_out)
-            elif voice is not None:
-                voice.take_audio().tofile(pcm_out)
+            pcm = (rx.pool.take_audio() if pooled
+                   else voice.take_audio() if voice is not None
+                   else None)
+            if pcm is not None and len(pcm):
+                if audio_out is not None:
+                    audio_out.render(pcm).tofile(pcm_out)
+                else:
+                    pcm.tofile(pcm_out)
         if args.dashboard and (i + 1) % status_blocks == 0:
             _render_dashboard(rx, C)
         elif (i + 1) % status_blocks == 0:
