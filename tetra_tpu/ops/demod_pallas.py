@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import params as P
 from ..rx.demod import _FLL_BETA, _FLL_FREQ_LIM, _tables
-from ..rx.demod_fast import K_SAMP
+from ..rx.demod_fast import K_SAMP, rot_ramp
 
 M = P.RRC_TAP_COUNT              # 65
 HIST = M - 1                     # 64
@@ -76,11 +76,10 @@ def _kernel(xr_ref, xi_ref, gain0, phase0, freq0, hist_r0, hist_i0, Hs_ref,
     yi = xi_ref[:, :] * gain[None, :]
     amp = jnp.sqrt(yr * yr + yi * yi)
 
-    # FLL derotation ramp
-    ns = jax.lax.broadcasted_iota(jnp.int32, (K_SAMP, 1), 0).astype(jnp.float32)
-    ph = phase[None, :] + freq[None, :] * ns
-    c = jnp.cos(ph)
-    s = jnp.sin(ph)
+    # FLL derotation ramp via the rotator recurrence (2 transcendental
+    # pairs per chunk instead of per sample -- the VPU special-function
+    # unit is the chain's binding resource, BENCH_DETAIL.md roofline)
+    c, s = rot_ramp(phase, freq, K_SAMP, time_first=True)
     rr = yr * c + yi * s
     ri = yi * c - yr * s
 

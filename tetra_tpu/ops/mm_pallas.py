@@ -36,7 +36,7 @@ from .. import params as P
 from ..rx.demod_fast import (_COSTAS_ALPHA, _COSTAS_BETA,
                              _COSTAS_FREQ_LIM_CHUNKED, _MM_MU_GAIN,
                              _MM_OMEGA_GAIN, _OMEGA_MAX, _OMEGA_MIN,
-                             K_SYM, _bank_polys)
+                             K_SYM, _bank_polys, rot_ramp)
 
 NTAPS = P.INTERP_TAP_COUNT            # 8
 # window: 2*K_SYM nominal span + taps + +-2 slip margin + barrel range
@@ -169,10 +169,11 @@ def _kernel(T, mfr_ref, mfi_ref, st0_ref, polys_ref, sel_ref,
     omega = omega_n
 
     # ---- Costas (frozen freq across the chunk) ----
-    ph2_k = ph2[None, :] - (kk + 1.0) * np.float32(np.pi / 4.0)
-    ang = ph2_k - (cphase[None, :] + cfreq[None, :] * kk)
-    ca = jnp.cos(ang)
-    sa = jnp.sin(ang)
+    # ang = (ph2 - pi/4 - cphase) + k * (-pi/4 - cfreq): linear ramp via
+    # the rotator recurrence (no per-symbol transcendentals)
+    ca, sa = rot_ramp(ph2 - np.float32(np.pi / 4.0) - cphase,
+                      -np.float32(np.pi / 4.0) - cfreq, K_SYM,
+                      time_first=True)
     sr = f0r * ca - f0i * sa
     si = f0i * ca + f0r * sa
     cerr = jnp.clip(sgn(sr) * si - sgn(si) * sr, -1.0, 1.0)

@@ -182,6 +182,49 @@ def _band_matrices(be):
     return mats
 
 
+def rot_ramp(phase, freq, K: int, time_first: bool):
+    """(cos, sin) of ph_n = phase + freq*n for n = 0..K-1 without per-sample
+    transcendentals.
+
+    The naive ramp costs 2 transcendentals per SAMPLE -- the VPU
+    special-function unit is the demod chain's binding resource at full
+    throughput (BENCH_DETAIL.md roofline) while the MXU idles.  Instead:
+    2 transcendental pairs per CHUNK (e^{j phase}, e^{j freq}) and the
+    powers e^{j freq n} via binary decomposition of n -- log2(K) full-width
+    complex multiply/select passes, identical shapes every pass (Mosaic
+    friendly; also used inside the Pallas stage-1 kernel).  fp32 error after
+    <= log2(K) chained unit-magnitude multiplies is ~1e-6, re-anchored at
+    every chunk by the exact e^{j phase}.
+
+    phase/freq: (C,).  Returns (K, C) pairs if time_first else (C, K).
+    """
+    c = jnp.cos(phase)
+    s = jnp.sin(phase)
+    wc = jnp.cos(freq)
+    ws = jnp.sin(freq)
+    # bit masks from an in-graph iota (NOT host constants: Pallas kernels
+    # reject captured arrays, and iota is free on the VPU)
+    if time_first:
+        c = jnp.broadcast_to(c[None, :], (K,) + c.shape)
+        s = jnp.broadcast_to(s[None, :], (K,) + s.shape)
+        ns = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+        wsel = lambda w: w[None, :]
+    else:
+        c = jnp.broadcast_to(c[:, None], c.shape + (K,))
+        s = jnp.broadcast_to(s[:, None], s.shape + (K,))
+        ns = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+        wsel = lambda w: w[:, None]
+    for b in range(max(1, (K - 1).bit_length())):
+        m = ((ns >> b) & 1) == 1
+        wcb, wsb = wsel(wc), wsel(ws)
+        cn = c * wcb - s * wsb
+        sn = s * wcb + c * wsb
+        c = jnp.where(m, cn, c)
+        s = jnp.where(m, sn, s)
+        wc, ws = wc * wc - ws * ws, 2.0 * wc * ws
+    return c, s
+
+
 def _agc_fll_chunked(xr, xi, gain, phase, freq, hre, him, be):
     """Chunked AGC/FLL: one loop update per K_SAMP-sample chunk."""
     C, T = xr.shape
@@ -189,7 +232,6 @@ def _agc_fll_chunked(xr, xi, gain, phase, freq, hre, him, be):
     n_chunks = T // K_SAMP
     M = P.RRC_TAP_COUNT
     Hlo_r, Hlo_i, Hhi_r, Hhi_i = [jnp.asarray(H) for H in _band_matrices(be)]
-    n = jnp.arange(K_SAMP, dtype=jnp.float32)
 
     xr_c = jnp.swapaxes(xr.reshape(C, n_chunks, K_SAMP), 0, 1)
     xi_c = jnp.swapaxes(xi.reshape(C, n_chunks, K_SAMP), 0, 1)
@@ -222,9 +264,9 @@ def _agc_fll_chunked(xr, xi, gain, phase, freq, hre, him, be):
         # re-acquisition for seconds
         ratio = jnp.where(amp_mean < 0.01 * P.AGC_SETPOINT, 1.0, ratio)
         new_gain = jnp.minimum(gain * ratio ** r_eff, P.AGC_MAX_GAIN)
-        # frozen phase ramp across the chunk
-        ph = phase[:, None] + freq[:, None] * n[None, :]
-        c, s = jnp.cos(ph), jnp.sin(ph)
+        # frozen phase ramp across the chunk (rotator recurrence: no
+        # per-sample transcendentals, see rot_ramp)
+        c, s = rot_ramp(phase, freq, K_SAMP, time_first=False)
         rr = yr * c + yi * s
         ri = yi * c - yr * s
         # band-edge filters over [history | chunk] as banded matmuls:
@@ -316,9 +358,11 @@ def _mm_costas_chunked(yr, yi, tail_re, tail_im, pos, omega,
         omega = omega_n
 
         # ---- Costas with frozen freq over the chunk ----
-        ph2_k = ph2[:, None] - (kk[None, :] + 1.0) * (np.pi / 4.0)
-        ang = ph2_k - (cphase[:, None] + cfreq[:, None] * kk[None, :])
-        c, s = jnp.cos(ang), jnp.sin(ang)
+        # ang = (ph2 - pi/4 - cphase) + k * (-pi/4 - cfreq): a linear ramp,
+        # generated by the rotator recurrence (no per-symbol transcendentals)
+        c, s = rot_ramp(ph2 - np.float32(np.pi / 4.0) - cphase,
+                        -np.float32(np.pi / 4.0) - cfreq, K_SYM,
+                        time_first=False)
         sr = f0r * c - f0i * s
         si = f0i * c + f0r * s
         cerr = jnp.clip(sgn(sr) * si - sgn(si) * sr, -1.0, 1.0)
