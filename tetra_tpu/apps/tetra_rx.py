@@ -262,6 +262,10 @@ def main(argv=None):
                 for m in rx.mac:
                     m.upper.crypto_state = CryptoState(
                         store=KeyStore.load(args.keystore))
+                if voice is not None and rx.mac:
+                    # encrypted-voice decode (single shared pipeline:
+                    # channel 0's crypto state)
+                    voice.crypto_state = rx.mac[0].upper.crypto_state
             if args.state and not pooled:
                 import os as _os
                 if _os.path.exists(args.state):

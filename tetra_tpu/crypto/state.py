@@ -193,6 +193,22 @@ class CryptoState:
         out[tmpdu_offset:] ^= ks[skip:]
         return out
 
+    def decrypt_voice_bits(self, t: TdmaTime, frames: np.ndarray) -> bool:
+        """Hard-bit variant of decrypt_voice for the channel-decoded (2, 137)
+        codec frames: the reference's sign flip of +-127 soft bits
+        (decrypt_voice_timeslot, tetra_crypto.c:270-302 -- carried but never
+        CALLED by the plugin) is an XOR after slicing.  Wired into
+        voice/pipeline.py here, so encrypted traffic actually decodes (+).
+        In-place; returns False when no CCK/keystream available."""
+        key = self.cck
+        ks = self.keystream_bits(key, t, 137 * 2) if key else None
+        if ks is None:
+            return False
+        frames = frames.reshape(2, 137)
+        frames[0] ^= ks[:137]
+        frames[1] ^= ks[137:]
+        return True
+
     def decrypt_voice(self, t: TdmaTime, soft_block: np.ndarray
                       ) -> bool:
         """Flip the signs of encrypted voice soft bits in the 2x137-bit

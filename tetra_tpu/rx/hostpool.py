@@ -61,6 +61,9 @@ def _worker_main(conn, channel_ids, voice: bool, keystore: str | None):
         if voice:
             from ..voice.pipeline import VoicePipeline
             voices[cid] = m.voice_cb = VoicePipeline()
+            # the voice pipeline shares the channel's crypto state so
+            # encrypted traffic decodes (decrypt_voice_bits)
+            voices[cid].crypto_state = m.upper.crypto_state
         macs[cid] = m
     sent_events = {cid: 0 for cid in channel_ids}
 

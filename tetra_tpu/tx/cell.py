@@ -315,7 +315,15 @@ def downlink_bits(cfg: CellConfig, n_slots: int,
             continue
         if is_voice:
             frames = np.asarray(voice_slots[time.tn](), np.uint8)
-            type3 = vchannel.encode_slot(frames.reshape(-1))
+            tx_frames = frames
+            if crypto is not None:
+                # air-interface voice encryption: XOR the CCK keystream over
+                # the two 137-bit codec frames before channel coding (the
+                # TX inverse of decrypt_voice_timeslot's post-decode sign
+                # flip, tetra_crypto.c:270-302); records keep the plaintext
+                ks = crypto.keystream_bits(crypto.cck, time, 137 * 2)
+                tx_frames = frames.reshape(2, 137) ^ ks.reshape(2, 137)
+            type3 = vchannel.encode_slot(tx_frames.reshape(-1))
             type5 = fec_enc.scramble(type3, scramb)
             b = burst_mod.build_norm_burst(
                 type5[:216], bbk5, type5[216:], two_log_chan=False)

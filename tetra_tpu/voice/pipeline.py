@@ -62,6 +62,12 @@ class VoicePipeline:
             return
         frames, bfi = vchannel.decode_slot(type4[None])
         f2, is_bad = frames[0], bool(bfi[0])
+        if self.crypto_state is not None:
+            # encrypted traffic: XOR the CCK keystream off the decoded
+            # codec frames (decrypt_voice_timeslot semantics -- the
+            # reference carries that function but never calls it; here it
+            # is wired into the voice path)
+            self.crypto_state.decrypt_voice_bits(time, f2)
         self.slots_decoded += 1
         if is_bad:
             self.bad_frames += 1
