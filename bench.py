@@ -64,9 +64,10 @@ def main():
         return k * channels * block * iters / dt / 1e6
 
     msps = 0.0
-    for channels, block, k in ((2048, 4608, 32), (2048, 4608, 8),
-                               (2048, 4608, 4), (2048, 4608, 1),
-                               (512, 4608, 1), (128, 4608, 1)):
+    for channels, block, k in ((2048, 4608, 64), (2048, 4608, 32),
+                               (2048, 4608, 8), (2048, 4608, 4),
+                               (2048, 4608, 1), (512, 4608, 1),
+                               (128, 4608, 1)):
         try:
             msps = run_config(channels, block, k)
             break
