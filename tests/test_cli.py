@@ -164,3 +164,23 @@ def test_cli_voice_and_audio_rate(tmp_path):
     # 48k stereo: ~12x the 8k mono sample count (6x rate * 2 channels)
     assert abs(len(audio) - 12 * len(pcm)) < 0.05 * len(audio)
     assert np.abs(audio).max() <= 4.0  # unclamped float path; ringing ok
+
+
+def test_cli_dashboard_and_metrics(capture, tmp_path):
+    """--dashboard renders the panel incl. ASCII constellation; --metrics
+    appends structured DisplayState records (SURVEY.md section 5:
+    'export the same fields as structured metrics')."""
+    path, cfg = capture
+    mfile = tmp_path / "metrics.jsonl"
+    r = _run_cli([path, "--dashboard", "--metrics", str(mfile),
+                  "--status-every", "0.7"])
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "constellation ch0" in r.stdout
+    assert "receiver status" in r.stdout
+    recs = [json.loads(l) for l in open(mfile)]
+    assert len(recs) >= 2
+    last = recs[-1]
+    assert last["locked"] and last["mcc"] == cfg.mcc
+    for field in ("dl_freq", "timeslot_content", "crc_ok", "quality",
+                  "voice_service", "curr_multiframe"):
+        assert field in last

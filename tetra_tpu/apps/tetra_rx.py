@@ -101,7 +101,25 @@ class NetsymsStreamer:
         return self.since_found < self.TS_EXPIRE
 
 
-def _render_dashboard(rx, C):
+def _ascii_constellation(re, im, size=17, half=1.8):
+    """Density plot of the post-Costas constellation (the reference's
+    ImGui constellation diagram, gui_widgets/main.cpp:376-383)."""
+    rows = [[" "] * size for _ in range(size)]
+    shades = " .:*#@"
+    if len(re):
+        xi = np.clip(((re + half) / (2 * half) * size).astype(int), 0, size - 1)
+        yi = np.clip(((half - im) / (2 * half) * size).astype(int), 0, size - 1)
+        grid = np.zeros((size, size), int)
+        np.add.at(grid, (yi, xi), 1)
+        mx = max(1, grid.max())
+        for y in range(size):
+            for x in range(size):
+                if grid[y, x]:
+                    rows[y][x] = shades[min(5, 1 + grid[y, x] * 4 // mx)]
+    return ["      |" + "".join(r) + "|" for r in rows]
+
+
+def _render_dashboard(rx, C, constellation=True):
     """Terminal panel with the reference status GUI's field set
     (menuHandler, main.cpp:199-374) rendered from DisplayState."""
     lines = ["\x1b[2J\x1b[H=== tetra_tpu receiver status ==="]
@@ -127,6 +145,12 @@ def _render_dashboard(rx, C):
                  if getattr(d, n)]
         if flags:
             lines.append(f"      services: {' '.join(flags)}")
+    if constellation:
+        # constellation of the first locked channel (or channel 0)
+        c = next((c for c in range(C) if rx.locked(c)), 0)
+        re, im = rx.constellation(c)
+        lines.append(f"      constellation ch{c} ({len(re)} syms):")
+        lines.extend(_ascii_constellation(re, im))
     print("\n".join(lines), flush=True)
 
 
@@ -188,6 +212,9 @@ def main(argv=None):
     ap.add_argument("-v", "--verbose", action="store_true",
                     help="print each decoded PDU (the reference's console "
                          "dump; rx_tmv_unitdata_ind et al.)")
+    ap.add_argument("--metrics", default=None, metavar="JSONL",
+                    help="append per-interval structured metrics (the "
+                         "tetra_display_state field set) to this file")
     ap.add_argument("--dashboard", action="store_true",
                     help="render a refreshing terminal status panel (the "
                          "reference GUI's field set, main.cpp:199-374)")
@@ -291,6 +318,17 @@ def main(argv=None):
                     audio_out.render(pcm).tofile(pcm_out)
                 else:
                     pcm.tofile(pcm_out)
+        if args.metrics and (i + 1) % status_blocks == 0:
+            import time as _time
+            with open(args.metrics, "a") as mf:
+                for c in range(C):
+                    oks, fails = rx.crc_counts(c)
+                    rec = dict(ts=_time.time(), channel=c,
+                               locked=rx.locked(c),
+                               quality=float(rx.sym_quality[c]),
+                               crc_ok=oks, crc_fail=fails,
+                               **rx.display(c).as_dict())
+                    mf.write(json.dumps(rec) + "\n")
         if args.dashboard and (i + 1) % status_blocks == 0:
             _render_dashboard(rx, C)
         elif (i + 1) % status_blocks == 0:

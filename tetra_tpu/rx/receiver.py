@@ -93,6 +93,9 @@ class TetraReceiver:
         dibits = np.asarray(outs["dibits"])
         valid = np.asarray(outs["valid"])
         dist = np.asarray(outs["dist"])
+        # constellation tap (reference: splitter->reshaper->GUI buffer,
+        # main.cpp:85-89); kept as device arrays, fetched only on demand
+        self._const = (outs["sym_re"], outs["sym_im"], valid)
         # burst sync per channel (host), then ONE cross-channel batched FEC
         # pass: device-call count stays constant as channels grow
         feeds: dict[int, np.ndarray] = {}
@@ -142,6 +145,17 @@ class TetraReceiver:
     def locked(self, c: int = 0) -> bool:
         from .burst_sync import RX_LOCKED
         return self.sync[c].state == RX_LOCKED
+
+    def constellation(self, c: int = 0, n: int = 256):
+        """(re, im) of the last block's final n valid post-Costas symbols
+        (the reference's 1024-point constellation tap, main.cpp:376-383)."""
+        if getattr(self, "_const", None) is None:
+            return np.zeros(0, np.float32), np.zeros(0, np.float32)
+        sym_re, sym_im, valid = self._const
+        v = valid[c].astype(bool)
+        re = np.asarray(sym_re)[c][v][-n:]
+        im = np.asarray(sym_im)[c][v][-n:]
+        return re, im
 
     def crc_counts(self, c: int = 0) -> tuple[int, int]:
         """(crc_oks, crc_fails) — works in both in-process and pool modes."""
