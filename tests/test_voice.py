@@ -86,6 +86,52 @@ def test_acelp_pitch_tracking():
     assert peak_lag % 20 == 0, peak_lag  # periodic at the commanded lag
 
 
+def test_acelp_algebraic_full_subframe_coverage():
+    """Pulses land across the whole 60-sample subframe (15-sample track
+    blocks), not just its head: commanded at positions {14,29,44,59}, the
+    synthesized excitation is periodic at ~15 samples."""
+    from tetra_tpu.voice.acelp import AcelpDecoder
+    dec = AcelpDecoder()
+    f = np.zeros(137, np.uint8)
+    for s4 in range(4):
+        # algebraic: all 4 tracks posq=7 sign=+ -> field 0b1110 each
+        a = 49 + 16 * s4
+        f[a:a + 16] = [1, 1, 1, 0] * 4
+        # gains: pitch gain 0, code gain max
+        g = 113 + 6 * s4
+        f[g + 3:g + 6] = [1, 1, 1]
+    aud = np.concatenate([dec.decode_frame(f) for _ in range(10)])
+    x = aud[1200:].astype(float)
+    x -= x.mean()
+    ac = np.correlate(x, x, "full")[len(x) - 1:]
+    peak_lag = np.argmax(ac[8:40]) + 8
+    assert peak_lag % 15 == 0, peak_lag
+
+
+def test_acelp_fractional_pitch():
+    """Odd lag2 exercises the half-sample interpolator: commanded lag 40.5
+    yields a waveform periodic at ~40.5 samples (autocorr peak at 40 or 41,
+    clearly away from a hard 40-integer lock over many periods)."""
+    from tetra_tpu.voice.acelp import AcelpDecoder
+    dec = AcelpDecoder()
+    f = np.zeros(137, np.uint8)
+    # pitch0 idx = 41 -> lag2 = 81 -> 40.5 samples; deltas = +0 (idx 15)
+    f[26:34] = [int(b) for b in np.binary_repr(41, 8)]
+    for s4 in range(3):
+        f[34 + 5 * s4:34 + 5 * (s4 + 1)] = [0, 1, 1, 1, 1]
+    for s4 in range(4):
+        g = 113 + 6 * s4
+        f[g:g + 3] = [1, 1, 1]       # max pitch gain
+        f[g + 3:g + 6] = [1, 0, 0]   # mid code gain
+    aud = np.concatenate([dec.decode_frame(f) for _ in range(12)])
+    x = aud[1200:].astype(float)
+    x -= x.mean()
+    assert np.isfinite(x).all() and np.abs(x).max() > 0
+    ac = np.correlate(x, x, "full")[len(x) - 1:]
+    peak_lag = np.argmax(ac[25:60]) + 25
+    assert peak_lag in (40, 41), peak_lag
+
+
 def test_voice_pipeline_slot_flow():
     from tetra_tpu.rx.tdma import TdmaTime
     from tetra_tpu.voice.pipeline import VoicePipeline

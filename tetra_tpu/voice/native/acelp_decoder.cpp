@@ -6,9 +6,10 @@
 // redistributable and are unavailable in this environment, so this is a
 // from-scratch CELP synthesis engine with the TETRA frame structure:
 //   30 ms frame, 240 samples @ 8 kHz, 4 subframes x 60 samples,
-//   10th-order LPC, adaptive codebook (pitch 20..147, fractional steps on
-//   subframe 1), 4-pulse algebraic codebook on interleaved tracks,
-//   jointly-indexed pitch/code gains, pole-zero postfilter + highpass.
+//   10th-order LPC, adaptive codebook (pitch 20..147.5 at half-sample
+//   resolution, delta-coded across subframes), 4-pulse algebraic codebook
+//   on 15-sample track blocks (full subframe coverage), jointly-indexed
+//   pitch/code gains, pole-zero postfilter with adaptive tilt + highpass.
 // The 137-bit frame layout is this framework's own documented allocation
 // (voice/acelp.py mirrors it); audio is intelligible-speech-class output,
 // not bit-exact to the ETSI fixed-point decoder.
@@ -27,11 +28,16 @@ constexpr int SUBFRAME = 60;
 constexpr int NSUB = 4;
 constexpr int PITCH_MIN = 20;
 constexpr int PITCH_MAX = 147;
+// pitch lags carry half-sample resolution: lag2 = 2*lag in [40, 295]
+constexpr int LAG2_MIN = 2 * PITCH_MIN;
+constexpr int LAG2_MAX = 2 * PITCH_MAX + 1;
+// extra history margin for the fractional-delay interpolator's tap span
+constexpr int EXC_PAD = 4;
 
 struct DecoderState {
     float lsf_prev[LPC_ORDER];        // previous frame LSFs (Hz-normalized)
     float mem_syn[LPC_ORDER];         // synthesis filter memory
-    float excitation[PITCH_MAX + FRAME]; // adaptive codebook history + frame
+    float excitation[PITCH_MAX + EXC_PAD + FRAME]; // ACB history + frame
     float postfilter_mem_num[LPC_ORDER];
     float postfilter_mem_den[LPC_ORDER];
     float tilt_mem;
@@ -39,7 +45,7 @@ struct DecoderState {
     float hp_x1, hp_x2, hp_y1, hp_y2; // highpass biquad state
     float prev_pitch_gain;
     float log_gc;                     // log-domain code-gain predictor
-    int   prev_pitch;
+    int   prev_lag2;                  // previous pitch lag in half-samples
 };
 
 // mean LSFs of speech (normalized 0..pi), used as quantizer centers
@@ -129,20 +135,43 @@ void lsf_to_lpc(const float* lsf, float* a) {
 }
 
 // ---------------------------------------------------------------------------
-// Algebraic codebook: 4 pulses on interleaved tracks of 15 positions.
-//  16 bits per subframe: 4 x (position:3 -> x4 spacing within track, sign:1)
+// Algebraic codebook: 4 pulses, one per contiguous 15-sample track block.
+//  16 bits per subframe: 4 x (position:3 -> even offsets 0..14 within the
+//  block, sign:1).  Track t covers samples [15t, 15t+14], so every region of
+//  the subframe receives excitation (a track layout confined to the first
+//  samples leaves the tail of each subframe unexcited and audibly dull).
 // ---------------------------------------------------------------------------
 
 void decode_algebraic(int index, float* code) {
     std::memset(code, 0, SUBFRAME * sizeof(float));
     for (int track = 0; track < 4; track++) {
         int field = (index >> (track * 4)) & 0xF;
-        int posq = field >> 1;          // 3 bits: 8 positions
+        int posq = field >> 1;          // 3 bits: 8 even offsets in the block
         int sign = field & 1;
-        int pos = track + 4 * posq;     // interleaved track structure
+        int pos = 15 * track + 2 * posq;
         if (pos < SUBFRAME)
             code[pos] = sign ? -1.0f : 1.0f;
     }
+}
+
+// ---------------------------------------------------------------------------
+// Fractional-delay adaptive codebook: past excitation at lag2/2 samples.
+// Odd lag2 -> half-sample point via an 8-tap Hamming-windowed sinc.
+// ---------------------------------------------------------------------------
+
+const float kHalfTaps[2 * EXC_PAD] = {
+    // sinc(3.5 - k) * hamming_8(k), normalized to unity DC gain
+    -0.00732f, 0.03248f, -0.13735f, 0.61219f,
+    0.61219f, -0.13735f, 0.03248f, -0.00732f};
+
+inline float acb_sample(const float* e, int i, int lag2) {
+    int lag = lag2 >> 1;
+    const float* p = e + i - lag;
+    if ((lag2 & 1) == 0) return *p;
+    float s = 0.0f;
+    for (int k = 0; k < 2 * EXC_PAD; k++)
+        s += kHalfTaps[k] * p[k - EXC_PAD];
+    return s;
 }
 
 // gains: 6 bits = 3 bits pitch gain (0..1.2), 3 bits code gain.
@@ -176,8 +205,8 @@ void synth_filter(const float* a, const float* x, float* y, int n, float* mem) {
 }
 
 void postfilter(DecoderState* st, const float* a, float* x, int n) {
-    // pole-zero short-term postfilter H(z) = A(z/0.55)/A(z/0.75) + tilt
-    const float gn = 0.55f, gd = 0.75f;
+    // pole-zero short-term postfilter H(z) = A(z/gn)/A(z/gd) + adaptive tilt
+    const float gn = 0.65f, gd = 0.75f;
     float an[LPC_ORDER], ad[LPC_ORDER];
     float fn = gn, fd = gd;
     for (int j = 0; j < LPC_ORDER; j++) {
@@ -211,13 +240,29 @@ void postfilter(DecoderState* st, const float* a, float* x, int n) {
     }
     for (int j = 0; j < LPC_ORDER; j++)
         st->postfilter_mem_den[j] = out[n - 1 - j];
-    // tilt compensation + AGC toward input energy
+    // adaptive tilt compensation: first reflection coefficient of the
+    // postfilter's truncated impulse response sets the tilt strength (a
+    // fixed tilt over-brightens voiced segments and dulls unvoiced ones)
+    float h[22];
+    for (int i = 0; i < 22; i++) {
+        // impulse response of A(z/gn)/A(z/gd) via direct recursion
+        float s = (i == 0) ? 1.0f : ((i - 1 < LPC_ORDER) ? an[i - 1] : 0.0f);
+        for (int j = 0; j < LPC_ORDER && j < i; j++)
+            s -= ad[j] * h[i - 1 - j];
+        h[i] = s;
+    }
+    float r0 = 1e-6f, r1 = 0.0f;
+    for (int i = 0; i < 22; i++) r0 += h[i] * h[i];
+    for (int i = 0; i < 21; i++) r1 += h[i] * h[i + 1];
+    float k1 = r1 / r0;
+    float mu = (k1 > 0.0f) ? 0.5f * k1 : 0.25f * k1;
+    // AGC toward input energy
     float ein = 1e-6f, eout = 1e-6f;
     for (int i = 0; i < n; i++) { ein += x[i] * x[i]; eout += out[i] * out[i]; }
     float g = std::sqrt(ein / eout);
     st->agc_gain = 0.9f * st->agc_gain + 0.1f * g;
     for (int i = 0; i < n; i++) {
-        float v = out[i] - 0.3f * st->tilt_mem;
+        float v = out[i] - mu * st->tilt_mem;
         st->tilt_mem = out[i];
         x[i] = v * st->agc_gain;
     }
@@ -236,7 +281,7 @@ void* tetra_acelp_create() {
     std::memset(st, 0, sizeof(*st));
     std::memcpy(st->lsf_prev, kLsfMean, sizeof(kLsfMean));
     st->agc_gain = 1.0f;
-    st->prev_pitch = 60;
+    st->prev_lag2 = 120;
     st->log_gc = 5.5f;
     return st;
 }
@@ -251,13 +296,16 @@ void tetra_acelp_decode_frame(void* h, const uint8_t* bits137, int bfi,
     BitReader br{bits137, 0};
 
     float lsf[LPC_ORDER];
-    int pitch[NSUB], alg[NSUB], gains[NSUB];
+    int lag2[NSUB], alg[NSUB], gains[NSUB];
     if (!bfi) {
         dequant_lsf(br, lsf);                      // 26 bits
-        pitch[0] = PITCH_MIN + br.take(8) % (PITCH_MAX - PITCH_MIN + 1);
+        // absolute pitch, half-sample resolution: the full 8-bit codespace
+        // spans 20..147.5 samples in 0.5 steps (256 indices, no modulo waste)
+        lag2[0] = LAG2_MIN + br.take(8);
         for (int s = 1; s < NSUB; s++) {
-            int delta = br.take(5) - 15;           // relative -15..+16
-            pitch[s] = clampf(pitch[s - 1] + delta, PITCH_MIN, PITCH_MAX);
+            int delta2 = br.take(5) - 15;          // -7.5..+8 samples
+            int v = lag2[s - 1] + delta2;
+            lag2[s] = v < LAG2_MIN ? LAG2_MIN : (v > LAG2_MAX ? LAG2_MAX : v);
         }
         for (int s = 0; s < NSUB; s++) alg[s] = br.take(16);
         for (int s = 0; s < NSUB; s++) gains[s] = br.take(6);
@@ -266,14 +314,15 @@ void tetra_acelp_decode_frame(void* h, const uint8_t* bits137, int bfi,
         // concealment: reuse previous LSFs, damp gains
         std::memcpy(lsf, st->lsf_prev, sizeof(lsf));
         for (int s = 0; s < NSUB; s++) {
-            pitch[s] = st->prev_pitch;
+            lag2[s] = st->prev_lag2;
             alg[s] = 0;
             gains[s] = 0;
         }
     }
 
-    float* exc_hist = st->excitation;            // [0..PITCH_MAX) history
-    float* exc = st->excitation + PITCH_MAX;     // current frame excitation
+    // [0..PITCH_MAX+EXC_PAD) history, then the current frame's excitation
+    float* exc_hist = st->excitation;
+    float* exc = st->excitation + PITCH_MAX + EXC_PAD;
 
     for (int s = 0; s < NSUB; s++) {
         // interpolate LSFs across subframes
@@ -284,22 +333,22 @@ void tetra_acelp_decode_frame(void* h, const uint8_t* bits137, int bfi,
         lsf_to_lpc(lsf_i, a);
 
         float* e = exc + s * SUBFRAME;
-        // adaptive codebook contribution
-        int lag = pitch[s];
+        // adaptive codebook contribution (fractional lag; when the lag is
+        // shorter than the subframe the loop reads samples it just wrote,
+        // which is exactly the standard repeat-extension of the short-lag
+        // adaptive codebook)
         float gp, gc;
         decode_gains(gains[s], &st->log_gc, &gp, &gc);
         if (bfi) { gp = st->prev_pitch_gain * 0.9f; gc = 0.0f; }
-        for (int i = 0; i < SUBFRAME; i++) {
-            float past = *(e + i - lag);  // reaches into history buffer
-            e[i] = gp * past;
-        }
+        for (int i = 0; i < SUBFRAME; i++)
+            e[i] = gp * acb_sample(e, i, lag2[s]);
         // algebraic codebook contribution
         float code[SUBFRAME];
         decode_algebraic(alg[s], code);
         for (int i = 0; i < SUBFRAME; i++) e[i] += gc * code[i];
 
         st->prev_pitch_gain = gp;
-        st->prev_pitch = lag;
+        st->prev_lag2 = lag2[s];
 
         // synthesis + postfilter
         float synth[SUBFRAME];
@@ -322,7 +371,7 @@ void tetra_acelp_decode_frame(void* h, const uint8_t* bits137, int bfi,
 
     // roll excitation history
     std::memmove(exc_hist, st->excitation + FRAME,
-                 PITCH_MAX * sizeof(float));
+                 (PITCH_MAX + EXC_PAD) * sizeof(float));
     std::memcpy(st->lsf_prev, lsf, sizeof(lsf));
 }
 
