@@ -161,6 +161,51 @@ def test_voice_e2e_bit_level():
     assert vp.slots_decoded >= len(good) - 1
 
 
+def test_speech_over_air_pitch_preserved():
+    """Real encoded speech through the whole air interface: vowel ->
+    AcelpEncoder -> cell TX -> burst sync -> MAC -> channel decode ->
+    AcelpDecoder; the reconstructed audio keeps the source pitch."""
+    from scipy.signal import lfilter
+    from tetra_tpu.rx.tdma import PhyState
+    from tetra_tpu.voice.acelp import AcelpEncoder
+    from tetra_tpu.voice.pipeline import VoicePipeline
+
+    fs = 8000
+    t = np.arange(fs * 2) / fs
+    phase = 2 * np.pi * np.cumsum(110 * (1 + 0.02 * np.sin(
+        2 * np.pi * 2.5 * t))) / fs
+    x = sum(np.cos(h * phase) / h for h in range(1, 30))
+    for fc, bw in ((700, 110), (1200, 140), (2600, 250)):
+        r = np.exp(-np.pi * bw / fs)
+        th = 2 * np.pi * fc / fs
+        x = lfilter([1.0], [1, -2 * r * np.cos(th), r * r], x)
+    pcm = (x / np.abs(x).max() * 12000).astype(np.int16)
+
+    enc = AcelpEncoder()
+    slot_idx = [0]
+
+    def framegen():
+        s = slot_idx[0] % (len(pcm) // 480)
+        slot_idx[0] += 1
+        return enc.encode_slot(pcm[s * 480:(s + 1) * 480])
+
+    bits, _ = cell.downlink_bits(
+        CFG, 170, start=START.copy(), voice_slots={2: framegen})
+    phy = PhyState()
+    sync = BurstSync(phy=phy)
+    mac = LowerMac(phy=phy)
+    vp = VoicePipeline()
+    mac.voice_cb = vp
+    for i in range(0, len(bits), 510 * 4):
+        mac.process_bursts(sync.feed(bits[i:i + 510 * 4]))
+    audio = vp.take_audio().astype(float)
+    assert vp.slots_decoded > 10 and vp.bad_frames == 0
+    seg = audio[len(audio) // 2:] - audio[len(audio) // 2:].mean()
+    ac = np.correlate(seg, seg, "full")[len(seg) - 1:]
+    peak = np.argmax(ac[40:120]) + 40
+    assert 70 <= peak <= 76, peak       # 8000/110 = 72.7 samples
+
+
 def test_llc_mle_layer_decodes_sdus():
     """The (reference-disabled) LLC + MLE layer: TM-SDUs parse down to the
     CMCE PDU name carried by the fixture."""

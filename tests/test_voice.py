@@ -70,19 +70,47 @@ def test_acelp_synthesizer_basic():
     assert np.mean(np.abs(x) >= 32767) < 0.1  # not stuck at the rails
 
 
+def _neutral_lsf_bits(f):
+    """Write mid-scale LSF indices (near-zero prediction deltas) so crafted
+    test frames keep a neutral spectral envelope."""
+    bits = [3, 3, 3, 3, 3, 2, 2, 2, 2, 3]
+    off = 0
+    for nb in bits:
+        # below-center index: slight downward delta, keeping the upper LSFs
+        # away from pi (an upward bias parks a resonance at Nyquist)
+        mid = (1 << nb) // 2 - 1
+        f[off:off + nb] = [int(b) for b in np.binary_repr(mid, nb)]
+        off += nb
+
+
 def test_acelp_pitch_tracking():
+    """Seed the excitation with code pulses, then sustain with pitch-only
+    frames at lag 20: the adaptive codebook must carry a 20-sample period."""
     from tetra_tpu.voice.acelp import AcelpDecoder
     dec = AcelpDecoder()
-    f = np.zeros(137, np.uint8)
-    # pitch lag = PITCH_MIN (20), max pitch gain, mid code gain
+
+    seed = np.zeros(137, np.uint8)
+    _neutral_lsf_bits(seed)
     for s4 in range(4):
-        off = 113 + 6 * s4
-        f[off:off + 3] = [1, 1, 1]
-        f[off + 3:off + 6] = [1, 0, 0]
-    aud = np.concatenate([dec.decode_frame(f) for _ in range(10)])
-    x = aud[1200:].astype(float)
+        g = 113 + 6 * s4
+        seed[g + 3:g + 6] = [1, 1, 1]          # code gain max, pitch gain 0
+
+    sustain = np.zeros(137, np.uint8)
+    _neutral_lsf_bits(sustain)
+    for s4 in range(4):
+        g = 113 + 6 * s4
+        sustain[g:g + 3] = [1, 1, 1]           # pitch gain max, code gain min
+    # lag 20 = index 0 absolute, deltas 0 (index 15)
+    for s4 in range(3):
+        sustain[34 + 5 * s4:34 + 5 * (s4 + 1)] = [0, 1, 1, 1, 1]
+
+    aud = [dec.decode_frame(seed) for _ in range(2)]
+    aud += [dec.decode_frame(sustain) for _ in range(8)]
+    x = np.concatenate(aud)[1200:].astype(float)
+    x -= x.mean()
+    assert np.abs(x).max() > 0
     ac = np.correlate(x, x, "full")[len(x) - 1:]
-    peak_lag = np.argmax(ac[10:100]) + 10
+    peak_lag = np.argmax(ac[15:90]) + 15
     assert peak_lag % 20 == 0, peak_lag  # periodic at the commanded lag
 
 
@@ -93,6 +121,7 @@ def test_acelp_algebraic_full_subframe_coverage():
     from tetra_tpu.voice.acelp import AcelpDecoder
     dec = AcelpDecoder()
     f = np.zeros(137, np.uint8)
+    _neutral_lsf_bits(f)
     for s4 in range(4):
         # algebraic: all 4 tracks posq=7 sign=+ -> field 0b1110 each
         a = 49 + 16 * s4
@@ -115,6 +144,7 @@ def test_acelp_fractional_pitch():
     from tetra_tpu.voice.acelp import AcelpDecoder
     dec = AcelpDecoder()
     f = np.zeros(137, np.uint8)
+    _neutral_lsf_bits(f)
     # pitch0 idx = 41 -> lag2 = 81 -> 40.5 samples; deltas = +0 (idx 15)
     f[26:34] = [int(b) for b in np.binary_repr(41, 8)]
     for s4 in range(3):
@@ -130,6 +160,105 @@ def test_acelp_fractional_pitch():
     ac = np.correlate(x, x, "full")[len(x) - 1:]
     peak_lag = np.argmax(ac[25:60]) + 25
     assert peak_lag in (40, 41), peak_lag
+
+
+def _vowel(dur_s=1.5, f0=110.0, amp=12000.0):
+    """Synthetic voiced speech: pulse train with vibrato through 3 formants."""
+    from scipy.signal import lfilter
+    fs = 8000
+    t = np.arange(int(fs * dur_s)) / fs
+    inst = f0 * (1 + 0.02 * np.sin(2 * np.pi * 2.5 * t))
+    phase = 2 * np.pi * np.cumsum(inst) / fs
+    x = sum(np.cos(h * phase) / h for h in range(1, 30))
+    for fc, bw in ((700, 110), (1200, 140), (2600, 250)):
+        r = np.exp(-np.pi * bw / fs)
+        th = 2 * np.pi * fc / fs
+        x = lfilter([1.0], [1, -2 * r * np.cos(th), r * r], x)
+    return (x / np.abs(x).max() * amp).astype(np.int16)
+
+
+def test_acelp_encoder_roundtrip_quality():
+    """Full codec loop on synthetic voiced speech: pitch preserved, energy
+    tracked, LPC spectral envelope within 4 dB (CELP-class quality; waveform
+    SNR is not the right metric at 4.6 kbit/s)."""
+    from scipy.signal import freqz
+    from tetra_tpu.voice.acelp import AcelpDecoder, AcelpEncoder
+    pcm = _vowel()
+    enc, dec = AcelpEncoder(), AcelpDecoder()
+    nfr = len(pcm) // 240
+    y = np.concatenate([
+        dec.decode_frame(enc.encode_frame(pcm[i * 240:(i + 1) * 240]))
+        for i in range(nfr)]).astype(float)
+    xf = pcm[:nfr * 240].astype(float)
+
+    # pitch: autocorrelation peak at the source period (8000/110 = 72.7)
+    seg = y[4000:8000] - y[4000:8000].mean()
+    ac = np.correlate(seg, seg, "full")[len(seg) - 1:]
+    peak = np.argmax(ac[40:120]) + 40
+    assert 71 <= peak <= 75, peak
+
+    # energy: per-frame RMS within a factor of 2 after warmup
+    for i in range(8, nfr):
+        rx = np.sqrt(np.mean(xf[i * 240:(i + 1) * 240] ** 2))
+        ry = np.sqrt(np.mean(y[i * 240:(i + 1) * 240] ** 2))
+        assert 0.5 < ry / rx < 2.0, (i, rx, ry)
+
+    # spectral envelope: order-10 LPC envelope SD (gain-removed) < 4 dB
+    def env(sig, sl):
+        s = sig[sl] * np.hamming(sl.stop - sl.start)
+        r = np.correlate(s, s, "full")[len(s) - 1:len(s) + 11]
+        R = np.array([[r[abs(i - j)] for j in range(10)] for i in range(10)])
+        a = np.linalg.solve(R + np.eye(10) * r[0] * 1e-4, -r[1:11])
+        w, H = freqz([1.0], np.r_[1, a], worN=256, fs=8000)
+        return w, 20 * np.log10(np.abs(H) + 1e-9)
+
+    sds = []
+    for start in range(2400, len(y) - 480, 480):
+        sl = slice(start, start + 480)
+        w, ex = env(xf, sl)
+        _, ey = env(y, sl)
+        band = (w > 200) & (w < 3400)
+        d = (ex - ey)[band]
+        d -= d.mean()
+        sds.append(np.sqrt(np.mean(d ** 2)))
+    assert np.mean(sds) < 4.0, np.mean(sds)
+
+
+def test_acelp_encoder_bitstream_wellformed():
+    """Encoder output decodes deterministically and the pitch deltas stay
+    inside the 5-bit field range frame over frame."""
+    from tetra_tpu.voice.acelp import AcelpDecoder, AcelpEncoder
+    pcm = _vowel(dur_s=0.6)
+    enc = AcelpEncoder()
+    frames = [enc.encode_frame(pcm[i * 240:(i + 1) * 240])
+              for i in range(len(pcm) // 240)]
+    for f in frames:
+        assert f.shape == (137,) and set(np.unique(f)) <= {0, 1}
+    d1, d2 = AcelpDecoder(), AcelpDecoder()
+    for f in frames:
+        assert (d1.decode_frame(f) == d2.decode_frame(f)).all()
+
+
+def test_voice_codec_over_air_loopback():
+    """Speech -> ACELP encode -> speech channel encode -> channel decode ->
+    ACELP decode: the full over-air voice loop reproduces the signal class
+    (pitch + bounded energy), with zero bad frames."""
+    from tetra_tpu.voice.acelp import AcelpDecoder, AcelpEncoder
+    pcm = _vowel(dur_s=0.96)           # 16 frames = 8 slots
+    enc, dec = AcelpEncoder(), AcelpDecoder()
+    outs = []
+    for s in range(len(pcm) // 480):
+        frames = enc.encode_slot(pcm[s * 480:(s + 1) * 480])
+        type3 = vch.encode_slot(frames.reshape(-1))
+        decoded, bfi = vch.decode_slot(type3[None])
+        assert not bfi[0]
+        assert (decoded[0].reshape(2, 137) == frames).all()
+        outs.append(dec.decode_slot(decoded[0]))
+    y = np.concatenate(outs).astype(float)
+    seg = y[2000:] - y[2000:].mean()
+    ac = np.correlate(seg, seg, "full")[len(seg) - 1:]
+    peak = np.argmax(ac[40:120]) + 40
+    assert 71 <= peak <= 75, peak
 
 
 def test_voice_pipeline_slot_flow():

@@ -2,7 +2,7 @@
 
 The speech synthesis is scalar recursive filtering at 8 kHz - negligible
 compute with the wrong shape for the TPU (SURVEY.md section 7 step 7) - so it
-lives in C++ (voice/native/acelp_decoder.cpp) behind a ctypes C ABI, mirroring
+lives in C++ (voice/native/acelp_codec.cpp) behind a ctypes C ABI, mirroring
 the reference's use of the native ETSI decoder (tetra_lower_mac.c:355-363).
 
 The shared library builds on first use with the system compiler and is cached
@@ -19,7 +19,7 @@ import threading
 import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
-_SRC = os.path.join(_NATIVE_DIR, "acelp_decoder.cpp")
+_SRC = os.path.join(_NATIVE_DIR, "acelp_codec.cpp")
 _SO = os.path.join(_NATIVE_DIR, "libtetra_acelp.so")
 
 _lib = None
@@ -46,6 +46,11 @@ def _load():
         lib.tetra_acelp_decode_frame.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.POINTER(ctypes.c_int16)]
+        lib.tetra_acelp_enc_create.restype = ctypes.c_void_p
+        lib.tetra_acelp_enc_destroy.argtypes = [ctypes.c_void_p]
+        lib.tetra_acelp_encode_frame.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_uint8)]
         _lib = lib
         return lib
 
@@ -81,3 +86,37 @@ class AcelpDecoder:
         frames = np.asarray(frames, np.uint8).reshape(2, FRAME_BITS)
         return np.concatenate([self.decode_frame(frames[0], bfi),
                                self.decode_frame(frames[1], bfi)])
+
+
+class AcelpEncoder:
+    """Stateful analysis-by-synthesis speech encoder: 240 samples @ 8 kHz s16
+    -> 137-bit frames consumable by AcelpDecoder.
+
+    Capability extension over the reference, which ships no speech encoder
+    (its codec build compiles only the decode path, CMakeLists.txt:19-28);
+    this closes the loop for TX-side voice in the cell simulator and for
+    round-trip codec quality measurement.
+    """
+
+    def __init__(self):
+        self._lib = _load()
+        self._h = self._lib.tetra_acelp_enc_create()
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.tetra_acelp_enc_destroy(self._h)
+            self._h = None
+
+    def encode_frame(self, pcm: np.ndarray) -> np.ndarray:
+        pcm = np.ascontiguousarray(np.asarray(pcm, np.int16))
+        assert pcm.shape == (FRAME_SAMPLES,)
+        bits = np.empty(FRAME_BITS, np.uint8)
+        self._lib.tetra_acelp_encode_frame(
+            self._h, pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return bits
+
+    def encode_slot(self, pcm: np.ndarray) -> np.ndarray:
+        """480 samples -> (2, 137) codec frames (one traffic timeslot)."""
+        pcm = np.asarray(pcm, np.int16).reshape(2, FRAME_SAMPLES)
+        return np.stack([self.encode_frame(pcm[0]), self.encode_frame(pcm[1])])

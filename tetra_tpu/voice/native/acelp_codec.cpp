@@ -1,0 +1,879 @@
+// TETRA ACELP speech codec (functional equivalent of the ETSI EN 300 395-2
+// reference decoder the upstream plugin fetches at build time: Bits2prm_Tetra
+// + Decod_Tetra + Post_Process, used at tetra_lower_mac.c:355-363 — plus a
+// matching analysis-by-synthesis ENCODER, which the reference does not carry
+// at all: its codec download includes only the decode path in the build,
+// CMakeLists.txt:19-28).
+//
+// The ETSI reference sources (with their quantization codebooks) are not
+// redistributable and are unavailable in this environment, so this is a
+// from-scratch CELP synthesis engine with the TETRA frame structure:
+//   30 ms frame, 240 samples @ 8 kHz, 4 subframes x 60 samples,
+//   10th-order LPC, adaptive codebook (pitch 20..147.5 at half-sample
+//   resolution, delta-coded across subframes), 4-pulse algebraic codebook
+//   on 15-sample track blocks (full subframe coverage), jointly-indexed
+//   pitch/code gains, pole-zero postfilter with adaptive tilt + highpass.
+// The 137-bit frame layout is this framework's own documented allocation
+// (voice/acelp.py mirrors it); audio is intelligible-speech-class output,
+// not bit-exact to the ETSI fixed-point decoder.
+//
+// Plain C ABI for ctypes binding; no dependencies.
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr int LPC_ORDER = 10;
+constexpr int FRAME = 240;
+constexpr int SUBFRAME = 60;
+constexpr int NSUB = 4;
+constexpr int PITCH_MIN = 20;
+constexpr int PITCH_MAX = 147;
+// pitch lags carry half-sample resolution: lag2 = 2*lag in [40, 295]
+constexpr int LAG2_MIN = 2 * PITCH_MIN;
+constexpr int LAG2_MAX = 2 * PITCH_MAX + 1;
+// extra history margin for the fractional-delay interpolator's tap span
+constexpr int EXC_PAD = 4;
+
+struct DecoderState {
+    float lsf_prev[LPC_ORDER];        // previous frame LSFs (Hz-normalized)
+    float mem_syn[LPC_ORDER];         // synthesis filter memory
+    float excitation[PITCH_MAX + EXC_PAD + FRAME]; // ACB history + frame
+    float postfilter_mem_num[LPC_ORDER];
+    float postfilter_mem_den[LPC_ORDER];
+    float tilt_mem;
+    float agc_gain;
+    float hp_x1, hp_x2, hp_y1, hp_y2; // highpass biquad state
+    float prev_pitch_gain;
+    float log_gc;                     // log-domain code-gain predictor
+    int   prev_lag2;                  // previous pitch lag in half-samples
+};
+
+// mean LSFs of speech (normalized 0..pi), used as quantizer centers
+const float kLsfMean[LPC_ORDER] = {
+    0.24f, 0.47f, 0.81f, 1.12f, 1.44f, 1.78f, 2.09f, 2.40f, 2.68f, 2.94f};
+
+inline float clampf(float v, float lo, float hi) {
+    return v < lo ? lo : (v > hi ? hi : v);
+}
+
+// ---------------------------------------------------------------------------
+// Bit readers
+// ---------------------------------------------------------------------------
+
+struct BitReader {
+    const uint8_t* bits;
+    int pos;
+    int take(int n) {
+        int v = 0;
+        for (int i = 0; i < n; i++) v = (v << 1) | (bits[pos++] & 1);
+        return v;
+    }
+};
+
+// ---------------------------------------------------------------------------
+// LSF quantization: PREDICTIVE split scalar quantizer.
+// 26 bits = 10 deltas of {3,3,3,3,3,2,2,2,2,3} bits around a one-tap
+// prediction from the previous reconstructed frame (LSFs move slowly, so
+// quantizing the prediction error at span 0.25 is ~3x finer than one-shot
+// quantization around the fixed speech means at the same bit budget; the
+// 0.65 leak pulls the predictor to the means within a few frames after any
+// encoder/decoder divergence, e.g. across a BFI gap).
+// ---------------------------------------------------------------------------
+
+const int kLsfBits[LPC_ORDER] = {3, 3, 3, 3, 3, 2, 2, 2, 2, 3};
+constexpr float LSF_PRED = 0.65f;
+constexpr float LSF_SPAN = 0.25f;
+
+inline float lsf_predict(const float* prev_q, int i) {
+    return kLsfMean[i] + LSF_PRED * (prev_q[i] - kLsfMean[i]);
+}
+
+void lsf_order_enforce(float* lsf) {
+    // enforce ordering + minimum separation for filter stability
+    const float min_gap = 0.035f;
+    for (int i = 1; i < LPC_ORDER; i++)
+        if (lsf[i] < lsf[i - 1] + min_gap) lsf[i] = lsf[i - 1] + min_gap;
+    for (int i = LPC_ORDER - 1; i >= 0; i--)
+        if (lsf[i] > 3.10f - (LPC_ORDER - 1 - i) * min_gap)
+            lsf[i] = 3.10f - (LPC_ORDER - 1 - i) * min_gap;
+}
+
+void dequant_lsf(BitReader& br, const float* prev_q, float* lsf) {
+    for (int i = 0; i < LPC_ORDER; i++) {
+        int q = br.take(kLsfBits[i]);
+        int levels = 1 << kLsfBits[i];
+        float delta = LSF_SPAN * (2.0f * q / (levels - 1) - 1.0f);
+        lsf[i] = lsf_predict(prev_q, i) + delta;
+    }
+    lsf_order_enforce(lsf);
+}
+
+// ---------------------------------------------------------------------------
+// LSF -> LPC conversion (standard LSP polynomial method)
+// ---------------------------------------------------------------------------
+
+void lsf_to_lpc(const float* lsf, float* a) {
+    // split LSFs into P (even idx) and Q (odd idx) polynomial roots
+    double p[LPC_ORDER / 2], q[LPC_ORDER / 2];
+    for (int i = 0; i < LPC_ORDER / 2; i++) {
+        p[i] = -2.0 * std::cos(lsf[2 * i]);
+        q[i] = -2.0 * std::cos(lsf[2 * i + 1]);
+    }
+    // build P(z), Q(z): products of (1 + p_i z^-1 + z^-2)
+    double P[LPC_ORDER / 2 + 1 + LPC_ORDER], Q[LPC_ORDER / 2 + 1 + LPC_ORDER];
+    int n = 1;
+    P[0] = 1.0; Q[0] = 1.0;
+    for (int i = 0; i < LPC_ORDER / 2; i++) {
+        // multiply by (1 + c z^-1 + z^-2)
+        double Pn[16] = {0}, Qn[16] = {0};
+        for (int j = 0; j < n; j++) {
+            Pn[j] += P[j];
+            Pn[j + 1] += p[i] * P[j];
+            Pn[j + 2] += P[j];
+            Qn[j] += Q[j];
+            Qn[j + 1] += q[i] * Q[j];
+            Qn[j + 2] += Q[j];
+        }
+        n += 2;
+        std::memcpy(P, Pn, sizeof(Pn));
+        std::memcpy(Q, Qn, sizeof(Qn));
+    }
+    // A(z) = [P(z)(1+z^-1) + Q(z)(1-z^-1)] / 2
+    double Pf[16] = {0}, Qf[16] = {0};
+    for (int j = 0; j < n; j++) {
+        Pf[j] += P[j]; Pf[j + 1] += P[j];
+        Qf[j] += Q[j]; Qf[j + 1] -= Q[j];
+    }
+    for (int i = 1; i <= LPC_ORDER; i++)
+        a[i - 1] = (float)(0.5 * (Pf[i] + Qf[i]));
+}
+
+// ---------------------------------------------------------------------------
+// Algebraic codebook: 4 pulses, one per contiguous 15-sample track block.
+//  16 bits per subframe: 4 x (position:3 -> even offsets 0..14 within the
+//  block, sign:1).  Track t covers samples [15t, 15t+14], so every region of
+//  the subframe receives excitation (a track layout confined to the first
+//  samples leaves the tail of each subframe unexcited and audibly dull).
+// ---------------------------------------------------------------------------
+
+void decode_algebraic(int index, float* code) {
+    std::memset(code, 0, SUBFRAME * sizeof(float));
+    for (int track = 0; track < 4; track++) {
+        int field = (index >> (track * 4)) & 0xF;
+        int posq = field >> 1;          // 3 bits: 8 even offsets in the block
+        int sign = field & 1;
+        int pos = 15 * track + 2 * posq;
+        if (pos < SUBFRAME)
+            code[pos] = sign ? -1.0f : 1.0f;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Fractional-delay adaptive codebook: past excitation at lag2/2 samples.
+// Odd lag2 -> half-sample point via an 8-tap Hamming-windowed sinc.
+// ---------------------------------------------------------------------------
+
+const float kHalfTaps[2 * EXC_PAD] = {
+    // sinc(3.5 - k) * hamming_8(k), normalized to unity DC gain
+    -0.00732f, 0.03248f, -0.13735f, 0.61219f,
+    0.61219f, -0.13735f, 0.03248f, -0.00732f};
+
+inline float acb_sample(const float* e, int i, int lag2) {
+    int lag = lag2 >> 1;
+    const float* p = e + i - lag;
+    if ((lag2 & 1) == 0) return *p;
+    float s = 0.0f;
+    for (int k = 0; k < 2 * EXC_PAD; k++)
+        s += kHalfTaps[k] * p[k - EXC_PAD];
+    return s;
+}
+
+// gains: 6 bits = 3 bits pitch gain (0..1.2), 3 bits code gain.
+// The code gain is predicted in the log domain with leakage toward a fixed
+// nominal level, so the predictor is bounded regardless of the bit stream
+// (a raw energy-feedback predictor diverges on random input).
+void decode_gains(int index, float* log_gc_state, float* gp, float* gc) {
+    int gpi = (index >> 3) & 7;
+    int gci = index & 7;
+    *gp = 1.2f * gpi / 7.0f;
+    const float log_nominal = 5.5f;  // ~ e^5.5 = 245 excitation amplitude
+    *log_gc_state = 0.6f * *log_gc_state + 0.4f * log_nominal
+                    + 0.35f * (gci - 3.5f);
+    *gc = std::exp(clampf(*log_gc_state, 0.0f, 9.0f));
+}
+
+// ---------------------------------------------------------------------------
+// Core synthesis
+// ---------------------------------------------------------------------------
+
+void synth_filter(const float* a, const float* x, float* y, int n, float* mem) {
+    for (int i = 0; i < n; i++) {
+        float s = x[i];
+        for (int j = 0; j < LPC_ORDER; j++) {
+            float prev = (i - 1 - j) >= 0 ? y[i - 1 - j] : mem[j - i];
+            s -= a[j] * prev;
+        }
+        y[i] = s;
+    }
+    for (int j = 0; j < LPC_ORDER; j++) mem[j] = y[n - 1 - j];
+}
+
+void postfilter(DecoderState* st, const float* a, float* x, int n) {
+    // pole-zero short-term postfilter H(z) = A(z/gn)/A(z/gd) + adaptive tilt
+    const float gn = 0.65f, gd = 0.75f;
+    float an[LPC_ORDER], ad[LPC_ORDER];
+    float fn = gn, fd = gd;
+    for (int j = 0; j < LPC_ORDER; j++) {
+        an[j] = a[j] * fn;
+        ad[j] = a[j] * fd;
+        fn *= gn; fd *= gd;
+    }
+    float tmp[SUBFRAME];
+    // numerator FIR
+    for (int i = 0; i < n; i++) {
+        float s = x[i];
+        for (int j = 0; j < LPC_ORDER; j++) {
+            float prev = (i - 1 - j) >= 0 ? x[i - 1 - j]
+                                          : st->postfilter_mem_num[j - i];
+            s += an[j] * prev;
+        }
+        tmp[i] = s;
+    }
+    for (int j = 0; j < LPC_ORDER; j++)
+        st->postfilter_mem_num[j] = x[n - 1 - j];
+    // denominator IIR
+    float out[SUBFRAME];
+    for (int i = 0; i < n; i++) {
+        float s = tmp[i];
+        for (int j = 0; j < LPC_ORDER; j++) {
+            float prev = (i - 1 - j) >= 0 ? out[i - 1 - j]
+                                          : st->postfilter_mem_den[j - i];
+            s -= ad[j] * prev;
+        }
+        out[i] = s;
+    }
+    for (int j = 0; j < LPC_ORDER; j++)
+        st->postfilter_mem_den[j] = out[n - 1 - j];
+    // adaptive tilt compensation: first reflection coefficient of the
+    // postfilter's truncated impulse response sets the tilt strength (a
+    // fixed tilt over-brightens voiced segments and dulls unvoiced ones)
+    float h[22];
+    for (int i = 0; i < 22; i++) {
+        // impulse response of A(z/gn)/A(z/gd) via direct recursion
+        float s = (i == 0) ? 1.0f : ((i - 1 < LPC_ORDER) ? an[i - 1] : 0.0f);
+        for (int j = 0; j < LPC_ORDER && j < i; j++)
+            s -= ad[j] * h[i - 1 - j];
+        h[i] = s;
+    }
+    float r0 = 1e-6f, r1 = 0.0f;
+    for (int i = 0; i < 22; i++) r0 += h[i] * h[i];
+    for (int i = 0; i < 21; i++) r1 += h[i] * h[i + 1];
+    float k1 = r1 / r0;
+    float mu = (k1 > 0.0f) ? 0.5f * k1 : 0.25f * k1;
+    // AGC toward input energy
+    float ein = 1e-6f, eout = 1e-6f;
+    for (int i = 0; i < n; i++) { ein += x[i] * x[i]; eout += out[i] * out[i]; }
+    float g = std::sqrt(ein / eout);
+    st->agc_gain = 0.9f * st->agc_gain + 0.1f * g;
+    for (int i = 0; i < n; i++) {
+        float v = out[i] - mu * st->tilt_mem;
+        st->tilt_mem = out[i];
+        x[i] = v * st->agc_gain;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Encoder: analysis-by-synthesis CELP producing the same 137-bit frames.
+// ---------------------------------------------------------------------------
+
+struct BitWriter {
+    uint8_t* bits;
+    int pos;
+    void put(int v, int n) {
+        for (int i = n - 1; i >= 0; i--) bits[pos++] = (v >> i) & 1;
+    }
+};
+
+// perceptual weighting W(z) = A(z/G1)/A(z/G2)
+constexpr float G1 = 0.9f;
+constexpr float G2 = 0.6f;
+
+struct EncoderState {
+    float lsf_prev_q[LPC_ORDER];      // previous quantized LSFs (dec mirror)
+    float excitation[PITCH_MAX + EXC_PAD + FRAME];
+    float res_hist[PITCH_MAX];        // LPC residual history (open-loop pitch)
+    float mem_w_num[LPC_ORDER];       // W(z) on input speech: past speech
+    float mem_w_den[LPC_ORDER];       //                        past s_w
+    float mem_hw_syn[LPC_ORDER];      // H_w(z) on excitation: past s_hat
+    float mem_hw_den[LPC_ORDER];      //                        past s_w_hat
+    float log_gc;                     // code-gain predictor (dec mirror)
+    float hp_x1, hp_x2, hp_y1, hp_y2; // input highpass state
+    int   prev_lag2;
+};
+
+// quantize one frame of LSFs against the predictive grid; returns indices
+// and writes the decoder-side reconstruction (ordering enforced).  prev_q is
+// the previous frame's reconstruction (the decoder's lsf_prev mirror).
+void quant_lsf(const float* lsf, const float* prev_q, int* idx,
+               float* lsf_q) {
+    for (int i = 0; i < LPC_ORDER; i++) {
+        int levels = 1 << kLsfBits[i];
+        float t = (lsf[i] - lsf_predict(prev_q, i)) / LSF_SPAN;  // [-1, 1]
+        int q = (int)std::lround((t + 1.0f) * 0.5f * (levels - 1));
+        idx[i] = q < 0 ? 0 : (q >= levels ? levels - 1 : q);
+    }
+    // decoder-side reconstruction (mirror of dequant_lsf)
+    for (int i = 0; i < LPC_ORDER; i++) {
+        int levels = 1 << kLsfBits[i];
+        lsf_q[i] = lsf_predict(prev_q, i)
+                   + LSF_SPAN * (2.0f * idx[i] / (levels - 1) - 1.0f);
+    }
+    lsf_order_enforce(lsf_q);
+}
+
+// Levinson-Durbin on autocorrelation -> a[LPC_ORDER] (sign convention of the
+// decoder's synthesis filter: A(z) = 1 + sum a[j] z^-(j+1))
+void levinson(const double* r, float* a) {
+    double A[LPC_ORDER + 1] = {1.0};
+    double err = r[0];
+    for (int m = 1; m <= LPC_ORDER; m++) {
+        double acc = r[m];
+        for (int j = 1; j < m; j++) acc += A[j] * r[m - j];
+        double k = (err > 1e-9) ? -acc / err : 0.0;
+        if (k > 0.999) k = 0.999;
+        if (k < -0.999) k = -0.999;
+        double An[LPC_ORDER + 1];
+        std::memcpy(An, A, sizeof(An));
+        for (int j = 1; j < m; j++) An[j] = A[j] + k * A[m - j];
+        An[m] = k;
+        std::memcpy(A, An, sizeof(A));
+        err *= (1.0 - k * k);
+    }
+    for (int j = 0; j < LPC_ORDER; j++) a[j] = (float)A[j + 1];
+}
+
+// LPC -> LSF by Chebyshev-domain grid search + bisection
+void lpc_to_lsf(const float* a, float* lsf) {
+    // sum/difference polynomial Chebyshev coefficients (order 5 each)
+    double f1[6], f2[6];
+    f1[0] = 1.0;
+    f2[0] = 1.0;
+    for (int i = 1; i <= 5; i++) {
+        f1[i] = a[i - 1] + a[LPC_ORDER - i] - f1[i - 1];
+        f2[i] = a[i - 1] - a[LPC_ORDER - i] + f2[i - 1];
+    }
+    auto cheb = [](const double* f, double x) {
+        // sum_{i=0..5} f[i] T_{5-i}(x), T scaled per the standard LSP eval
+        double b1 = 0.0, b2 = 0.0;
+        for (int i = 0; i < 5; i++) {
+            double b0 = 2.0 * x * b1 - b2 + f[i];
+            b2 = b1;
+            b1 = b0;
+        }
+        return x * b1 - b2 + 0.5 * f[5];
+    };
+    const int GRID = 128;
+    int found = 0;
+    const double* fs[2] = {f1, f2};
+    int which = 0;
+    double xprev = 1.0, vprev = cheb(f1, 1.0);
+    for (int g = 1; g <= GRID && found < LPC_ORDER; g++) {
+        double x = std::cos(M_PI * g / GRID);
+        double v = cheb(fs[which], x);
+        if (v * vprev <= 0.0) {
+            // bisect 6 times
+            double xl = xprev, xh = x, vl = vprev;
+            for (int it = 0; it < 6; it++) {
+                double xm = 0.5 * (xl + xh);
+                double vm = cheb(fs[which], xm);
+                if (vm * vl <= 0.0) { xh = xm; } else { xl = xm; vl = vm; }
+            }
+            double xr = 0.5 * (xl + xh);
+            lsf[found++] = (float)std::acos(xr < -1 ? -1 : (xr > 1 ? 1 : xr));
+            which ^= 1;                  // roots of f1/f2 interlace
+            vprev = cheb(fs[which], x);  // restart parity on the other poly
+            xprev = x;
+        } else {
+            xprev = x;
+            vprev = v;
+        }
+    }
+    // fallback: not all roots found (flat spectra) -> pad from the mean grid
+    for (int i = found; i < LPC_ORDER; i++)
+        lsf[i] = (i > 0 ? lsf[i - 1] : 0.2f) + 0.25f;
+    for (int i = 0; i < LPC_ORDER; i++)
+        lsf[i] = clampf(lsf[i], 0.05f, 3.12f);
+}
+
+// FIR part y = x + sum aw[j] x[-j-1] with memory of past inputs
+inline void fir_aw(const float* aw, const float* x, float* y, int n,
+                   const float* mem) {
+    for (int i = 0; i < n; i++) {
+        float s = x[i];
+        for (int j = 0; j < LPC_ORDER; j++) {
+            float prev = (i - 1 - j) >= 0 ? x[i - 1 - j] : mem[j - i];
+            s += aw[j] * prev;
+        }
+        y[i] = s;
+    }
+}
+
+// IIR part y = x - sum aw[j] y[-j-1] with memory of past outputs
+inline void iir_aw(const float* aw, const float* x, float* y, int n,
+                   const float* mem) {
+    for (int i = 0; i < n; i++) {
+        float s = x[i];
+        for (int j = 0; j < LPC_ORDER; j++) {
+            float prev = (i - 1 - j) >= 0 ? y[i - 1 - j] : mem[j - i];
+            s -= aw[j] * prev;
+        }
+        y[i] = s;
+    }
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void* tetra_acelp_create() {
+    DecoderState* st = new DecoderState();
+    std::memset(st, 0, sizeof(*st));
+    std::memcpy(st->lsf_prev, kLsfMean, sizeof(kLsfMean));
+    st->agc_gain = 1.0f;
+    st->prev_lag2 = 120;
+    st->log_gc = 5.5f;
+    return st;
+}
+
+void tetra_acelp_destroy(void* h) { delete (DecoderState*)h; }
+
+// Decode one 137-bit frame (bit-per-byte) into 240 s16 samples @ 8 kHz.
+// bfi != 0 triggers concealment (repeat previous parameters, damped).
+void tetra_acelp_decode_frame(void* h, const uint8_t* bits137, int bfi,
+                              int16_t* out240) {
+    DecoderState* st = (DecoderState*)h;
+    BitReader br{bits137, 0};
+
+    float lsf[LPC_ORDER];
+    int lag2[NSUB], alg[NSUB], gains[NSUB];
+    if (!bfi) {
+        dequant_lsf(br, st->lsf_prev, lsf);        // 26 bits (predictive)
+        // absolute pitch, half-sample resolution: the full 8-bit codespace
+        // spans 20..147.5 samples in 0.5 steps (256 indices, no modulo waste)
+        lag2[0] = LAG2_MIN + br.take(8);
+        for (int s = 1; s < NSUB; s++) {
+            int delta2 = br.take(5) - 15;          // -7.5..+8 samples
+            int v = lag2[s - 1] + delta2;
+            lag2[s] = v < LAG2_MIN ? LAG2_MIN : (v > LAG2_MAX ? LAG2_MAX : v);
+        }
+        for (int s = 0; s < NSUB; s++) alg[s] = br.take(16);
+        for (int s = 0; s < NSUB; s++) gains[s] = br.take(6);
+        // (26 + 8 + 15 + 64 + 24 = 137 bits)
+    } else {
+        // concealment: reuse previous LSFs, damp gains
+        std::memcpy(lsf, st->lsf_prev, sizeof(lsf));
+        for (int s = 0; s < NSUB; s++) {
+            lag2[s] = st->prev_lag2;
+            alg[s] = 0;
+            gains[s] = 0;
+        }
+    }
+
+    // [0..PITCH_MAX+EXC_PAD) history, then the current frame's excitation
+    float* exc_hist = st->excitation;
+    float* exc = st->excitation + PITCH_MAX + EXC_PAD;
+
+    for (int s = 0; s < NSUB; s++) {
+        // interpolate LSFs across subframes
+        float lsf_i[LPC_ORDER], a[LPC_ORDER];
+        float w = (s + 1) / (float)NSUB;
+        for (int j = 0; j < LPC_ORDER; j++)
+            lsf_i[j] = (1.0f - w) * st->lsf_prev[j] + w * lsf[j];
+        lsf_to_lpc(lsf_i, a);
+
+        float* e = exc + s * SUBFRAME;
+        // adaptive codebook contribution (fractional lag; when the lag is
+        // shorter than the subframe the loop reads samples it just wrote,
+        // which is exactly the standard repeat-extension of the short-lag
+        // adaptive codebook)
+        float gp, gc;
+        decode_gains(gains[s], &st->log_gc, &gp, &gc);
+        if (bfi) { gp = st->prev_pitch_gain * 0.9f; gc = 0.0f; }
+        for (int i = 0; i < SUBFRAME; i++)
+            e[i] = gp * acb_sample(e, i, lag2[s]);
+        // algebraic codebook contribution
+        float code[SUBFRAME];
+        decode_algebraic(alg[s], code);
+        for (int i = 0; i < SUBFRAME; i++) e[i] += gc * code[i];
+
+        // runaway guard: a sustained pitch gain > 1 (legitimate transiently,
+        // or injected by channel bit errors) grows the adaptive-codebook
+        // recursion without bound; cap the subframe excitation RMS at the
+        // internal-domain rail (32767/8)
+        float erms = 1e-6f;
+        for (int i = 0; i < SUBFRAME; i++) erms += e[i] * e[i];
+        erms = std::sqrt(erms / SUBFRAME);
+        const float exc_limit = 4096.0f;
+        if (erms > exc_limit) {
+            float sc = exc_limit / erms;
+            for (int i = 0; i < SUBFRAME; i++) e[i] *= sc;
+        }
+
+        st->prev_pitch_gain = gp;
+        st->prev_lag2 = lag2[s];
+
+        // synthesis + postfilter
+        float synth[SUBFRAME];
+        synth_filter(a, e, synth, SUBFRAME, st->mem_syn);
+        postfilter(st, a, synth, SUBFRAME);
+
+        // highpass (100 Hz biquad) + s16 output
+        const float b0 = 0.9446f, b1 = -1.8892f, b2 = 0.9446f;
+        const float a1 = -1.8861f, a2 = 0.8923f;
+        for (int i = 0; i < SUBFRAME; i++) {
+            float xin = synth[i];
+            float y = b0 * xin + b1 * st->hp_x1 + b2 * st->hp_x2
+                      - a1 * st->hp_y1 - a2 * st->hp_y2;
+            st->hp_x2 = st->hp_x1; st->hp_x1 = xin;
+            st->hp_y2 = st->hp_y1; st->hp_y1 = y;
+            float v = clampf(y * 8.0f, -32768.0f, 32767.0f);
+            out240[s * SUBFRAME + i] = (int16_t)v;
+        }
+    }
+
+    // roll excitation history
+    std::memmove(exc_hist, st->excitation + FRAME,
+                 (PITCH_MAX + EXC_PAD) * sizeof(float));
+    std::memcpy(st->lsf_prev, lsf, sizeof(lsf));
+}
+
+// test hooks: direct access to the LSF<->LPC conversions
+void tetra_acelp_lpc_to_lsf(const float* a, float* lsf) { lpc_to_lsf(a, lsf); }
+void tetra_acelp_lsf_to_lpc(const float* lsf, float* a) { lsf_to_lpc(lsf, a); }
+
+// ---------------------------------------------------------------------------
+// Encoder ABI
+// ---------------------------------------------------------------------------
+
+void* tetra_acelp_enc_create() {
+    EncoderState* st = new EncoderState();
+    std::memset(st, 0, sizeof(*st));
+    std::memcpy(st->lsf_prev_q, kLsfMean, sizeof(kLsfMean));
+    st->log_gc = 5.5f;
+    st->prev_lag2 = 120;
+    return st;
+}
+
+void tetra_acelp_enc_destroy(void* h) { delete (EncoderState*)h; }
+
+// Encode 240 s16 samples @ 8 kHz into one 137-bit frame (bit-per-byte).
+void tetra_acelp_encode_frame(void* h, const int16_t* pcm240,
+                              uint8_t* bits137) {
+    EncoderState* st = (EncoderState*)h;
+
+    // --- preprocess: highpass + scale to the codec's internal domain (the
+    // decoder multiplies by 8 on output, so the round trip is unity) ---
+    float s[FRAME];
+    const float b0 = 0.9446f, b1 = -1.8892f, b2 = 0.9446f;
+    const float a1 = -1.8861f, a2 = 0.8923f;
+    for (int i = 0; i < FRAME; i++) {
+        float xin = (float)pcm240[i];
+        float y = b0 * xin + b1 * st->hp_x1 + b2 * st->hp_x2
+                  - a1 * st->hp_y1 - a2 * st->hp_y2;
+        st->hp_x2 = st->hp_x1; st->hp_x1 = xin;
+        st->hp_y2 = st->hp_y1; st->hp_y1 = y;
+        s[i] = y * 0.125f;
+    }
+
+    // --- frame LPC analysis (Hamming window, lag-windowed autocorr) ---
+    double r[LPC_ORDER + 1] = {0};
+    {
+        float w[FRAME];
+        for (int i = 0; i < FRAME; i++)
+            w[i] = s[i] * (0.54f - 0.46f * std::cos(2.0 * M_PI * i
+                                                    / (FRAME - 1)));
+        for (int k = 0; k <= LPC_ORDER; k++) {
+            double acc = 0.0;
+            for (int i = k; i < FRAME; i++) acc += (double)w[i] * w[i - k];
+            // 60 Hz Gaussian lag window + white-noise floor
+            double bw = 2.0 * M_PI * 60.0 * k / 8000.0;
+            r[k] = acc * std::exp(-0.5 * bw * bw);
+        }
+        r[0] = r[0] * 1.0001 + 1e-6;
+    }
+    float a_unq[LPC_ORDER];
+    levinson(r, a_unq);
+    float lsf[LPC_ORDER], lsf_q[LPC_ORDER];
+    int lsf_idx[LPC_ORDER];
+    lpc_to_lsf(a_unq, lsf);
+    quant_lsf(lsf, st->lsf_prev_q, lsf_idx, lsf_q);
+
+    // --- open-loop pitch on the LPC residual ---
+    int t_op = st->prev_lag2 >> 1;
+    {
+        float res[FRAME];
+        fir_aw(a_unq, s, res, FRAME, st->mem_w_num);  // mem = past speech
+        auto past = [&](int n) {
+            return n >= 0 ? res[n] : st->res_hist[PITCH_MAX + n];
+        };
+        double best = 0.0;
+        for (int T = PITCH_MIN; T <= PITCH_MAX; T++) {
+            double num = 0.0, den = 1e-6;
+            for (int n = 0; n < FRAME; n++) {
+                double p = past(n - T);
+                num += res[n] * p;
+                den += p * p;
+            }
+            double score = num > 0.0 ? num * num / den : 0.0;
+            if (score > best) { best = score; t_op = T; }
+        }
+        // roll residual history: keep the last PITCH_MAX residual samples
+        std::memcpy(st->res_hist, res + FRAME - PITCH_MAX,
+                    PITCH_MAX * sizeof(float));
+    }
+
+    float* exc = st->excitation + PITCH_MAX + EXC_PAD;
+    int lag2[NSUB], alg[NSUB], gains[NSUB];
+
+    for (int sub = 0; sub < NSUB; sub++) {
+        const float* sp = s + sub * SUBFRAME;
+        // interpolated quantized LPC (decoder mirror)
+        float lsf_i[LPC_ORDER], aq[LPC_ORDER];
+        float wq = (sub + 1) / (float)NSUB;
+        for (int j = 0; j < LPC_ORDER; j++)
+            lsf_i[j] = (1.0f - wq) * st->lsf_prev_q[j] + wq * lsf_q[j];
+        lsf_to_lpc(lsf_i, aq);
+        float an1[LPC_ORDER], ad2[LPC_ORDER];
+        float f1 = G1, f2 = G2;
+        for (int j = 0; j < LPC_ORDER; j++) {
+            an1[j] = aq[j] * f1;
+            ad2[j] = aq[j] * f2;
+            f1 *= G1; f2 *= G2;
+        }
+
+        // weighted speech s_w = W(z) s
+        float tmp[SUBFRAME], sw[SUBFRAME];
+        fir_aw(an1, sp, tmp, SUBFRAME, st->mem_w_num);
+        iir_aw(ad2, tmp, sw, SUBFRAME, st->mem_w_den);
+
+        // impulse response of H_w(z) = A(z/G1) / (A(z) A(z/G2))
+        float hh[SUBFRAME];
+        {
+            float d[SUBFRAME] = {0};
+            d[0] = 1.0f;
+            float zmem[LPC_ORDER] = {0};
+            float t1[SUBFRAME], t2[SUBFRAME];
+            iir_aw(aq, d, t1, SUBFRAME, zmem);
+            fir_aw(an1, t1, t2, SUBFRAME, zmem);
+            iir_aw(ad2, t2, hh, SUBFRAME, zmem);
+        }
+
+        // zero-input response of H_w from the running memories
+        float x[SUBFRAME];
+        {
+            float zin[SUBFRAME] = {0};
+            float z1[SUBFRAME], z2[SUBFRAME], z3[SUBFRAME];
+            iir_aw(aq, zin, z1, SUBFRAME, st->mem_hw_syn);
+            fir_aw(an1, z1, z2, SUBFRAME, st->mem_hw_syn);
+            iir_aw(ad2, z2, z3, SUBFRAME, st->mem_hw_den);
+            for (int i = 0; i < SUBFRAME; i++) x[i] = sw[i] - z3[i];
+        }
+
+        // --- adaptive codebook search (closed loop, half-sample lags) ---
+        int lo, hi;
+        if (sub == 0) {
+            int c = 2 * t_op;
+            lo = c - 16; hi = c + 16;
+        } else {
+            lo = lag2[sub - 1] - 15; hi = lag2[sub - 1] + 16;
+        }
+        if (lo < LAG2_MIN) lo = LAG2_MIN;
+        if (hi > LAG2_MAX) hi = LAG2_MAX;
+        if (sub == 0) {  // absolute 8-bit field range
+            if (hi > LAG2_MIN + 255) hi = LAG2_MIN + 255;
+        }
+        float cb[PITCH_MAX + EXC_PAD + SUBFRAME];
+        std::memcpy(cb, exc + sub * SUBFRAME - (PITCH_MAX + EXC_PAD),
+                    (PITCH_MAX + EXC_PAD) * sizeof(float));
+        float* pc = cb + PITCH_MAX + EXC_PAD;
+        float p_best[SUBFRAME] = {0}, y_best[SUBFRAME] = {0};
+        int L_best = lo;
+        double sc_best = -1.0;
+        for (int L = lo; L <= hi; L++) {
+            for (int i = 0; i < SUBFRAME; i++)
+                pc[i] = acb_sample(pc, i, L);
+            float y[SUBFRAME];
+            for (int n = 0; n < SUBFRAME; n++) {
+                float acc = 0.0f;
+                for (int k = 0; k <= n; k++) acc += pc[k] * hh[n - k];
+                y[n] = acc;
+            }
+            double num = 0.0, den = 1e-6;
+            for (int n = 0; n < SUBFRAME; n++) {
+                num += x[n] * y[n];
+                den += y[n] * y[n];
+            }
+            double score = num > 0.0 ? num * num / den : 0.0;
+            if (score > sc_best) {
+                sc_best = score;
+                L_best = L;
+                std::memcpy(p_best, pc, sizeof(p_best));
+                std::memcpy(y_best, y, sizeof(y_best));
+            }
+        }
+        lag2[sub] = L_best;
+
+        double num = 0.0, den = 1e-6;
+        for (int n = 0; n < SUBFRAME; n++) {
+            num += x[n] * y_best[n];
+            den += y_best[n] * y_best[n];
+        }
+        float gp = clampf((float)(num / den), 0.0f, 1.2f);
+        int gpi = (int)std::lround(gp * 7.0f / 1.2f);
+        gpi = gpi < 0 ? 0 : (gpi > 7 ? 7 : gpi);
+        float gp_q = 1.2f * gpi / 7.0f;
+
+        float x2[SUBFRAME];
+        for (int n = 0; n < SUBFRAME; n++) x2[n] = x[n] - gp_q * y_best[n];
+
+        // --- algebraic search: correlation-matrix scoring with coordinate-
+        // descent refinement (greedy-by-|d| ignores pulse interaction
+        // through h; re-optimizing each track given the others recovers
+        // most of the joint-search gain at 4x8 evaluations per sweep) ---
+        float d[SUBFRAME];
+        for (int n = 0; n < SUBFRAME; n++) {
+            float acc = 0.0f;
+            for (int i = n; i < SUBFRAME; i++) acc += x2[i] * hh[i - n];
+            d[n] = acc;
+        }
+        static float phi[SUBFRAME][SUBFRAME];
+        for (int i = 0; i < SUBFRAME; i++)
+            for (int j = i; j < SUBFRAME; j++) {
+                float acc = 0.0f;
+                for (int n = j; n < SUBFRAME; n++)
+                    acc += hh[n - i] * hh[n - j];
+                phi[i][j] = phi[j][i] = acc;
+            }
+        int posq[4], sgn4[4];
+        // init: largest |d| per track, sign following d
+        for (int track = 0; track < 4; track++) {
+            int bestq = 0;
+            float besta = -1.0f;
+            for (int q = 0; q < 8; q++) {
+                float v = std::fabs(d[15 * track + 2 * q]);
+                if (v > besta) { besta = v; bestq = q; }
+            }
+            posq[track] = bestq;
+            sgn4[track] = d[15 * track + 2 * bestq] < 0.0f ? -1 : 1;
+        }
+        auto score4 = [&](const int* pq, const int* sg) {
+            float num = 0.0f, den = 1e-6f;
+            int p[4];
+            for (int t = 0; t < 4; t++) p[t] = 15 * t + 2 * pq[t];
+            for (int t = 0; t < 4; t++) {
+                num += sg[t] * d[p[t]];
+                for (int u = 0; u < 4; u++)
+                    den += sg[t] * sg[u] * phi[p[t]][p[u]];
+            }
+            return num > 0.0f ? num * num / den : 0.0f;
+        };
+        for (int sweep = 0; sweep < 2; sweep++)
+            for (int track = 0; track < 4; track++) {
+                int bq = posq[track], bs = sgn4[track];
+                float best = score4(posq, sgn4);
+                for (int q = 0; q < 8; q++)
+                    for (int sg = -1; sg <= 1; sg += 2) {
+                        posq[track] = q;
+                        sgn4[track] = sg;
+                        float sc = score4(posq, sgn4);
+                        if (sc > best) { best = sc; bq = q; bs = sg; }
+                    }
+                posq[track] = bq;
+                sgn4[track] = bs;
+            }
+        float code[SUBFRAME] = {0};
+        int index = 0;
+        for (int track = 0; track < 4; track++) {
+            int pos = 15 * track + 2 * posq[track];
+            int signbit = sgn4[track] < 0 ? 1 : 0;   // decoder: 1 -> -1
+            code[pos] = signbit ? -1.0f : 1.0f;
+            index |= ((posq[track] << 1) | signbit) << (4 * track);
+        }
+        alg[sub] = index;
+
+        float yc[SUBFRAME];
+        for (int n = 0; n < SUBFRAME; n++) {
+            float acc = 0.0f;
+            for (int k = 0; k <= n; k++) acc += code[k] * hh[n - k];
+            yc[n] = acc;
+        }
+        double numc = 0.0, denc = 1e-6;
+        for (int n = 0; n < SUBFRAME; n++) {
+            numc += x2[n] * yc[n];
+            denc += yc[n] * yc[n];
+        }
+        float gc_opt = (float)(numc / denc);
+        if (gc_opt < 0.0f) gc_opt = 0.0f;
+        // quantize through the decoder's log-domain predictor (kept in
+        // lockstep so decode reproduces the same gains)
+        float lg_tgt = std::log(gc_opt > 0.01f ? gc_opt : 0.01f);
+        int gci_best = 0;
+        float cost_best = 1e30f, state_best = st->log_gc;
+        for (int gci = 0; gci < 8; gci++) {
+            float stn = 0.6f * st->log_gc + 0.4f * 5.5f
+                        + 0.35f * (gci - 3.5f);
+            float cost = std::fabs(clampf(stn, 0.0f, 9.0f) - lg_tgt);
+            if (cost < cost_best) {
+                cost_best = cost;
+                gci_best = gci;
+                state_best = stn;
+            }
+        }
+        st->log_gc = state_best;
+        float gc_q = std::exp(clampf(state_best, 0.0f, 9.0f));
+        gains[sub] = (gpi << 3) | gci_best;
+
+        // --- reconstruct excitation + update running memories ---
+        float* e = exc + sub * SUBFRAME;
+        for (int i = 0; i < SUBFRAME; i++)
+            e[i] = gp_q * p_best[i] + gc_q * code[i];
+        {
+            float y1[SUBFRAME], y2[SUBFRAME], y3[SUBFRAME];
+            iir_aw(aq, e, y1, SUBFRAME, st->mem_hw_syn);
+            fir_aw(an1, y1, y2, SUBFRAME, st->mem_hw_syn);
+            iir_aw(ad2, y2, y3, SUBFRAME, st->mem_hw_den);
+            for (int j = 0; j < LPC_ORDER; j++) {
+                st->mem_hw_syn[j] = y1[SUBFRAME - 1 - j];
+                st->mem_hw_den[j] = y3[SUBFRAME - 1 - j];
+            }
+        }
+        for (int j = 0; j < LPC_ORDER; j++) {
+            st->mem_w_num[j] = sp[SUBFRAME - 1 - j];
+            st->mem_w_den[j] = sw[SUBFRAME - 1 - j];
+        }
+        st->prev_lag2 = L_best;
+    }
+
+    // roll excitation history + remember quantized LSFs
+    std::memmove(st->excitation, st->excitation + FRAME,
+                 (PITCH_MAX + EXC_PAD) * sizeof(float));
+    std::memcpy(st->lsf_prev_q, lsf_q, sizeof(lsf_q));
+
+    // --- pack the 137-bit frame (layout mirrored by the decoder) ---
+    BitWriter bw{bits137, 0};
+    for (int i = 0; i < LPC_ORDER; i++) bw.put(lsf_idx[i], kLsfBits[i]);
+    bw.put(lag2[0] - LAG2_MIN, 8);
+    for (int sub = 1; sub < NSUB; sub++)
+        bw.put(lag2[sub] - lag2[sub - 1] + 15, 5);
+    for (int sub = 0; sub < NSUB; sub++) bw.put(alg[sub], 16);
+    for (int sub = 0; sub < NSUB; sub++) bw.put(gains[sub], 6);
+}
+
+}  // extern "C"
