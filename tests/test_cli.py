@@ -184,3 +184,50 @@ def test_cli_dashboard_and_metrics(capture, tmp_path):
     for field in ("dl_freq", "timeslot_content", "crc_ok", "quality",
                   "voice_service", "curr_multiframe"):
         assert field in last
+
+
+def _run_tx(args):
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable, "-m", "tetra_tpu.apps.tetra_tx", *args],
+        capture_output=True, text=True, timeout=240, env=env)
+
+
+def test_cli_tx_then_rx_roundtrip(tmp_path):
+    """tetra_tx generates a voiced downlink capture that tetra_rx locks to
+    and decodes with the commanded cell identity."""
+    out = str(tmp_path / "dl.cf32")
+    r = _run_tx([out, "--slots", "200", "--voice-tn", "2",
+                 "--mcc", "901", "--mnc", "4321", "--cc", "13",
+                 "--cfo", "250", "--snr", "28"])
+    assert r.returncode == 0, r.stderr[-500:]
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["sample_rate"] == 36000 and info["samples"] > 0
+    rx = _run_cli([out, "--status-every", "100"])
+    assert rx.returncode == 0, rx.stderr[-500:]
+    summary = json.loads(rx.stdout.strip().splitlines()[-1])
+    assert summary[0]["locked"]
+    assert summary[0]["mcc"] == 901 and summary[0]["mnc"] == 4321
+    assert summary[0]["crc_ok"] > 50
+
+
+def test_cli_tx_wav_speech(tmp_path):
+    """A WAV speech source feeds the encoder and survives to voice slots."""
+    import wave
+    fs = 8000
+    t = np.arange(fs) / fs
+    pcm = (8000 * np.sin(2 * np.pi * 220 * t)).astype(np.int16)
+    wav = str(tmp_path / "in.wav")
+    with wave.open(wav, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(fs)
+        w.writeframes(pcm.tobytes())
+    out = str(tmp_path / "dl.cf32")
+    r = _run_tx([out, "--slots", "80", "--voice-tn", "2", "--speech", wav])
+    assert r.returncode == 0, r.stderr[-500:]
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["voice_tn"] == 2
