@@ -261,6 +261,33 @@ def test_voice_codec_over_air_loopback():
     assert 71 <= peak <= 75, peak
 
 
+def test_acelp_encoder_edge_inputs():
+    """Silence, white noise and full-scale input all encode to well-formed
+    frames that decode to finite, bounded audio."""
+    from tetra_tpu.voice.acelp import AcelpDecoder, AcelpEncoder
+    enc, dec = AcelpEncoder(), AcelpDecoder()
+    cases = [
+        np.zeros(240 * 4, np.int16),
+        (RNG.standard_normal(240 * 4) * 6000).astype(np.int16),
+        (np.sign(np.sin(2 * np.pi * 180 * np.arange(240 * 4) / 8000))
+         * 32767).astype(np.int16),
+    ]
+    for pcm in cases:
+        for i in range(len(pcm) // 240):
+            bits = enc.encode_frame(pcm[i * 240:(i + 1) * 240])
+            assert bits.shape == (137,)
+            assert set(np.unique(bits)) <= {0, 1}
+            out = dec.decode_frame(bits).astype(float)
+            assert np.isfinite(out).all()
+    # silence stays quiet after the codec (no noise pumping)
+    dec2 = AcelpDecoder()
+    enc2 = AcelpEncoder()
+    quiet = np.concatenate([
+        dec2.decode_frame(enc2.encode_frame(np.zeros(240, np.int16)))
+        for _ in range(6)]).astype(float)
+    assert np.sqrt(np.mean(quiet[480:] ** 2)) < 500.0
+
+
 def test_voice_pipeline_slot_flow():
     from tetra_tpu.rx.tdma import TdmaTime
     from tetra_tpu.voice.pipeline import VoicePipeline
