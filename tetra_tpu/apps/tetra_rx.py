@@ -193,7 +193,7 @@ def main(argv=None):
                          "channelize to N channels")
     ap.add_argument("--mode", type=int, default=0, choices=(0, 1))
     ap.add_argument("--udp", default="localhost:8355")
-    ap.add_argument("--voice", default=None, help="write voice PCM (s16 8k)")
+    ap.add_argument("--voice", default=None, help="write voice audio: raw s16 8k PCM, or a playable WAV if the name ends .wav")
     ap.add_argument("--audio-rate", type=int, default=0, metavar="HZ",
                     help="with --voice: resample to HZ float32 stereo "
                          "(reference audio tail, main.cpp:96-103) instead "
@@ -268,11 +268,39 @@ def main(argv=None):
     voice = VoicePipeline() if (args.voice and not pooled) else None
     rx = None
     status_blocks = max(1, int(args.status_every * P.SAMPLE_RATE / args.block))
-    pcm_out = open(args.voice, "wb") if args.voice else None
     audio_out = None
     if args.voice and args.audio_rate:
         from ..voice.audio_out import AudioOutput
         audio_out = AudioOutput(out_rate=args.audio_rate)
+    pcm_out = None
+    if args.voice:
+        if args.voice.endswith(".wav"):
+            # playable WAV container: 8 kHz mono s16, or with --audio-rate
+            # the resampled stereo tail converted back to s16
+            import wave as _wave
+            pcm_out = _wave.open(args.voice, "wb")
+            if audio_out is not None:
+                pcm_out.setnchannels(2)
+                pcm_out.setframerate(args.audio_rate)
+            else:
+                pcm_out.setnchannels(1)
+                pcm_out.setframerate(8000)
+            pcm_out.setsampwidth(2)
+        else:
+            pcm_out = open(args.voice, "wb")
+
+    def _write_pcm(pcm):
+        if audio_out is not None:
+            rendered = audio_out.render(pcm)      # float32 interleaved stereo
+            if hasattr(pcm_out, "writeframes"):
+                s16 = np.clip(rendered * 32767.0, -32768, 32767)
+                pcm_out.writeframes(s16.astype(np.int16).tobytes())
+            else:
+                rendered.tofile(pcm_out)
+        elif hasattr(pcm_out, "writeframes"):
+            pcm_out.writeframes(np.asarray(pcm, np.int16).tobytes())
+        else:
+            pcm.tofile(pcm_out)
     C = 1
     for i, blk in enumerate(blocks or iter_blocks(args)):
         if rx is None:
@@ -314,10 +342,7 @@ def main(argv=None):
                    else voice.take_audio() if voice is not None
                    else None)
             if pcm is not None and len(pcm):
-                if audio_out is not None:
-                    audio_out.render(pcm).tofile(pcm_out)
-                else:
-                    pcm.tofile(pcm_out)
+                _write_pcm(pcm)
         if args.metrics and (i + 1) % status_blocks == 0:
             import time as _time
             with open(args.metrics, "a") as mf:
