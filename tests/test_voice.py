@@ -261,6 +261,38 @@ def test_voice_codec_over_air_loopback():
     assert 71 <= peak <= 75, peak
 
 
+def test_acelp_lsf_lpc_roundtrip():
+    """The codec's Chebyshev LSF root finder inverts its LSP synthesis for
+    random stable AR(10) polynomials (coefficient error < 0.05)."""
+    import ctypes
+    from tetra_tpu.voice import acelp as am
+    lib = am._load()
+    lib.tetra_acelp_lpc_to_lsf.argtypes = [
+        ctypes.POINTER(ctypes.c_float)] * 2
+    lib.tetra_acelp_lsf_to_lpc.argtypes = [
+        ctypes.POINTER(ctypes.c_float)] * 2
+
+    def conv(fn, v):
+        v = np.ascontiguousarray(v, np.float32)
+        out = np.zeros(10, np.float32)
+        fn(v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+           out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return out
+
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        poles = []
+        for _ in range(5):
+            r = rng.uniform(0.5, 0.95)
+            th = rng.uniform(0.1, np.pi - 0.1)
+            poles += [r * np.exp(1j * th), r * np.exp(-1j * th)]
+        a = np.real(np.poly(poles))[1:]
+        lsf = conv(lib.tetra_acelp_lpc_to_lsf, a)
+        assert (np.diff(lsf) > 0).all() and lsf[0] > 0 and lsf[-1] < np.pi
+        a2 = conv(lib.tetra_acelp_lsf_to_lpc, lsf)
+        assert np.abs(a2 - a).max() < 0.05
+
+
 def test_acelp_encoder_edge_inputs():
     """Silence, white noise and full-scale input all encode to well-formed
     frames that decode to finite, bounded audio."""
