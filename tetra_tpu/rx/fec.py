@@ -135,6 +135,14 @@ def rm3014_decode(bits30: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 # ---------------------------------------------------------------------------
 
 
+@jax.jit
+def _decode_bbk_block(type5: jnp.ndarray, ks: jnp.ndarray):
+    # one fused program for the BBK path: the eager descramble + slice +
+    # GF(2) matmul otherwise costs ~10 separate dispatches per call, which
+    # dominates single-channel host profiles
+    return rm3014_decode(type5 ^ ks)
+
+
 @partial(jax.jit, static_argnames=("blk_type",))
 def _decode_cch_block(type5: jnp.ndarray, ks: jnp.ndarray, blk_type: int):
     name, t345, t2, t1, ia, has_crc = P.BLK_PARAMS[blk_type]
@@ -180,7 +188,7 @@ def decode_block(type5: jnp.ndarray, blk_type: int,
         pad = jnp.zeros((bucket - B, type5.shape[1]), type5.dtype)
         type5 = jnp.concatenate([type5, pad], axis=0)
     if blk_type == P.TPSAP_T_BBK:
-        out, ok = rm3014_decode(type5 ^ ks)
+        out, ok = _decode_bbk_block(type5, ks)
     else:
         out, ok = _decode_cch_block(type5, ks, blk_type)
     return out[:B], ok[:B]
