@@ -231,3 +231,26 @@ def test_cli_tx_wav_speech(tmp_path):
     assert r.returncode == 0, r.stderr[-500:]
     info = json.loads(r.stdout.strip().splitlines()[-1])
     assert info["voice_tn"] == 2
+
+
+def test_cli_tx_encrypted_rx_decrypts(tmp_path):
+    """--keystore on both CLIs: TX encrypts the downlink (CCK), RX without
+    keys sees no LLC SDUs, RX with the same keystore decodes them."""
+    keyfile = str(tmp_path / "keys.txt")
+    with open(keyfile, "w") as f:
+        f.write("network mcc 262 mnc 1234 ksg_type 1 security_class 2\n")
+        f.write("key mcc 262 mnc 1234 addr 0 key_type 1 key_num 3 "
+                "key 00112233445566778899\n")
+    out = str(tmp_path / "enc.cf32")
+    r = _run_tx([out, "--slots", "300", "--keystore", keyfile])
+    assert r.returncode == 0, r.stderr[-500:]
+
+    rx_plain = _run_cli([out, "-v", "--status-every", "100"])
+    assert rx_plain.returncode == 0, rx_plain.stderr[-500:]
+    rx_keys = _run_cli([out, "-v", "--keystore", keyfile,
+                        "--status-every", "100"])
+    assert rx_keys.returncode == 0, rx_keys.stderr[-500:]
+    llc_plain = [l for l in rx_plain.stdout.splitlines() if "LLC" in l]
+    llc_keys = [l for l in rx_keys.stdout.splitlines() if "LLC" in l]
+    assert len(llc_plain) == 0
+    assert len(llc_keys) > 20

@@ -79,6 +79,29 @@ def _voice_gen(pcm: np.ndarray):
     return gen
 
 
+def _tx_crypto(args, cfg: txcell.CellConfig):
+    """Air-interface encryption state for the TX side from a keystore file
+    (same text format the reference documents, tetra_crypto.c:306-319)."""
+    if not args.keystore:
+        return None
+    from ..crypto.state import KEYTYPE_CCK_SCK, CryptoState, KeyStore
+    cs = CryptoState(store=KeyStore.load(args.keystore))
+    cs.cc, cs.la = cfg.cc, cfg.la
+    cs.cn, cs.hn = cfg.main_carrier, cfg.hyperframe
+    if args.cck_id >= 0:
+        cs.cck_id = args.cck_id
+    else:
+        for k in cs.store.keys:
+            if (k.key_type == KEYTYPE_CCK_SCK and k.mcc == cfg.mcc
+                    and k.mnc == cfg.mnc):
+                cs.cck_id = k.key_num
+                break
+    cs.update_network(cfg.mcc, cfg.mnc)
+    if cs.cck is None:
+        raise SystemExit("keystore has no CCK/SCK key for this network")
+    return cs
+
+
 def _one_channel(args, cfg: txcell.CellConfig, seed: int) -> np.ndarray:
     voice_slots = None
     if args.voice_tn:
@@ -86,7 +109,7 @@ def _one_channel(args, cfg: txcell.CellConfig, seed: int) -> np.ndarray:
     bits, _ = txcell.downlink_bits(
         cfg, args.slots, start=TdmaTime(mn=1, fn=1, tn=1, sn=1),
         payload_rng=np.random.default_rng(seed),
-        voice_slots=voice_slots)
+        voice_slots=voice_slots, crypto=_tx_crypto(args, cfg))
     iq = np.asarray(modulate(bits[None, :])[0])
     return iq
 
@@ -108,6 +131,12 @@ def main(argv=None) -> int:
                     help="add AWGN at this SNR (dB); 0 = clean")
     ap.add_argument("--cfo", type=float, default=0.0,
                     help="carrier frequency offset (Hz)")
+    ap.add_argument("--keystore", default=None,
+                    help="encrypt the downlink with this keystore file "
+                         "(CCK air-interface encryption; tetra_rx decrypts "
+                         "with the same file)")
+    ap.add_argument("--cck-id", type=int, default=-1,
+                    help="CCK key number; default: first CCK in the store")
     ap.add_argument("--wideband", type=int, default=0,
                     help="emit an N x 25 kHz wideband multiplex")
     ap.add_argument("--channels", default="0",

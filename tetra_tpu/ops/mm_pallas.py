@@ -45,16 +45,23 @@ _D_MARGIN = 2                          # intra-chunk slip candidates [-2, 2]
 WIN = 2 * K_SYM + NTAPS + 2 * _D_MARGIN + SHIFT_RANGE  # rows of the window
 
 _N_OFF = NTAPS + 2 * _D_MARGIN            # distinct window offsets
+# rows of the ALIGNED window the selection stage can actually touch:
+# o + 2k <= (N_OFF - 1) + 2 (K_SYM - 1), rounded up to the 8-row sublane tile
+_NEED = ((_N_OFF - 1 + 2 * (K_SYM - 1) + 1 + 7) // 8) * 8
 
 
 def _selection_mats() -> np.ndarray:
-    """(N_OFF, K_SYM, WIN) 0/1 matrices: S[o] @ window extracts rows
-    o + 2k (Mosaic supports neither gathers nor stride-2 slices; a matmul
-    against a constant selection matrix rides the MXU instead)."""
-    S = np.zeros((_N_OFF, K_SYM, WIN), np.float32)
+    """(N_OFF * K_SYM, _NEED) stacked 0/1 matrix: row o*K+k has its 1 at
+    column o + 2k (Mosaic supports neither gathers nor stride-2 slices; ONE
+    matmul against a constant selection matrix extracts every offset's
+    stride-2 row set at once on the MXU).  Operating on the _NEED-row head
+    of the aligned window instead of all WIN rows cuts the selection FLOPs
+    ~7x -- the barrel shifter guarantees nothing beyond row _NEED-1 is
+    selectable."""
+    S = np.zeros((_N_OFF * K_SYM, _NEED), np.float32)
     for o in range(_N_OFF):
         for k in range(K_SYM):
-            S[o, k, o + 2 * k] = 1.0
+            S[o * K_SYM + k, o + 2 * k] = 1.0
     return S
 
 
@@ -111,8 +118,15 @@ def _kernel(T, mfr_ref, mfi_ref, st0_ref, polys_ref, sel_ref,
     # ~1.8M samples - tile channels for larger blocks)
     wr = mfr_ref[pl.ds(base, WIN), :]
     wi = mfi_ref[pl.ds(base, WIN), :]
+    # barrel shifter with a progressively shrinking window: after applying
+    # shift s, later stages only ever need the first _NEED + (s - 1) rows
+    # (remaining shifts sum to s - 1), so each pass slices before rolling --
+    # ~3x less VPU roll work than full-width passes
     shift = SHIFT_RANGE // 2
     while shift >= 1:
+        need = min(WIN, _NEED + 2 * shift - 1)
+        wr = wr[:need, :]
+        wi = wi[:need, :]
         bit = (r & shift) > 0                               # (C,) bool
         rolled_r = jnp.concatenate(
             [wr[shift:, :], jnp.zeros((shift, C), jnp.float32)], axis=0)
@@ -121,19 +135,20 @@ def _kernel(T, mfr_ref, mfi_ref, st0_ref, polys_ref, sel_ref,
         wr = jnp.where(bit[None, :], rolled_r, wr)
         wi = jnp.where(bit[None, :], rolled_i, wi)
         shift //= 2
-    # now row j of channel c = mf[ipos[0, c] + j]
+    wr = wr[:_NEED, :]
+    wi = wi[:_NEED, :]
+    # now row j (< _NEED) of channel c = mf[ipos[0, c] + j]
 
     # intra-chunk integer slip vs the nominal 2k grid
     dsel = ipos - ipos[0:1, :] - (2 * kk).astype(jnp.int32)  # (K, C) in [-2,2]
 
     # ---- interpolation + ML derivative via Horner polynomials ----
-    # pre-extract all stride-2 row sets via selection matmuls
-    ex_r = []
-    ex_i = []
-    for o in range(_N_OFF):
-        S = sel_ref[o]                                     # (K, WIN)
-        ex_r.append(jnp.dot(S, wr, preferred_element_type=jnp.float32))
-        ex_i.append(jnp.dot(S, wi, preferred_element_type=jnp.float32))
+    # every offset's stride-2 row set in ONE stacked selection matmul pair
+    S = sel_ref[:, :]                                  # (N_OFF*K, _NEED)
+    exs_r = jnp.dot(S, wr, preferred_element_type=jnp.float32)
+    exs_i = jnp.dot(S, wi, preferred_element_type=jnp.float32)
+    ex_r = [exs_r[o * K_SYM:(o + 1) * K_SYM, :] for o in range(_N_OFF)]
+    ex_i = [exs_i[o * K_SYM:(o + 1) * K_SYM, :] for o in range(_N_OFF)]
     f0r = jnp.zeros((K_SYM, C), jnp.float32)
     f0i = jnp.zeros((K_SYM, C), jnp.float32)
     d_r = jnp.zeros((K_SYM, C), jnp.float32)
@@ -283,7 +298,7 @@ def mm_costas(mfr_ext, mfi_ext, st0, n_chunks: int, interpret=False):
             pl.BlockSpec((Text, CT), ctile, memory_space=pltpu.VMEM),
             pl.BlockSpec((8, CT), ctile, memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 6, NTAPS), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_N_OFF, K_SYM, WIN), const,
+            pl.BlockSpec((_N_OFF * K_SYM, _NEED), lambda c, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[

@@ -50,8 +50,15 @@ def build_sync_pdu(cc: int, time: TdmaTime, mcc: int, mnc: int) -> np.ndarray:
 def build_sysinfo_pdu(main_carrier: int, freq_band: int, hyperframe: int,
                       la: int, bs_service_details: int,
                       freq_offset: int = 0, duplex_spacing: int = 0,
-                      reverse_operation: int = 0) -> np.ndarray:
-    """124-bit BROADCAST/SYSINFO PDU (21.4.4.1 + D-MLE-SYSINFO)."""
+                      reverse_operation: int = 0,
+                      cck_id: int | None = None) -> np.ndarray:
+    """124-bit BROADCAST/SYSINFO PDU (21.4.4.1 + D-MLE-SYSINFO).
+
+    The 17-bit field after the timeout carries EITHER the hyperframe number
+    (cck_valid_no_hf=0) or the common cipher key id (cck_valid_no_hf=1);
+    encrypted networks alternate between the two so receivers learn both
+    (rx_bcast handles both arms, tetra_upper_mac.c:120-131).  Pass cck_id to
+    emit the CCK arm."""
     parts = [
         _uint_to_bits(2, 2),            # MAC PDU type: broadcast
         _uint_to_bits(0, 2),            # broadcast subtype: sysinfo
@@ -65,8 +72,8 @@ def build_sysinfo_pdu(main_carrier: int, freq_band: int, hyperframe: int,
         _uint_to_bits(2, 4),            # rxlev access min
         _uint_to_bits(3, 4),            # access parameter
         _uint_to_bits(2, 4),            # radio DL timeout
-        _uint_to_bits(0, 1),            # cck_valid_no_hf = 0 -> hyperframe
-        _uint_to_bits(hyperframe, 16),
+        _uint_to_bits(0 if cck_id is None else 1, 1),  # cck_valid_no_hf
+        _uint_to_bits(hyperframe if cck_id is None else cck_id, 16),
         _uint_to_bits(2, 2),            # option field: access code A
         _uint_to_bits(0, 20),
         # D-MLE-SYSINFO
@@ -361,9 +368,15 @@ def downlink_bits(cfg: CellConfig, n_slots: int,
             continue
         if is_bsch(time):
             sb1 = build_sync_pdu(cfg.cc, time, cfg.mcc, cfg.mnc)
+            # encrypted cells alternate the SYSINFO 17-bit arm between
+            # hyperframe number and CCK id (odd multiframes carry the key id)
+            alt_cck = (crypto is not None and crypto.cck is not None
+                       and time.mn % 2 == 1)
             sb2 = build_sysinfo_pdu(cfg.main_carrier, cfg.freq_band,
                                     cfg.hyperframe, cfg.la,
-                                    cfg.bs_service_details)
+                                    cfg.bs_service_details,
+                                    cck_id=(crypto.cck_id if alt_cck
+                                            else None))
             b = burst_mod.build_sync_burst(
                 fec_enc.encode_block(sb1, P.TPSAP_T_SB1, scramb),
                 bbk5,
