@@ -254,3 +254,22 @@ def test_cli_tx_encrypted_rx_decrypts(tmp_path):
     llc_keys = [l for l in rx_keys.stdout.splitlines() if "LLC" in l]
     assert len(llc_plain) == 0
     assert len(llc_keys) > 20
+
+
+def test_cli_tx_wideband_rx_channelized(tmp_path):
+    """tetra_tx --wideband emits an N x 25 kHz multiplex that tetra_rx
+    --wideband channelizes and locks on the populated indices."""
+    out = str(tmp_path / "wide.cf32")
+    r = _run_tx([out, "--slots", "220", "--wideband", "8",
+                 "--channels", "1,5", "--mcc", "310", "--mnc", "77"])
+    assert r.returncode == 0, r.stderr[-500:]
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["sample_rate"] == 8 * 25_000
+    rx = _run_cli([out, "--wideband", "8", "--status-every", "100"])
+    assert rx.returncode == 0, rx.stderr[-500:]
+    summary = json.loads(rx.stdout.strip().splitlines()[-1])
+    locked = {s["channel"] for s in summary if s["locked"]}
+    assert {1, 5} <= locked
+    for s in summary:
+        if s["channel"] in (1, 5):
+            assert s["mcc"] == 310 and s["mnc"] == 77 and s["crc_ok"] > 30
