@@ -753,7 +753,7 @@ void tetra_acelp_encode_frame(void* h, const int16_t* pcm240,
             for (int i = n; i < SUBFRAME; i++) acc += x2[i] * hh[i - n];
             d[n] = acc;
         }
-        static float phi[SUBFRAME][SUBFRAME];
+        float phi[SUBFRAME][SUBFRAME];   // 14.4 kB, fits the stack fine
         for (int i = 0; i < SUBFRAME; i++)
             for (int j = i; j < SUBFRAME; j++) {
                 float acc = 0.0f;
