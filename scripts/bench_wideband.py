@@ -61,8 +61,9 @@ def main():
         return k * advance * iters / dt / 1e6
 
     result = None
-    for n_ch, t50, k in ((256, 5600, 8), (256, 5600, 1), (128, 5600, 8),
-                         (128, 5600, 1), (64, 5600, 1)):
+    # t50 must map to a K_SAMP-multiple t36 (t50 * 18/25 % K_SAMP == 0)
+    for n_ch, t50, k in ((256, 6400, 8), (256, 6400, 1), (128, 6400, 8),
+                         (128, 6400, 1), (64, 6400, 1)):
         try:
             msps = run_config(n_ch, t50, k)
             result = dict(n_ch=n_ch, t50=t50, k=k, msps=round(msps, 3))

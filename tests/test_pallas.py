@@ -117,6 +117,7 @@ def test_full_pallas_pipeline_matches_xla():
         rng = np.random.default_rng(5)
         bits = rng.integers(0, 2, (2, 8000)).astype(np.uint8)
         iq = np.asarray(modulate(jnp.asarray(bits)))
+        iq = iq[:, :iq.shape[1] // DF.K_SAMP * DF.K_SAMP]
         nch = int(np.ceil(iq.shape[1] / (DF.K_SYM * 1.96))) + 1
         xr = jnp.asarray(iq.real.astype(np.float32))
         xi = jnp.asarray(iq.imag.astype(np.float32))

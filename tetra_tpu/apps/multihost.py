@@ -54,7 +54,7 @@ def _build_parser():
                          "multi-host mesh)")
     ap.add_argument("--chips", type=int, default=None,
                     help="chip-axis size (default: local device count)")
-    ap.add_argument("--t50", type=int, default=5600,
+    ap.add_argument("--t50", type=int, default=6400,
                     help="50 kHz samples per step per channel")
     ap.add_argument("--steps", type=int, default=0,
                     help="stop after N steps (0 = until input ends)")

@@ -29,7 +29,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import params as P
-from ..rx.demod import _FLL_BETA, _FLL_FREQ_LIM, _tables
+from ..rx.demod import _FLL_FREQ_LIM, _tables
+from ..rx.demod_fast import _FLL_BETA
 from ..rx.demod_fast import K_SAMP, rot_ramp
 
 M = P.RRC_TAP_COUNT              # 65
@@ -58,9 +59,9 @@ def _kernel(xr_ref, xi_ref, gain0, phase0, freq0, hist_r0, hist_i0, Hs_ref,
     outputs: mf chunk (K, C); final state (1, C) x3; history (HIST, C) x2
     scratch: ext_r/ext_i (ROWS, C) rotated history+chunk; state (3, C)
     """
-    i = pl.program_id(0)
-    n = pl.num_programs(0)
-    C = xr_ref.shape[1]
+    i = pl.program_id(1)          # chunk index (inner, sequential per tile)
+    n = pl.num_programs(1)
+    C = xr_ref.shape[1]           # channels in this tile
 
     @pl.when(i == 0)
     def _init():
@@ -169,37 +170,50 @@ def _band_stack():
     return _HS
 
 
+# channel tile for the outer grid dim: bounds the per-step VMEM working set
+# (K=128 x C=2048 blocks blew the 16 MB scoped-vmem limit at ~18 MB)
+CHAN_TILE = 2048
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def agc_fll_rrc(xr_t, xi_t, gain, phase, freq, hist_r, hist_i,
                 interpret=False):
     """Fused stage-1: (T, C) float pair + (HIST, C) rotated-sample history ->
     matched-filter output (T, C) pair, final (gain, phase, freq), and the new
-    history (streaming continuity across blocks)."""
+    history (streaming continuity across blocks).
+
+    Channels tile on the outer grid dimension (chunks iterate sequentially
+    inside each tile, mirroring ops/mm_pallas) so VMEM stays bounded for
+    any C."""
     T, C = xr_t.shape
     assert T % K_SAMP == 0
     assert K_SAMP >= HIST  # history shift assumes non-overlapping copy
     n_chunks = T // K_SAMP
     Hs = jnp.asarray(_band_stack())
+    CT = CHAN_TILE if C % CHAN_TILE == 0 and C > CHAN_TILE else C
+    n_tiles = C // CT
 
+    chunk = lambda c, i: (i, c)
+    ctile = lambda c, i: (0, c)
+    const = lambda c, i: (0, 0)
     in_specs = [
-        pl.BlockSpec((K_SAMP, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((K_SAMP, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((HIST, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((HIST, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((5 * K_SAMP, ROWS), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((K_SAMP, CT), chunk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((K_SAMP, CT), chunk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CT), ctile, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CT), ctile, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CT), ctile, memory_space=pltpu.VMEM),
+        pl.BlockSpec((HIST, CT), ctile, memory_space=pltpu.VMEM),
+        pl.BlockSpec((HIST, CT), ctile, memory_space=pltpu.VMEM),
+        pl.BlockSpec((5 * K_SAMP, ROWS), const, memory_space=pltpu.VMEM),
     ]
     out_specs = [
-        pl.BlockSpec((K_SAMP, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((K_SAMP, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((HIST, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((HIST, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K_SAMP, CT), chunk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((K_SAMP, CT), chunk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CT), ctile, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CT), ctile, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CT), ctile, memory_space=pltpu.VMEM),
+        pl.BlockSpec((HIST, CT), ctile, memory_space=pltpu.VMEM),
+        pl.BlockSpec((HIST, CT), ctile, memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((T, C), jnp.float32),
@@ -212,14 +226,14 @@ def agc_fll_rrc(xr_t, xi_t, gain, phase, freq, hist_r, hist_i,
     ]
     return pl.pallas_call(
         _kernel,
-        grid=(n_chunks,),
+        grid=(n_tiles, n_chunks),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((ROWS, C), jnp.float32),
-            pltpu.VMEM((ROWS, C), jnp.float32),
-            pltpu.VMEM((3, C), jnp.float32),
+            pltpu.VMEM((ROWS, CT), jnp.float32),
+            pltpu.VMEM((ROWS, CT), jnp.float32),
+            pltpu.VMEM((3, CT), jnp.float32),
             pltpu.SemaphoreType.REGULAR,
         ],
         interpret=interpret,

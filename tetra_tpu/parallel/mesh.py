@@ -113,7 +113,7 @@ def make_mesh_2d(n_hosts: int, n_chips: int) -> Mesh:
     return Mesh(devs.reshape(n_hosts, n_chips), ("host", "chip"))
 
 
-def sharded_wideband_demod_step(mesh: Mesh, n_ch: int, t50_new: int = 5600):
+def sharded_wideband_demod_step(mesh: Mesh, n_ch: int, t50_new: int = 6400):
     """Multi-host front end (BASELINE config 5 shape, scaled by mesh size):
     each host ingests its own n_ch x 25 kHz wideband antenna feed,
     channelizes + resamples it locally, and its n_ch channels shard over
@@ -129,7 +129,7 @@ def sharded_wideband_demod_step(mesh: Mesh, n_ch: int, t50_new: int = 5600):
     continue the sample stream exactly (no per-block transients).
 
     t50_new: 50 kHz samples produced per step; must be a multiple of 25 with
-    t36 = t50_new*18/25 a multiple of the demod chunk (default 5600 -> 4032).
+    t36 = t50_new*18/25 a multiple of the demod chunk (default 6400 -> 4608).
 
     Returns (jitted step, wide_len, advance): feed raw windows wr/wi of
     shape (n_hosts, wide_len) float32 host-sharded, advancing the raw

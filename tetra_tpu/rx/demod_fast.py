@@ -34,8 +34,10 @@ import numpy as np
 
 from .. import params as P
 from ..core.fir import fir_stream_pair
-from .demod import (_COSTAS_ALPHA, _COSTAS_BETA, _COSTAS_FREQ_LIM,
-                    _FLL_BETA, _FLL_FREQ_LIM,
+from .demod import (_COSTAS_FREQ_LIM, _FLL_FREQ_LIM,
+                    _COSTAS_ALPHA as _COSTAS_ALPHA_REF,
+                    _COSTAS_BETA as _COSTAS_BETA_REF,
+                    _FLL_BETA as _FLL_BETA_REF,
                     _MM_MU_GAIN as _MM_MU_GAIN_REF,
                     _MM_OMEGA_GAIN as _MM_OMEGA_GAIN_REF,
                     _OMEGA, _OMEGA_MAX, _OMEGA_MIN, _DIFF_REMAP, _tables)
@@ -43,13 +45,29 @@ from .demod import (_COSTAS_ALPHA, _COSTAS_BETA, _COSTAS_FREQ_LIM,
 K_SAMP = 64    # AGC/FLL chunk length (samples)
 K_SYM = 32     # timing/Costas chunk length (symbols)
 
+# Chunked loops aggregate the per-sample error over a chunk, so the gain
+# per SAMPLE is K-independent -- but the update latency grows with K, which
+# shrinks the phase margin.  Scaling every loop gain by (K_ref / K) keeps
+# the product (bandwidth x update latency) at its tuned value as the chunk
+# size changes, so larger chunks (fewer sequential kernel steps: the
+# throughput bound) trade loop bandwidth instead of stability.
+_K_SAMP_REF = 64       # chunk sizes the gains below were tuned at
+_K_SYM_REF = 32
+# sqrt scaling: full (K_ref/K) halves the pull-in rate and misses the
+# acquisition window at 600 Hz CFO; unscaled doubles the idle-channel
+# jitter.  1/sqrt(K/K_ref) keeps the aggregated-error noise bandwidth
+# constant while pull-in only slows ~1.4x.
+_FLL_BETA = _FLL_BETA_REF * float(np.sqrt(_K_SAMP_REF / K_SAMP))
+_COSTAS_ALPHA = _COSTAS_ALPHA_REF * (_K_SYM_REF / K_SYM)
+_COSTAS_BETA = _COSTAS_BETA_REF * (_K_SYM_REF / K_SYM)
+
 # Chunked timing-loop bandwidth: with the natural-scale S-curve restoring
 # the designed damping, 1/4 of the reference's per-sample gains gives the
 # best quality everywhere measured (idle 0.013, mid-mu 0.035, channelized
 # 0.05, 100 ppm clock offset 0.07 rad mean |phase err|) -- lower bandwidth
 # means proportionally less detector self-noise jitter, and a 100 ppm
 # clock still tracks with wide margin.
-_MM_GAIN_SCALE = 0.25
+_MM_GAIN_SCALE = 0.25 * (_K_SYM_REF / K_SYM)
 _MM_MU_GAIN = _MM_MU_GAIN_REF * _MM_GAIN_SCALE
 _MM_OMEGA_GAIN = _MM_OMEGA_GAIN_REF * _MM_GAIN_SCALE
 
