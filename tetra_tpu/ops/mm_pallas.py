@@ -145,6 +145,9 @@ def _chunk_body(T, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
         exs_r = jnp.broadcast_to(wr[:1, :], (_N_OFF * K_SYM, C))
         exs_i = jnp.broadcast_to(wi[:1, :], (_N_OFF * K_SYM, C))
     else:
+        # (a bit-exact 3-pass bf16 Dekker-split variant of this product
+        # measured NO win -- 124 vs 118 ms/dispatch: Mosaic's f32 matmul
+        # path is already efficient and the split adds VPU conversions)
         S = sel_ref[:, :]                              # (N_OFF*K, _NEED)
         exs_r = jnp.dot(S, wr, preferred_element_type=jnp.float32)
         exs_i = jnp.dot(S, wi, preferred_element_type=jnp.float32)
@@ -315,7 +318,7 @@ def mm_costas(mfr_ext, mfi_ext, st0, n_chunks: int, interpret=False,
     Text = mfr_ext.shape[0]
     Pb, Pd = _bank_polys()
     polys = jnp.asarray(np.stack([Pb, Pd]))      # (2, 6, NTAPS)
-    sel = jnp.asarray(_selection_mats())         # (N_OFF, K, WIN)
+    sel = jnp.asarray(_selection_mats())         # (N_OFF*K, _NEED)
     S = n_chunks * K_SYM
     out_shape = [
         jax.ShapeDtypeStruct((S, C), jnp.float32),
