@@ -159,3 +159,35 @@ def test_block_encode_decode_roundtrip(blk_type):
     out, ok = rx_fec.decode_block(jnp.asarray(type5), blk_type, scramb_init)
     assert (np.asarray(out) == type1).all(), name
     assert np.asarray(ok).all(), name
+
+
+def test_mixed_decode_matches_per_type():
+    """decode_blocks_mixed == decode_block for every downlink type in one
+    heterogeneous batch, bit-exact -- including corrupted rows (the strong
+    zero-padding forces the padded traceback through the true-end state;
+    see rx/fec._MIX_PAD_AMP)."""
+    scramb = P.scramb_get_init(262, 1234, 7)
+    types = [P.TPSAP_T_SB1, P.TPSAP_T_BBK, P.TPSAP_T_SB2,
+             P.TPSAP_T_NDB, P.TPSAP_T_SCH_F]
+    rows = []
+    expect = []
+    for rep in range(3):
+        for blk_type in types:
+            name, t345, t2, t1, ia, has_crc = P.BLK_PARAMS[blk_type]
+            type1 = RNG.integers(0, 2, t1).astype(np.uint8)
+            init = P.SCRAMB_INIT if blk_type == P.TPSAP_T_SB1 else scramb
+            type5 = fec_enc.encode_block(type1, blk_type, init)
+            if rep == 1:   # a few correctable channel errors
+                for pos in RNG.choice(t345, 3, replace=False):
+                    type5 = type5.copy()
+                    type5[pos] ^= 1
+            if rep == 2:   # garbage row: CRC must fail identically
+                type5 = RNG.integers(0, 2, t345).astype(np.uint8)
+            rows.append((blk_type, type5, scramb))
+            ref_t1, ref_ok = rx_fec.decode_block(
+                jnp.asarray(type5[None]), blk_type, scramb)
+            expect.append((np.asarray(ref_t1)[0], bool(np.asarray(ref_ok)[0])))
+    got = rx_fec.decode_blocks_mixed(rows)
+    for (g_t1, g_ok), (e_t1, e_ok), (blk_type, _, _) in zip(got, expect, rows):
+        assert g_ok == e_ok, P.BLK_PARAMS[blk_type][0]
+        assert (g_t1 == e_t1).all(), P.BLK_PARAMS[blk_type][0]

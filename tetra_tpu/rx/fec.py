@@ -154,6 +154,113 @@ def _decode_cch_block(type5: jnp.ndarray, ks: jnp.ndarray, blk_type: int):
     return type2[..., :t1], crc_ok
 
 
+# ---------------------------------------------------------------------------
+# Mixed-type fused decode: ALL downlink block types in ONE device program
+# ---------------------------------------------------------------------------
+
+# variant table (geometry of P.BLK_PARAMS rows): (t345, t2, t1, ia)
+_MIX_SB1, _MIX_NDB, _MIX_SCHF, _MIX_BBK = 0, 1, 2, 3
+_MIX_VARIANTS = ((120, 80, 60, 11), (216, 144, 124, 101),
+                 (432, 288, 268, 103))
+_MIX_T345 = 432          # padded type-5 row length
+_MIX_T2 = 288            # padded trellis steps
+_MIX_T1 = 268            # padded type-1 row length
+# Padding soft symbols appended after a shorter block's zero-terminated
+# tail: the all-zero codeword (encoder input 0 from state 0 emits g=0 ->
+# soft +1 per bit) at amplitude >> any reachable path-metric spread.  Every
+# (state, input) != (0, 0) transition emits >= 1 nonzero coded bit (K=5
+# means some generator carries the x^4 tap, and the mother code is
+# non-catastrophic), so each padded step costs any non-zero-state path
+# >= 2*amp while the 0->0 path gains the maximum 4*amp: traceback from
+# state 0 at the padded end provably passes through state 0 at the true
+# end, where metrics are spread at most 4*t2 < 2*amp.  The decoded prefix
+# is therefore EXACTLY the per-type zero-terminated decode.
+_MIX_PAD_AMP = 1000.0
+
+
+@jax.jit
+def _decode_mixed_jit(type5p: jnp.ndarray, ks: jnp.ndarray,
+                      tsel: jnp.ndarray):
+    """type5p/ks: (B, 432) uint8 (rows zero-padded past their type's
+    length); tsel: (B,) int32 variant id (0 SB1 / 1 SB2-NDB / 2 SCH-F /
+    3 BBK).  Returns (type1 (B, 268) uint8, ok (B,) bool)."""
+    B = type5p.shape[0]
+    type4 = type5p ^ ks
+    softs = []
+    for t345, t2, t1, ia in _MIX_VARIANTS:
+        t3 = type4[:, :t345][:, jnp.asarray(_deinterleave_idx(t345, ia))]
+        soft = depuncture_soft(t3, P.PUNCT_2_3, t2 * 4, 4)     # (B, t2, 4)
+        if t2 < _MIX_T2:
+            pad = jnp.full((B, _MIX_T2 - t2, 4), _MIX_PAD_AMP, jnp.float32)
+            soft = jnp.concatenate([soft, pad], axis=1)
+        softs.append(soft)
+    t3d = tsel[:, None, None]
+    soft = jnp.where(t3d == _MIX_SB1, softs[0],
+                     jnp.where(t3d == _MIX_NDB, softs[1], softs[2]))
+    type2 = viterbi_decode(soft, "cch")                        # (B, 288)
+    oks = [crc16_check(type2[..., : t1 + 16])
+           for _, _, t1, _ in _MIX_VARIANTS]
+    ok = jnp.where(tsel == _MIX_SB1, oks[0],
+                   jnp.where(tsel == _MIX_NDB, oks[1], oks[2]))
+    info14, ok_bbk = rm3014_decode(type4[:, :30])
+    type1 = type2[:, :_MIX_T1].astype(jnp.uint8)
+    bbk_row = jnp.concatenate(
+        [info14, jnp.zeros((B, _MIX_T1 - 14), info14.dtype)], axis=1)
+    is_bbk = tsel == _MIX_BBK
+    type1 = jnp.where(is_bbk[:, None], bbk_row.astype(jnp.uint8), type1)
+    ok = jnp.where(is_bbk, ok_bbk, ok)
+    return type1, ok
+
+
+_MIX_VARIANT_OF = {}  # blk_type -> (variant id, t345, t1)
+
+
+def _mix_variant(blk_type: int):
+    if not _MIX_VARIANT_OF:
+        _MIX_VARIANT_OF[P.TPSAP_T_SB1] = (_MIX_SB1, 120, 60)
+        _MIX_VARIANT_OF[P.TPSAP_T_SB2] = (_MIX_NDB, 216, 124)
+        _MIX_VARIANT_OF[P.TPSAP_T_NDB] = (_MIX_NDB, 216, 124)
+        _MIX_VARIANT_OF[P.TPSAP_T_SCH_F] = (_MIX_SCHF, 432, 268)
+        _MIX_VARIANT_OF[P.TPSAP_T_BBK] = (_MIX_BBK, 30, 14)
+    return _MIX_VARIANT_OF.get(blk_type)
+
+
+def decode_blocks_mixed(blocks: list[tuple[int, np.ndarray, int]]
+                        ) -> list[tuple[np.ndarray, bool]]:
+    """Decode a heterogeneous batch of type-5 blocks in ONE device call.
+
+    blocks: [(blk_type, type5_bits, scramb_init)] -- every downlink block
+    type (SB1/SB2/NDB/SCH-F/BBK; SB1 rows use the fixed SCRAMB_INIT per
+    tetra_lower_mac.c:186-190 regardless of the passed init).  Returns
+    [(type1_bits, crc_ok)] in order, each sliced to its type's length.
+
+    Motivation: per-call dispatch overhead on this TPU backend is ~tens of
+    ms, so the per-type batching of decode_block (up to 5 calls per feed
+    cycle) bounded the attached-host receiver at ~real-time x80; one fused
+    program makes the FEC cost per cycle a single dispatch.  Results are
+    bit-exact vs decode_block (see _MIX_PAD_AMP note + tests/test_fec.py).
+    """
+    B = len(blocks)
+    bucket = 1 << max(2, (B - 1).bit_length())
+    t5 = np.zeros((bucket, _MIX_T345), np.uint8)
+    ksm = np.zeros((bucket, _MIX_T345), np.uint8)
+    tsel = np.full((bucket,), _MIX_BBK, np.int32)
+    metas = []
+    for j, (blk_type, bits, scramb) in enumerate(blocks):
+        var, t345, t1 = _mix_variant(blk_type)
+        if blk_type == P.TPSAP_T_SB1:
+            scramb = P.SCRAMB_INIT
+        t5[j, :t345] = bits
+        ksm[j, :t345] = keystream(int(scramb), t345)
+        tsel[j] = var
+        metas.append(t1)
+    type1, ok = _decode_mixed_jit(jnp.asarray(t5), jnp.asarray(ksm),
+                                  jnp.asarray(tsel))
+    type1 = np.asarray(type1)
+    ok = np.asarray(ok)
+    return [(type1[j, :metas[j]], bool(ok[j])) for j in range(B)]
+
+
 def decode_block(type5: jnp.ndarray, blk_type: int,
                  scramb_init) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Decode a batch of type-5 blocks of one type.
