@@ -58,18 +58,31 @@ _K_SYM_REF = 32
 # jitter.  1/sqrt(K/K_ref) keeps the aggregated-error noise bandwidth
 # constant while pull-in only slows ~1.4x.
 _FLL_BETA = _FLL_BETA_REF * float(np.sqrt(_K_SAMP_REF / K_SAMP))
-_COSTAS_ALPHA = _COSTAS_ALPHA_REF * (_K_SYM_REF / K_SYM)
-_COSTAS_BETA = _COSTAS_BETA_REF * (_K_SYM_REF / K_SYM)
+# Costas at half the reference per-symbol gain: the dominant noise input to
+# the chunked Costas is timing-jitter-induced symbol noise (not thermal), so
+# once the timing loop below is quieted, halving the Costas bandwidth halves
+# the tracked jitter with no measured acquisition cost (scripts/tune_loops.py
+# grid: op-point 0.055 -> 0.042 rad, clean floor 0.018 -> 0.009).
+_COSTAS_GAIN_SCALE = 0.5 * (_K_SYM_REF / K_SYM)
+_COSTAS_ALPHA = _COSTAS_ALPHA_REF * _COSTAS_GAIN_SCALE
+_COSTAS_BETA = _COSTAS_BETA_REF * _COSTAS_GAIN_SCALE
 
 # Chunked timing-loop bandwidth: with the natural-scale S-curve restoring
-# the designed damping, 1/4 of the reference's per-sample gains gives the
-# best quality everywhere measured (idle 0.013, mid-mu 0.035, channelized
-# 0.05, 100 ppm clock offset 0.07 rad mean |phase err|) -- lower bandwidth
-# means proportionally less detector self-noise jitter, and a 100 ppm
-# clock still tracks with wide margin.
-_MM_GAIN_SCALE = 0.25 * (_K_SYM_REF / K_SYM)
-_MM_MU_GAIN = _MM_MU_GAIN_REF * _MM_GAIN_SCALE
-_MM_OMEGA_GAIN = _MM_OMEGA_GAIN_REF * _MM_GAIN_SCALE
+# the designed damping, the reference's per-sample gains scale down as
+# mu x 1/8, omega x 1/16 -- i.e. halving the earlier 1/4 flat scale on the
+# first-order term and QUARTERING the second-order term.  Scaling both
+# gains by the same factor s drops the loop damping by sqrt(s) (zeta ~
+# Kp/sqrt(Ki)): the earlier flat 1/4 left the loop underdamped, so its
+# detector self-noise rang instead of averaging out, and pushing the flat
+# scale lower made quality WORSE (0.5 -> 0.25 flat: clean 0.020 -> 0.027).
+# Keeping omega ~ mu^2 preserves damping while narrowing bandwidth:
+# measured floors (scripts/tune_loops.py) clean 0.023 -> 0.009, half-sample
+# mu 0.017 -> 0.013, 100 ppm clock 0.030 -> 0.018, 20 dB + 600 Hz operating
+# point 0.056 -> 0.042 rad mean |phase err| -- the clean floor now matches
+# the per-sample reference tuning (~0.009) while a 100 ppm clock still
+# tracks with margin.
+_MM_MU_GAIN = _MM_MU_GAIN_REF * 0.125 * (_K_SYM_REF / K_SYM)
+_MM_OMEGA_GAIN = _MM_OMEGA_GAIN_REF * 0.0625 * (_K_SYM_REF / K_SYM) ** 2
 
 # Chunked decision-directed loops admit false equilibria when the phase can
 # sweep a full pi/2 decision period within one chunk (the aggregated error
