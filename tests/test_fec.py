@@ -191,3 +191,15 @@ def test_mixed_decode_matches_per_type():
     for (g_t1, g_ok), (e_t1, e_ok), (blk_type, _, _) in zip(got, expect, rows):
         assert g_ok == e_ok, P.BLK_PARAMS[blk_type][0]
         assert (g_t1 == e_t1).all(), P.BLK_PARAMS[blk_type][0]
+
+
+def test_mixed_decode_schhu_fallback():
+    """SCH/HU is outside the fused variant table (uplink-only): the mixed
+    API must fall back to the per-type path, not crash."""
+    scramb = P.scramb_get_init(262, 1234, 7)
+    type1 = RNG.integers(0, 2, 92).astype(np.uint8)
+    type5 = fec_enc.encode_block(type1, P.TPSAP_T_SCH_HU, scramb)
+    got = rx_fec.decode_blocks_mixed([(P.TPSAP_T_SCH_HU, type5, scramb)])
+    assert len(got) == 1
+    g_t1, g_ok = got[0]
+    assert g_ok and (g_t1 == type1).all()

@@ -247,7 +247,18 @@ def decode_blocks_mixed(blocks: list[tuple[int, np.ndarray, int]]
     tsel = np.full((bucket,), _MIX_BBK, np.int32)
     metas = []
     for j, (blk_type, bits, scramb) in enumerate(blocks):
-        var, t345, t1 = _mix_variant(blk_type)
+        mv = _mix_variant(blk_type)
+        if mv is None:
+            # type outside the fused program's variant table (SCH/HU: uplink
+            # only, never emitted by the downlink burst splitter) -- decode
+            # the whole batch on the per-type path rather than crash
+            out = []
+            for bt, bb, sc in blocks:
+                t1b, okb = decode_block(jnp.asarray(np.asarray(bb)[None]),
+                                        bt, sc)
+                out.append((np.asarray(t1b)[0], bool(np.asarray(okb)[0])))
+            return out
+        var, t345, t1 = mv
         if blk_type == P.TPSAP_T_SB1:
             scramb = P.SCRAMB_INIT
         t5[j, :t345] = bits
