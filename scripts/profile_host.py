@@ -36,6 +36,9 @@ def main():
     streams = [bits for _ in range(n_ch)]   # identical cells: worst host case
     syncs = [BurstSync() for _ in range(n_ch)]
     macs = [LowerMac() for _ in range(n_ch)]
+    if "--events" not in sys.argv:   # production default: no event log
+        for m in macs:
+            m.upper.events_enabled = False
 
     block_bits = 4608
     n_blocks = len(bits) // block_bits

@@ -305,13 +305,18 @@ def main(argv=None):
     for i, blk in enumerate(blocks or iter_blocks(args)):
         if rx is None:
             C = blk.shape[0]
+            # the event log's only CLI consumer is -v: leave it off
+            # otherwise (headless decode skips event/LLC/MLE bookkeeping
+            # and the log cannot grow unboundedly on long captures)
             if pooled:
                 rx = TetraReceiver(C, mode=args.demod,
                                    mac_workers=args.mac_workers,
                                    voice=bool(args.voice),
-                                   keystore=args.keystore)
+                                   keystore=args.keystore,
+                                   events=args.verbose)
             else:
-                rx = TetraReceiver(C, voice_cb=voice, mode=args.demod)
+                rx = TetraReceiver(C, voice_cb=voice, mode=args.demod,
+                                   events=args.verbose)
             if args.keystore and not pooled:
                 from ..crypto.state import CryptoState, KeyStore
                 for m in rx.mac:

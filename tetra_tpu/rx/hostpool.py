@@ -42,7 +42,8 @@ def _phy_load(phy, snap: tuple) -> None:
     t.hn, t.mn, t.fn, t.tn, t.sn = snap[1:]
 
 
-def _worker_main(conn, channel_ids, voice: bool, keystore: str | None):
+def _worker_main(conn, channel_ids, voice: bool, keystore: str | None,
+                 events: bool = True):
     """Worker process: owns LowerMac (+ optional voice pipeline) per channel."""
     # keep workers off any accelerator: dispatch is host logic (the odd
     # voice-slot channel decode jits on the worker's own CPU backend)
@@ -55,6 +56,7 @@ def _worker_main(conn, channel_ids, voice: bool, keystore: str | None):
     macs, voices = {}, {}
     for cid in channel_ids:
         m = LowerMac(phy=PhyState())
+        m.upper.events_enabled = events
         if keystore:
             from ..crypto.state import CryptoState, KeyStore
             m.upper.crypto_state = CryptoState(KeyStore.load(keystore))
@@ -111,7 +113,7 @@ class MacPool:
     channel c is owned by worker c % workers."""
 
     def __init__(self, channels: int, workers: int = 2, voice: bool = False,
-                 keystore: str | None = None):
+                 keystore: str | None = None, events: bool = True):
         from .lower_mac import CellData
 
         self.channels = channels
@@ -126,7 +128,8 @@ class MacPool:
             owned = [c for c in range(channels) if c % self.workers == w]
             parent_conn, child_conn = ctx.Pipe()
             proc = ctx.Process(target=_worker_main,
-                               args=(child_conn, owned, voice, keystore),
+                               args=(child_conn, owned, voice, keystore,
+                                     events),
                                daemon=True)
             proc.start()
             child_conn.close()

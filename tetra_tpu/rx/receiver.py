@@ -22,7 +22,8 @@ from .tdma import PhyState
 class TetraReceiver:
     def __init__(self, channels: int = 1, voice_cb=None, mode: str = "fast",
                  device_acquire: bool | None = None, mac_workers: int = 0,
-                 voice: bool = False, keystore: str | None = None):
+                 voice: bool = False, keystore: str | None = None,
+                 events: bool = True):
         """mode: "fast" = chunked-update production loops (demod_fast);
         "exact" = per-sample reference-parity loops (demod).
 
@@ -37,7 +38,12 @@ class TetraReceiver:
         pool mode use voice=True (worker-side pipelines + pool.take_audio())
         instead of voice_cb, keystore= for worker-side decryption, and
         display(c)/events come from the pooled snapshots;
-        save_state/load_state are unsupported."""
+        save_state/load_state are unsupported.
+
+        events: keep the per-channel parsed-PDU event log (UpperMac.events).
+        Disable for headless/bulk decode -- skips event construction and
+        LLC/MLE identification whose only output is that log, and stops the
+        log growing unboundedly in long runs."""
         self.channels = channels
         self.demod = demod_fast if mode == "fast" else demod_exact
         self.state = self.demod.demod_init(channels)
@@ -51,9 +57,11 @@ class TetraReceiver:
             assert voice_cb is None, "pool mode: use voice=True instead"
             self.mac = []
             self.pool = MacPool(channels, mac_workers, voice=voice,
-                                keystore=keystore)
+                                keystore=keystore, events=events)
         else:
             self.mac = [LowerMac(phy=p) for p in self.phy]
+            for m in self.mac:
+                m.upper.events_enabled = events
             if voice_cb is not None:
                 for m in self.mac:
                     m.voice_cb = voice_cb

@@ -32,6 +32,16 @@ N203 = 6
 FRAGSLOT_NR_SLOTS = 5
 REASSEMBLE_FRAGMENTS = True
 
+_NATIVE_MAC_MOD = None
+
+
+def _nm():
+    global _NATIVE_MAC_MOD
+    if _NATIVE_MAC_MOD is None:
+        from . import native_mac
+        _NATIVE_MAC_MOD = native_mac
+    return _NATIVE_MAC_MOD
+
 
 @dataclass
 class FragSlot:
@@ -68,8 +78,12 @@ class UpperMac:
     usage_marker: int = 0
     addr_type: int = 0
     last_sysinfo: p.SysinfoPdu | None = None
-    # log of parsed PDUs (for apps/tests)
+    # log of parsed PDUs (for apps/tests).  events_enabled=False skips both
+    # the appends and the LLC/MLE identification work whose only output is
+    # the event log -- the production no-consumer setting (the CLI enables
+    # it for -v); the list otherwise grows unboundedly in long runs.
     events: list = field(default_factory=list)
+    events_enabled: bool = True
 
     # -- fragment bookkeeping ------------------------------------------------
 
@@ -95,7 +109,8 @@ class UpperMac:
                 setattr(d, name, bool(sid.bs_service_details & (1 << i)))
         if self.crypto_state is not None:
             self.crypto_state.update_from_sysinfo(sid)
-        self.events.append(("sysinfo", time.copy(), sid))
+        if self.events_enabled:
+            self.events.append(("sysinfo", time.copy(), sid))
         return -1
 
     def _rx_resrc(self, bits: np.ndarray, time: TdmaTime):
@@ -126,7 +141,8 @@ class UpperMac:
                     cad, used = p.decode_chan_alloc(bits, tmpdu_offset)
                     rsd.cad = cad
                     tmpdu_offset += used
-        self.events.append(("resource", time.copy(), rsd))
+        if self.events_enabled:
+            self.events.append(("resource", time.copy(), rsd))
         if rsd.addr.type == p.ADDR_TYPE_NULL:
             return -1
         self.ssi = rsd.addr.ssi
@@ -145,13 +161,16 @@ class UpperMac:
             fs.encryption = rsd.encryption_mode > 0
             fs.bits = np.array(sdu, np.uint8)
         else:
-            self.events.append(("tm_sdu", time.copy(), np.array(sdu)))
+            if self.events_enabled:
+                self.events.append(("tm_sdu", time.copy(), np.array(sdu)))
             self._rx_tm_sdu(sdu, time)
         return pdu_bits
 
     def _rx_tm_sdu(self, sdu: np.ndarray, time: TdmaTime):
         """LLC + MLE identification of a TM-SDU (the layer the reference
         ships disabled: tetra_llc_pdu.coff + rx_tl_sdu, tetra_mle.c:20-53)."""
+        if not self.events_enabled:
+            return  # identification feeds only the event log
         llc = parse_llc(sdu)
         tl = rx_tl_sdu(llc.tl_sdu) if len(llc.tl_sdu) else None
         self.events.append(("llc", time.copy(), llc, tl))
@@ -196,8 +215,9 @@ class UpperMac:
             frag = payload[r.pos:]
             fs.bits = np.concatenate([fs.bits, frag])
             fs.length += len(frag)
-            self.events.append(("tm_sdu_reassembled", time.copy(),
-                               fs.bits.copy()))
+            if self.events_enabled:
+                self.events.append(("tm_sdu_reassembled", time.copy(),
+                                    fs.bits.copy()))
             self._rx_tm_sdu(fs.bits.copy(), time)
         fs.__init__()
         return length_indicator * 8
@@ -206,7 +226,8 @@ class UpperMac:
         # minimal D-BLCK handling (tetra_upper_mac.c:433-462)
         slot_granting = bits[17] if len(bits) > 17 else 0
         tmpdu_offset = 17 + 1 + (8 if slot_granting else 0)
-        self.events.append(("suppl", time.copy(), bits[tmpdu_offset:]))
+        if self.events_enabled:
+            self.events.append(("suppl", time.copy(), bits[tmpdu_offset:]))
         return -1
 
     def _rx_aach(self, bits: np.ndarray, time: TdmaTime):
@@ -225,9 +246,62 @@ class UpperMac:
         self.is_traffic = aad.dl_usage if (aad.dl_usage or 0) > 3 else 0
         self.blk1_stolen = False
         self.blk2_stolen = False
-        self.events.append(("aach", time.copy(), aad))
+        if self.events_enabled:
+            self.events.append(("aach", time.copy(), aad))
 
     # -- TMV-SAP entry (rx_tmv_unitdata_ind + the lower-MAC PDU loop) --------
+
+    def _native_handle(self):
+        """Native receive core (rx/native/macparse.cpp), created lazily the
+        first time the fast-path preconditions hold."""
+        h = self.__dict__.get("_native")
+        if h is None:
+            from . import native_mac
+            lib = native_mac.load()
+            h = (native_mac.NativeMacHandle(lib) if lib is not None
+                 else False)
+            self.__dict__["_native"] = h
+        return h
+
+    def _sync_native(self, h, flags):
+        """Pull the scalar MAC state + any display-field changes out of the
+        native core after a receive call.  AACH/SYSINFO display updates are
+        change-gated by the packed `seen` bits so the common case costs a
+        few integer ops."""
+        nm = _nm()
+        self.is_traffic = flags & 0xFF
+        self.blk1_stolen = bool(flags & 0x100)
+        self.blk2_stolen = bool(flags & 0x200)
+        self.addr_type = (flags >> 10) & 7
+        self.usage_marker = (flags >> 13) & 0x3F
+        self.ssi = (flags >> 32) & 0xFFFFFF
+        if not (flags & 0x300000):      # no AACH / SYSINFO this block
+            return
+        d = self.display
+        if flags & nm.F_AACH_SEEN:
+            a = h.st.aach
+            if a.have1:
+                d.access1_code = chr(ord("A") + a.code1)
+                d.access1 = a.val1
+            if a.have2:
+                d.access2_code = chr(ord("A") + a.code2)
+                d.access2 = a.val2
+            if a.have_dl:
+                d.dl_usage = a.dl
+            if a.have_ul:
+                d.ul_usage = a.ul
+        if flags & nm.F_SI_SEEN:
+            s = h.st.si
+            sid = p.SysinfoPdu(
+                **{n: getattr(s, n) for n in nm.SYSINFO_FIELDS})
+            self.last_sysinfo = sid
+            d.dl_freq = s.dl_freq
+            d.ul_freq = s.ul_freq
+            if not s.cck_valid_no_hf:
+                d.curr_hyperframe = s.hyperframe_number
+            for i, name in enumerate(p.BS_SERVICE_FLAGS):
+                if name is not None:
+                    setattr(d, name, bool(s.bs_service_details & (1 << i)))
 
     def receive(self, type1: np.ndarray, lchan: int, crc_ok: bool,
                 time: TdmaTime):
@@ -235,6 +309,19 @@ class UpperMac:
         (the while-loop of tetra_lower_mac.c:383-405)."""
         if not crc_ok:
             return
+        if not self.events_enabled and self.crypto_state is None:
+            h = self._native_handle()
+            if h is not False:
+                b = type1
+                if b.dtype != np.uint8 or not b.flags["C_CONTIGUOUS"]:
+                    b = np.ascontiguousarray(b, np.uint8)
+                fin = ((self.is_traffic & 0xFF)
+                       | (0x100 if self.blk1_stolen else 0)
+                       | (0x200 if self.blk2_stolen else 0))
+                flags = h.receive(b.ctypes.data, len(b), lchan,
+                                  time.tn, time.fn, fin)
+                self._sync_native(h, flags)
+                return
         if time.fn == 18 and REASSEMBLE_FRAGMENTS:
             self._age_fragslots()
         if lchan == LC_AACH:
