@@ -55,7 +55,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import params as P
-from ..core.fir import fir_stream_pair
+from ..core.fir import fir_stream_pair, fir_stream_pair_mm
 from . import demod_fast as DF
 from .demod import _DIFF_REMAP, _OMEGA, _tables
 
@@ -133,6 +133,28 @@ def _interp_matrix(n_sym: int, n_seg: int) -> np.ndarray:
     return W
 
 
+_OM_MATS = {}
+
+
+def _om_matrix(T: int, n_seg: int) -> np.ndarray:
+    """(T, 2*n_seg) static operator: column s sums g2 over segment s with
+    signs +1/-1 on even/odd samples (the real part of the symbol-rate
+    line), columns n_seg+s the same with signs 0-ish pattern for the
+    imaginary part (-even, +odd on the half-sample stream)."""
+    key = (T, n_seg)
+    if key not in _OM_MATS:
+        M = np.zeros((T, 2 * n_seg), np.float32)
+        L = T // n_seg
+        for sgi in range(n_seg):
+            rows = np.arange(sgi * L, (sgi + 1) * L)
+            M[rows[0::2], sgi] = 1.0
+            M[rows[1::2], sgi] = -1.0
+            M[rows[0::2], n_seg + sgi] = -1.0
+            M[rows[1::2], n_seg + sgi] = 1.0
+        _OM_MATS[key] = M
+    return _OM_MATS[key]
+
+
 def _wrap(x, period):
     return x - period * jnp.floor(x / period + 0.5)
 
@@ -145,8 +167,12 @@ def _demod_block_impl(state: FfDemodState, xr, xi, use_pallas: bool = False):
     rrc, _, _ = _tables()
 
     # ---- stage 1: block AGC + z^4 coarse CFO derotation + RRC ----
-    amp = jnp.sqrt(xr * xr + xi * xi)
-    amp_mean = jnp.maximum(jnp.mean(amp, axis=1), 1e-9)
+    # RMS amplitude: one sqrt per CHANNEL instead of one per sample (the
+    # roofline ledger's AGC fix: the per-sample sqrt was pure SFU load).
+    # For this constant-envelope-ish signal RMS ~ mean|x| to within a
+    # fraction of a dB, and the downstream chain is scale-invariant.
+    amp_mean = jnp.sqrt(jnp.maximum(jnp.mean(xr * xr + xi * xi, axis=1),
+                                    1e-18))
     g_new = jnp.clip(P.AGC_SETPOINT / amp_mean, 1.0 / P.AGC_MAX_GAIN,
                      P.AGC_MAX_GAIN)
     # dead-air squelch as in the chunked AGC: hold gain over signal gaps
@@ -157,11 +183,19 @@ def _demod_block_impl(state: FfDemodState, xr, xi, use_pallas: bool = False):
     # z = x[n] conj(x[n-2]) spans one symbol at 2 sps; z^4 collapses the
     # pi/4-DQPSK modulation to a tone at angle 8 w + pi (receiver.coarse_cfo
     # proof).  One estimate per block, unambiguous to +-fs/16 = 2.25 kHz.
-    dzr = yr[:, 2:] * yr[:, :-2] + yi[:, 2:] * yi[:, :-2]
-    dzi = yi[:, 2:] * yr[:, :-2] - yr[:, 2:] * yi[:, :-2]
-    m2 = jnp.maximum(dzr * dzr + dzi * dzi, 1e-12)
-    z2r = (dzr * dzr - dzi * dzi) / m2
-    z2i = (2.0 * dzr * dzi) / m2
+    # Estimated over the first quarter of the block (contiguous slice):
+    # 4x less arithmetic, sigma x2 -- still far inside the 40 Hz snap
+    # threshold the estimate feeds.
+    Tq = max(T // 4, 512)
+    qr = yr[:, :Tq]
+    qi = yi[:, :Tq]
+    dzr = qr[:, 2:] * qr[:, :-2] + qi[:, 2:] * qi[:, :-2]
+    dzi = qi[:, 2:] * qr[:, :-2] - qr[:, 2:] * qi[:, :-2]
+    # unnormalized 4th power: the coarse estimate only needs ~10 Hz
+    # accuracy (the refinement tiers take it from there) and the
+    # per-sample normalizing division was pure SFU load
+    z2r = dzr * dzr - dzi * dzi
+    z2i = 2.0 * dzr * dzi
     z4r = jnp.mean(z2r * z2r - z2i * z2i, axis=1)
     z4i = jnp.mean(2.0 * z2r * z2i, axis=1)
     w_est = _wrap(jnp.arctan2(z4i, z4r) - np.pi, 2 * np.pi) / 8.0
@@ -172,14 +206,14 @@ def _demod_block_impl(state: FfDemodState, xr, xi, use_pallas: bool = False):
     big = jnp.abs(dw) > (2 * np.pi * 40.0 / P.SAMPLE_RATE)
     w = jnp.where(big, w_est, state.rot_freq + 0.25 * dw)
     rot_phase = jnp.where(big, jnp.zeros_like(w), state.rot_phase)
-    # derotate by e^{-j(phase + w n)} via the rotator recurrence (no
-    # per-sample transcendentals, demod_fast.rot_ramp)
-    cr, sr0 = DF.rot_ramp(rot_phase, w, T, time_first=False)
+    # derotate by e^{-j(phase + w n)} via the two-level rotator recurrence
+    # (no per-sample transcendentals, small doubling passes only)
+    cr, sr0 = DF.rot_ramp_outer(rot_phase, w, T)
     rotr = yr * cr + yi * sr0
     roti = yi * cr - yr * sr0
     rot_phase_next = jnp.mod(rot_phase + w * T, 2 * np.pi)
-    mfr, mfi, rtr, rti = fir_stream_pair(
-        rotr, roti, jnp.asarray(rrc), state.rrc_tail_re, state.rrc_tail_im)
+    mfr, mfi, rtr, rti = fir_stream_pair_mm(
+        rotr, roti, rrc, state.rrc_tail_re, state.rrc_tail_im)
 
     ntaps = P.INTERP_TAP_COUNT
     er = jnp.concatenate([state.mm_tail_re, mfr], axis=1)  # (C, T+ntaps+1)
@@ -203,10 +237,13 @@ def _demod_block_impl(state: FfDemodState, xr, xi, use_pallas: bool = False):
     g2 = gr * gr + gi * gi
     h2 = hr_ * hr_ + hi_ * hi_
     n_seg = T // (2 * SEG_SYM)
-    g2s = g2.reshape(C, n_seg, SEG_SYM, 2)
-    h2s = h2.reshape(C, n_seg, SEG_SYM, 2)
-    om_re = (g2s[..., 0] - g2s[..., 1]).sum(axis=2)           # (C, n_seg)
-    om_im = (-h2s[..., 0] + h2s[..., 1]).sum(axis=2)
+    # per-segment alternating-sign sums as ONE static matmul (T, 2*n_seg):
+    # the (..., 2) strided splits this replaces are expensive relayouts on
+    # this backend
+    Mom = jnp.asarray(_om_matrix(T, n_seg))
+    oms = jnp.dot(g2, Mom[:, :n_seg], preferred_element_type=jnp.float32)
+    omh = jnp.dot(h2, Mom[:, n_seg:], preferred_element_type=jnp.float32)
+    om_re, om_im = oms, omh
     tau = -jnp.arctan2(om_im, om_re) / (2.0 * np.pi)          # symbol frac
 
     # unwrap across segments from the carried anchor (parallel cumsum)
@@ -231,30 +268,69 @@ def _demod_block_impl(state: FfDemodState, xr, xi, use_pallas: bool = False):
     # ---- batched fractional-delay interpolation at known positions ----
     # p >= -1 - eps by the continuity bound; the +2-sample tail makes
     # window index floor(p) + 2 >= 0 always, so validity is a pure
-    # tail condition (prefix mask) and the pos carry below stays exact
+    # tail condition (prefix mask) and the pos carry below stays exact.
+    #
+    # GATHER-FREE: advanced indexing runs at ~6 ns/element on this TPU
+    # backend (CLAUDE.md), so instead of gathering (C, n_sym, ntaps)
+    # windows, exploit floor(p_k) - 2k in {-2..3} (|p_0 - pos| < 1 plus
+    # bounded in-block clock drift): six (shift s in {-1,0,1}) x (parity
+    # b in {0,1}) window variants are plain shifted SLICES of the stream,
+    # Horner-combined per symbol, then masked-selected by (s, b).
     ipos = jnp.floor(p).astype(jnp.int32)
     mu = p - jnp.floor(p)
     valid = ipos < T
-    safe = jnp.minimum(ipos + 2, T + 1)
-    kt = jnp.arange(ntaps, dtype=jnp.int32)
-    idx = (safe[:, :, None] + kt[None, None, :]).reshape(C, -1)
-    wre = jnp.take_along_axis(er, idx, axis=1).reshape(C, n_sym, ntaps)
-    wim = jnp.take_along_axis(ei, idx, axis=1).reshape(C, n_sym, ntaps)
     Pb = jnp.asarray(DF._bank_polys()[0])
     mu1 = mu[..., None]
     c0 = Pb[0] * mu1 + Pb[1]
     for j in range(2, 6):
-        c0 = c0 * mu1 + Pb[j]
-    yr = jnp.sum(wre * c0, axis=2)                             # (C, n_sym)
-    yi = jnp.sum(wim * c0, axis=2)
+        c0 = c0 * mu1 + Pb[j]                                  # (C, n_sym, 8)
+    # window-offset range: +-1 symbol of block-head alignment freedom plus
+    # in-block clock drift (E covers +-250 ppm over this block length; the
+    # cross-block m-alignment itself tolerates drift < half a symbol per
+    # block, ~200 ppm at T=4608 -- far beyond real crystals)
+    E = int(np.ceil(n_sym * 2.5e-4)) if n_sym > 4096 else 0
+    jmin, jmax = -2 - E, 3 + E
+    # front-pad by E so drift-extended negative offsets stay indexable
+    # (they only arise at k >= 1 where the true index is positive, so the
+    # padding zeros are never selected)
+    pad = 2 * n_sym + jmax + 2 + ntaps - (T + ntaps + 1)
+    epr = jnp.pad(er, ((0, 0), (E, max(pad, 0))))
+    epi = jnp.pad(ei, ((0, 0), (E, max(pad, 0))))
+    j_off = ipos - 2 * jnp.arange(n_sym, dtype=jnp.int32)[None, :]
+    j_off = jnp.clip(j_off, jmin, jmax)
+    # split even/odd ONCE (two strided slices total); every (offset, tap)
+    # window is then a CONTIGUOUS shifted slice of one of the half-rate
+    # streams -- strided slices are expensive relayouts on this backend
+    ser = epr[:, 0::2]
+    sor = epr[:, 1::2]
+    sei = epi[:, 0::2]
+    soi = epi[:, 1::2]
+    yr = jnp.zeros((C, n_sym), jnp.float32)
+    yi = jnp.zeros((C, n_sym), jnp.float32)
+    for joff in range(jmin, jmax + 1):
+        base = joff - jmin                                     # >= 0
+        acc_r = 0.0
+        acc_i = 0.0
+        for t in range(ntaps):
+            q = base + t
+            hr2 = (ser, sor)[q & 1]
+            hi2 = (sei, soi)[q & 1]
+            o = q >> 1
+            acc_r = acc_r + c0[..., t] * jax.lax.slice_in_dim(
+                hr2, o, o + n_sym, 1, axis=1)
+            acc_i = acc_i + c0[..., t] * jax.lax.slice_in_dim(
+                hi2, o, o + n_sym, 1, axis=1)
+        mask = (j_off == joff)
+        yr = jnp.where(mask, acc_r, yr)
+        yi = jnp.where(mask, acc_i, yi)
 
-    # ---- de-pi/4 (static ramp anchored by the carried ph2 parity) ----
-    ang0 = state.ph2[:, None] - (np.pi / 4.0) * kk[None, :]
-    # ramp via one cos/sin pair per (C, n_sym) -- XLA path; the values
-    # repeat with period 8, but a closed form keeps this readable and the
-    # transcendental count is per SYMBOL here, not per sample
-    cr = jnp.cos(ang0)
-    sr_ = jnp.sin(ang0)
+    # ---- de-pi/4 (rotator-recurrence ramp anchored by carried ph2) ----
+    cr, sr_neg = DF.rot_ramp(-state.ph2,
+                             jnp.full_like(state.ph2, np.pi / 4.0), n_sym,
+                             time_first=False)
+    # rot_ramp gives cos/sin of (-ph2 + pi/4 k); we need e^{j(ph2 - pi/4 k)}
+    # = conj of that
+    sr_ = -sr_neg
     ypr = yr * cr - yi * sr_
     ypi = yi * cr + yr * sr_
 
@@ -292,9 +368,8 @@ def _demod_block_impl(state: FfDemodState, xr, xi, use_pallas: bool = False):
     # middle rung: lag-8 symbol differential on the base-flattened stream
     # (alias window +-70 Hz covers the coarse/carried error; sigma ~2-4 Hz
     # lands the residual inside the final rung's +-9 Hz window)
-    ang4 = 4.0 * base[:, None] * kk[None, :]
-    c4 = jnp.cos(ang4)
-    s4 = jnp.sin(ang4)
+    c4, s4 = DF.rot_ramp(jnp.zeros_like(base), 4.0 * base, n_sym,
+                         time_first=False)
     zfr = zr * c4 + zi * s4
     zfi = zi * c4 - zr * s4
     L8 = 8
@@ -302,9 +377,8 @@ def _demod_block_impl(state: FfDemodState, xr, xi, use_pallas: bool = False):
     v8i = (zfi[:, L8:] * zfr[:, :-L8] - zfr[:, L8:] * zfi[:, :-L8]).sum(1)
     r8 = jnp.arctan2(v8i, v8r) / (4.0 * L8)
     base = base + r8
-    ang8 = 4.0 * r8[:, None] * kk[None, :]
-    c8 = jnp.cos(ang8)
-    s8 = jnp.sin(ang8)
+    c8, s8 = DF.rot_ramp(jnp.zeros_like(r8), 4.0 * r8, n_sym,
+                         time_first=False)
     zfr, zfi = zfr * c8 + zfi * s8, zfi * c8 - zfr * s8
     n_segp = n_sym // SEG_SYM                        # trailing <SEG ignored
     segr = zfr[:, :n_segp * SEG_SYM].reshape(C, n_segp, SEG_SYM).sum(2)
@@ -341,6 +415,7 @@ def _demod_block_impl(state: FfDemodState, xr, xi, use_pallas: bool = False):
     edge = (jnp.minimum(kk - cs[0], 0.0)[None, :]
             + jnp.maximum(kk - cs[-1], 0.0)[None, :])
     phi_k = phi_k + domega[:, None] * edge
+    # the ONE per-symbol transcendental pair of the whole chain
     cp = jnp.cos(phi_k)
     sp = jnp.sin(phi_k)
     sr = ypr * cp + ypi * sp
@@ -352,9 +427,12 @@ def _demod_block_impl(state: FfDemodState, xr, xi, use_pallas: bool = False):
     quad = (a << 1) | (a ^ b)
     prev = jnp.concatenate([state.prev_sym[:, None], quad[:, :-1]], axis=1)
     dibit = jnp.asarray(_DIFF_REMAP)[(quad - prev) & 3].astype(jnp.uint8)
-    ideal_r = jnp.where(b.astype(bool), -0.7071, 0.7071)
-    ideal_i = jnp.where(a.astype(bool), -0.7071, 0.7071)
-    dist = jnp.abs(jnp.arctan2(ideal_i, ideal_r) - jnp.arctan2(si, sr))
+    ideal_ang = jnp.where(a.astype(bool),
+                          jnp.where(b.astype(bool), -3 * np.pi / 4,
+                                    -np.pi / 4),
+                          jnp.where(b.astype(bool), 3 * np.pi / 4,
+                                    np.pi / 4)).astype(jnp.float32)
+    dist = jnp.abs(ideal_ang - jnp.arctan2(si, sr))
 
     # ---- state carries ----
     n_valid = jnp.sum(valid, axis=1)
