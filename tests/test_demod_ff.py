@@ -141,3 +141,34 @@ def test_bulk_scan_matches_per_block():
                                       np.asarray(o["valid"]))
     for a, b in zip(st_b, st):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_receiver_ff_mode():
+    """TetraReceiver(mode="ff") end to end incl. state checkpoint/resume."""
+    import os
+    import tempfile
+
+    from tetra_tpu.rx.receiver import TetraReceiver
+
+    cfg = cell.CellConfig()
+    bits, _ = cell.downlink_bits(cfg, 300)
+    iq = modulate(jnp.asarray(bits[None, :]))
+    iq = np.asarray(chan(iq, jax.random.key(5), snr_db=18.0, cfo_hz=500.0,
+                         sample_rate=P.SAMPLE_RATE))
+    rx = TetraReceiver(1, mode="ff", events=False)
+    T = 4096
+    n = iq.shape[1] // T
+    for i in range(n // 2):
+        rx.process(iq[:, i * T:(i + 1) * T])
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "st.npz")
+        rx.save_state(path)
+        rx2 = TetraReceiver(1, mode="ff", events=False)
+        rx2.load_state(path)
+    for i in range(n // 2, n):
+        rx2.process(iq[:, i * T:(i + 1) * T])
+    assert rx2.locked(0)
+    d = rx2.display(0)
+    assert (d.mcc, d.mnc, d.cc) == (cfg.mcc, cfg.mnc, cfg.cc)
+    oks, fails = rx2.crc_counts(0)
+    assert oks > 200

@@ -201,7 +201,7 @@ def main(argv=None):
     ap.add_argument("--block", type=int, default=4096)
     ap.add_argument("--status-every", type=float, default=1.0,
                     help="seconds of air time between status lines")
-    ap.add_argument("--demod", choices=("fast", "exact"), default="fast")
+    ap.add_argument("--demod", choices=("fast", "ff", "exact"), default="fast")
     ap.add_argument("--mac-workers", type=int, default=0, metavar="N",
                     help="shard host MAC dispatch over N worker processes "
                          "(rx.hostpool; for 100+ channel configs)")

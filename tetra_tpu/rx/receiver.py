@@ -14,6 +14,7 @@ import numpy as np
 
 from . import demod as demod_exact
 from . import demod_fast
+from . import demod_ff
 from .burst_sync import BurstSync
 from .lower_mac import LowerMac, process_bursts_multi
 from .tdma import PhyState
@@ -25,7 +26,9 @@ class TetraReceiver:
                  voice: bool = False, keystore: str | None = None,
                  events: bool = True):
         """mode: "fast" = chunked-update production loops (demod_fast);
-        "exact" = per-sample reference-parity loops (demod).
+        "ff" = feedforward block receiver (demod_ff: estimate-then-apply,
+        no feedback loops -- best quality floors and instant coarse-CFO
+        acquisition); "exact" = per-sample reference-parity loops (demod).
 
         device_acquire: batch UNLOCKED-channel SYNC acquisition on device
         (one correlation call for all searching channels,
@@ -45,7 +48,8 @@ class TetraReceiver:
         LLC/MLE identification whose only output is that log, and stops the
         log growing unboundedly in long runs."""
         self.channels = channels
-        self.demod = demod_fast if mode == "fast" else demod_exact
+        self.demod = {"fast": demod_fast, "ff": demod_ff}.get(
+            mode, demod_exact)
         self.state = self.demod.demod_init(channels)
         self.phy = [PhyState() for _ in range(channels)]
         self.sync = [BurstSync(phy=p) for p in self.phy]
@@ -93,10 +97,12 @@ class TetraReceiver:
         if not getattr(self, "_cfo_primed", False):
             # one-shot acquisition assist: preset the FLL frequency from a
             # coarse estimate so pull-in starts inside the loop's linear
-            # range instead of sweeping from zero
+            # range instead of sweeping from zero (the ff chain estimates
+            # its own coarse CFO in-graph every block: nothing to prime)
             self._cfo_primed = True
-            est = self.coarse_cfo(np.asarray(iq, np.complex64))
-            self.state = self.state._replace(fll_freq=jnp.asarray(est))
+            if hasattr(self.state, "fll_freq"):
+                est = self.coarse_cfo(np.asarray(iq, np.complex64))
+                self.state = self.state._replace(fll_freq=jnp.asarray(est))
         self.state, outs = self.demod.demod_block(self.state, iq)
         dibits = np.asarray(outs["dibits"])
         valid = np.asarray(outs["valid"])
