@@ -89,6 +89,67 @@ def test_parity_full_downlink_stream():
         assert getattr(si_py, f) == getattr(si_nat, f), f
 
 
+def test_batched_dispatch_parity_with_voice():
+    """The one-ctypes-call batched dispatch (macparse_dispatch) must match
+    the per-block Python loop on every observable INCLUDING the deferred
+    voice callbacks (full slots and surviving stolen halves) and the
+    SYNC-PDU cell/PHY-time resync."""
+    from tetra_tpu.rx.burst_sync import BurstSync
+    from tetra_tpu.rx.lower_mac import LowerMac, process_bursts_multi
+    from tetra_tpu.tx import cell
+
+    cfg = cell.CellConfig()
+    framegen = lambda: RNG.integers(0, 2, (2, 137)).astype(np.uint8)
+    bits, _ = cell.downlink_bits(
+        cfg, 290, voice_slots={2: framegen, 3: framegen},
+        stolen_slots={(3, 2): "both", (7, 2): "first", (11, 3): "first"},
+        frag_message=((5, 1), RNG.integers(0, 2, 280).astype(np.uint8)))
+
+    calls = {"py": [], "nat": []}
+
+    def make_cb(key):
+        def cb(time, type4):
+            calls[key].append(("full", str(time), np.asarray(type4).copy()))
+        def half(time, type4):
+            calls[key].append(("half", str(time), np.asarray(type4).copy()))
+        cb.half = half
+        return cb
+
+    mac_py = LowerMac()
+    mac_py.voice_cb = make_cb("py")
+    mac_nat = LowerMac()
+    mac_nat.upper.events_enabled = False
+    mac_nat.voice_cb = make_cb("nat")
+    sync_py, sync_nat = BurstSync(phy=mac_py.phy), BurstSync(phy=mac_nat.phy)
+    dispatched = {"n": 0}
+    orig = LowerMac._dispatch_native
+    LowerMac._dispatch_native = (
+        lambda self, *a: (dispatched.__setitem__("n", dispatched["n"] + 1),
+                          orig(self, *a))[1])
+    try:
+        blk = 4608
+        for b in range(len(bits) // blk):
+            chunk = bits[b * blk:(b + 1) * blk]
+            process_bursts_multi([mac_py, mac_nat],
+                                 [sync_py.feed(chunk), sync_nat.feed(chunk)])
+            _compare(mac_py.upper, mac_nat.upper, b)
+            assert (mac_py.crc_oks, mac_py.crc_fails) == (
+                mac_nat.crc_oks, mac_nat.crc_fails), b
+            tp, tn = mac_py.phy.time, mac_nat.phy.time
+            assert (tp.hn, tp.mn, tp.fn, tp.tn) == (tn.hn, tn.mn, tn.fn,
+                                                    tn.tn), b
+            assert mac_py.cell.scramb_init == mac_nat.cell.scramb_init, b
+    finally:
+        LowerMac._dispatch_native = orig
+    assert dispatched["n"] > 10, "batched native dispatch never engaged"
+    assert len(calls["py"]) == len(calls["nat"]) > 50
+    kinds = {k for k, _, _ in calls["py"]}
+    assert kinds == {"full", "half"}, kinds
+    for (kp, tp, bp), (kn, tn, bn) in zip(calls["py"], calls["nat"]):
+        assert kp == kn and tp == tn
+        assert np.array_equal(bp, bn)
+
+
 def test_parity_fuzz_blocks():
     """Random bit blocks (all lchans, lengths, times) must produce identical
     state on both paths -- exercises NULL addresses, length sentinels,

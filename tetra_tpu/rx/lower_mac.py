@@ -137,6 +137,12 @@ class LowerMac:
     def _dispatch_decoded(self, items, decoded, bursts):
         """Sequential dispatch of pre-decoded blocks in burst/block order."""
         scramb = self.cell.scramb_init
+        up = self.upper
+        if items and not up.events_enabled and up.crypto_state is None:
+            h = up._native_handle()
+            if h is not False:
+                self._dispatch_native(h, items, decoded, bursts, scramb)
+                return
         self._resync_base = None
         for i, (bi, blk_type, blk_num, type5) in enumerate(items):
             burst = bursts[bi]
@@ -163,6 +169,111 @@ class LowerMac:
             self.upper.display.timeslot_content[(burst.time.tn - 1) % 4] = tc
             self._dispatch(blk_type, blk_num, type1, ok, burst.time, type4,
                            burst.slot_index)
+
+    def _dispatch_native(self, h, items, decoded, bursts, scramb):
+        """Batched native dispatch: ONE ctypes call (macparse_dispatch) runs
+        the whole block loop above for the no-events/no-crypto production
+        configuration, then the accumulated display/cell deltas and deferred
+        voice work apply here.  Exact-parity tested against the Python loop
+        (tests/test_native_mac.py)."""
+        from .upper_mac import _nm
+        nm = _nm()
+        n = len(items)
+        bufs, meta, off = [], np.empty((n, 12), np.int64), 0
+        for i, (bi, blk_type, blk_num, _type5) in enumerate(items):
+            burst = bursts[bi]
+            t1 = decoded[i][0]
+            if t1.dtype != np.uint8:
+                t1 = np.asarray(t1, np.uint8)
+            bufs.append(t1)
+            t = burst.time
+            meta[i] = (off, len(t1), blk_type, blk_num, bool(decoded[i][1]),
+                       burst.slot_index, t.tn, t.fn, t.mn, t.hn,
+                       burst.train_seq, t.sn)
+            off += len(t1)
+        bits = np.ascontiguousarray(np.concatenate(bufs))
+        up = self.upper
+        fin = ((up.is_traffic & 0xFF)
+               | (0x100 if up.blk1_stolen else 0)
+               | (0x200 if up.blk2_stolen else 0))
+        voice_cb = self.voice_cb
+        half_cb = getattr(voice_cb, "half", None)
+        ct = self.cell.time
+        flags, dout, actions, times = h.dispatch(
+            bits, meta, fin, voice_cb is not None, half_cb is not None,
+            ct.hn, ct.sn)
+        # MAC state mirrors (as upper_mac._sync_native)
+        up.is_traffic = flags & 0xFF
+        up.blk1_stolen = bool(flags & 0x100)
+        up.blk2_stolen = bool(flags & 0x200)
+        up.addr_type = (flags >> 10) & 7
+        up.usage_marker = (flags >> 13) & 0x3F
+        up.ssi = (flags >> 32) & 0xFFFFFF
+        # display/cell deltas
+        d = up.display
+        self.crc_oks += int(dout[nm.D_CRC_OK])
+        self.crc_fails += int(dout[nm.D_CRC_FAIL])
+        if dout[nm.D_LAST_CRC_FAIL] >= 0:
+            d.last_crc_fail = bool(dout[nm.D_LAST_CRC_FAIL])
+        if dout[nm.D_A_HAVE1]:
+            d.access1_code = chr(ord("A") + int(dout[nm.D_A_CODE1]))
+            d.access1 = int(dout[nm.D_A_VAL1])
+        if dout[nm.D_A_HAVE2]:
+            d.access2_code = chr(ord("A") + int(dout[nm.D_A_CODE2]))
+            d.access2 = int(dout[nm.D_A_VAL2])
+        if dout[nm.D_A_HAVE_DL]:
+            d.dl_usage = int(dout[nm.D_A_DL])
+        if dout[nm.D_A_HAVE_UL]:
+            d.ul_usage = int(dout[nm.D_A_UL])
+        if dout[nm.D_SI_SEEN]:
+            s = h.st.si
+            from . import mac_pdu as p
+            up.last_sysinfo = p.SysinfoPdu(
+                **{k: getattr(s, k) for k in nm.SYSINFO_FIELDS})
+            d.dl_freq = s.dl_freq
+            d.ul_freq = s.ul_freq
+            for i, name in enumerate(p.BS_SERVICE_FLAGS):
+                if name is not None:
+                    setattr(d, name, bool(s.bs_service_details & (1 << i)))
+        if dout[nm.D_HF_SEEN]:
+            d.curr_hyperframe = int(dout[nm.D_HF_VAL])
+        for k in range(4):
+            if dout[nm.D_CONTENT0 + k] >= 0:
+                d.timeslot_content[k] = int(dout[nm.D_CONTENT0 + k])
+        if dout[nm.D_LAST_MN] >= 0:
+            d.curr_multiframe = int(dout[nm.D_LAST_MN])
+            d.curr_frame = int(dout[nm.D_LAST_FN])
+        if dout[nm.D_SB1_SEEN]:
+            d.mcc = int(dout[nm.D_MCC])
+            d.mnc = int(dout[nm.D_MNC])
+            d.cc = int(dout[nm.D_CC])
+        if dout[nm.D_SB1_OK]:  # last good SYNC PDU -> cell + PHY time resync
+            c = self.cell
+            c.mcc = int(dout[nm.D_CELL_MCC])
+            c.mnc = int(dout[nm.D_CELL_MNC])
+            c.colour_code = int(dout[nm.D_CELL_CC])
+            c.time.tn = int(dout[nm.D_CELL_TN])
+            c.time.fn = int(dout[nm.D_CELL_FN])
+            c.time.mn = int(dout[nm.D_CELL_MN])
+            c.scramb_init = P.scramb_get_init(c.mcc, c.mnc, c.colour_code)
+            lag = self.phy.slot_count - int(dout[nm.D_CELL_SIDX])
+            self.phy.time.tn = c.time.tn
+            self.phy.time.fn = c.time.fn
+            self.phy.time.mn = c.time.mn
+            if lag > 0:
+                self.phy.time.add_tn(lag)
+        # deferred voice work (order preserved; the callbacks only consume
+        # (time, type4) so running them after the batch is equivalent)
+        if actions.any():
+            for i in np.nonzero(actions)[0]:
+                type5 = items[i][3]
+                type4 = type5 ^ rx_fec.keystream(scramb, len(type5))
+                hn, mn, fn, tn, sn = (int(x) for x in times[i])
+                t = TdmaTime(hn, mn, fn, tn, sn)
+                if actions[i] == 1:
+                    voice_cb(t, type4)
+                else:
+                    half_cb(t, type4)
 
 
 def decode_bursts_multi(cells: list[CellData],

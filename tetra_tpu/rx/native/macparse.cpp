@@ -18,6 +18,20 @@
 //     return    [0:8) is_traffic | 8 blk1 | 9 blk2 | [10:13) addr_type |
 //               [13:19) usage_marker | 20 aach_seen | 21 sysinfo_seen |
 //               [32:56) ssi.
+//   macparse_dispatch(st, bits, meta, n_items, flags_in, have_voice,
+//                     have_half, base_hn, base_sn, dout, actions, times)
+//     Batched lower-MAC dispatch: the whole per-channel block loop of
+//     rx/lower_mac.LowerMac._dispatch_decoded (restamp-on-SYNC, timeslot
+//     content, CRC counters, stolen-slot logic, PDU loop) in ONE call --
+//     the per-block ctypes wrapper overhead dominated the native path's
+//     remaining cost at 256 channels (ROADMAP).  `meta` is int64 (n,12):
+//     [bits_off, nbits, blk_type, blk_num, crc_ok, slot_index, tn, fn,
+//      mn, hn, train_seq, sn] per block; `dout` is int64[DOUT_LEN] of
+//     accumulated display/cell deltas (indices mirrored in native_mac.py);
+//     `actions` uint8[n] flags deferred voice work (1 full slot, 2
+//     surviving half of a stolen slot); `times` int64[n,5] is each block's
+//     restamped TDMA time (hn,mn,fn,tn,sn).  Returns packed flags like
+//     macparse_receive.
 //
 // Bit-reader semantics copy mac_pdu.BitReader: MSB-first, reads past the
 // end CLIP to the available bits (shorter value, not zero-padded).
@@ -297,6 +311,79 @@ int64_t rx_bcast(MacState* st, const uint8_t* b, int64_t n) {
   return -1;
 }
 
+// shared receive body (rx_tmv_unitdata_ind + the PDU while-loop); `seen`
+// accumulates the aach/sysinfo bits (1<<20 / 1<<21)
+void receive_core(MacState* st, const uint8_t* bits, int64_t n, int64_t lchan,
+                  int64_t tn, int64_t fn, uint64_t* seen) {
+  if (fn == 18) {                // age fragment slots (REASSEMBLE_FRAGMENTS)
+    for (auto& f : st->frags)
+      if (f.active && ++f.age > N203) frag_reset(&f);
+  }
+  if (lchan == LC_AACH) {
+    rx_aach(st, bits, n, fn);
+    *seen |= 1ull << 20;
+  } else if (lchan != LC_BSCH) {
+    int64_t offset = 0;
+    while (offset < n - 16) {
+      const uint8_t* b = bits + offset;
+      int64_t bn = n - offset;
+      uint64_t pt = peek(b, bn, 0, 2);
+      int64_t r;
+      if (pt == 2) {             // BROADCAST
+        r = rx_bcast(st, b, bn);
+        *seen |= 1ull << 21;
+      } else if (pt == 0) {      // MAC-RESOURCE
+        r = rx_resrc(st, b, bn, tn);
+      } else if (pt == 1) {      // FRAG/END
+        r = (b[2] == 0) ? rx_macfrag(st, b, bn, tn)
+                        : rx_macend(st, b, bn, tn);
+      } else {                   // MAC-SUPPL: event-log only
+        r = -1;
+      }
+      if (r < 0) break;
+      offset += r;
+    }
+  }
+}
+
+uint64_t pack_flags(const MacState* st, uint64_t seen) {
+  return (uint64_t)(st->is_traffic & 0xFF) |
+         ((uint64_t)(st->blk1_stolen & 1) << 8) |
+         ((uint64_t)(st->blk2_stolen & 1) << 9) |
+         ((uint64_t)(st->addr_type & 7) << 10) |
+         ((uint64_t)(st->usage_marker & 0x3F) << 13) | seen |
+         ((uint64_t)(st->ssi & 0xFFFFFF) << 32);
+}
+
+// TDMA time with rx/tdma.py's normalization quirks (tn normalizes only
+// when > 4 and the modulo keeps 0; mn wraps modulo 60 keeping 0; hn/sn
+// never carried by add_tn)
+struct TTime { int64_t hn, mn, fn, tn, sn; };
+
+void add_tn(TTime* t, int64_t n) {
+  t->tn += n;
+  if (t->tn > 4) { t->fn += t->tn / 4; t->tn %= 4; }
+  if (t->fn > 18) { t->mn += t->fn / 18; t->fn %= 18; }
+  if (t->mn > 60) t->mn %= 60;
+}
+
+// dout indices (mirrored as D_* in rx/native_mac.py)
+enum {
+  D_CRC_OK = 0, D_CRC_FAIL, D_LAST_CRC_FAIL, D_SI_SEEN, D_HF_SEEN, D_HF_VAL,
+  D_A_HAVE1, D_A_CODE1, D_A_VAL1, D_A_HAVE2, D_A_CODE2, D_A_VAL2,
+  D_A_HAVE_DL, D_A_DL, D_A_HAVE_UL, D_A_UL,
+  D_CONTENT0, D_CONTENT1, D_CONTENT2, D_CONTENT3,
+  D_LAST_MN, D_LAST_FN,
+  D_SB1_SEEN, D_MCC, D_MNC, D_CC,
+  D_SB1_OK, D_CELL_MCC, D_CELL_MNC, D_CELL_CC,
+  D_CELL_TN, D_CELL_FN, D_CELL_MN, D_CELL_SIDX,
+  DOUT_LEN
+};
+
+// block types (params.TPSAP_T_*) and train-seq ids (params.TRAIN_SEQ_*)
+constexpr int64_t T_SB1 = 0, T_SB2 = 1, T_NDB = 2, T_BBK = 3, T_SCH_F = 5;
+constexpr int64_t TS_NORM_2 = 1, TS_SYNC = 3;
+
 }  // namespace
 
 extern "C" {
@@ -320,41 +407,117 @@ uint64_t macparse_receive(MacState* st, const uint8_t* bits, int64_t n,
   st->blk1_stolen = (int64_t)((flags_in >> 8) & 1);
   st->blk2_stolen = (int64_t)((flags_in >> 9) & 1);
   uint64_t seen = 0;
-  if (fn == 18) {                // age fragment slots (REASSEMBLE_FRAGMENTS)
-    for (auto& f : st->frags)
-      if (f.active && ++f.age > N203) frag_reset(&f);
-  }
-  if (lchan == LC_AACH) {
-    rx_aach(st, bits, n, fn);
-    seen |= 1ull << 20;
-  } else if (lchan != LC_BSCH) {
-    int64_t offset = 0;
-    while (offset < n - 16) {
-      const uint8_t* b = bits + offset;
-      int64_t bn = n - offset;
-      uint64_t pt = peek(b, bn, 0, 2);
-      int64_t r;
-      if (pt == 2) {             // BROADCAST
-        r = rx_bcast(st, b, bn);
-        seen |= 1ull << 21;
-      } else if (pt == 0) {      // MAC-RESOURCE
-        r = rx_resrc(st, b, bn, tn);
-      } else if (pt == 1) {      // FRAG/END
-        r = (b[2] == 0) ? rx_macfrag(st, b, bn, tn)
-                        : rx_macend(st, b, bn, tn);
-      } else {                   // MAC-SUPPL: event-log only
-        r = -1;
+  receive_core(st, bits, n, lchan, tn, fn, &seen);
+  return pack_flags(st, seen);
+}
+
+uint64_t macparse_dispatch(MacState* st, const uint8_t* bits,
+                           const int64_t* meta, int64_t n_items,
+                           uint64_t flags_in, int64_t have_voice,
+                           int64_t have_half, int64_t base_hn, int64_t base_sn,
+                           int64_t* dout, uint8_t* actions, int64_t* times) {
+  st->is_traffic = (int64_t)(flags_in & 0xFF);
+  st->blk1_stolen = (int64_t)((flags_in >> 8) & 1);
+  st->blk2_stolen = (int64_t)((flags_in >> 9) & 1);
+  for (int64_t i = 0; i < DOUT_LEN; i++) dout[i] = 0;
+  dout[D_LAST_CRC_FAIL] = -1;
+  for (int64_t i = 0; i < 4; i++) dout[D_CONTENT0 + i] = -1;
+  dout[D_LAST_MN] = dout[D_LAST_FN] = -1;
+  bool resync = false;
+  TTime base{};
+  int64_t base_idx = 0;
+  for (int64_t i = 0; i < n_items; i++) {
+    const int64_t* m = meta + i * 12;
+    const uint8_t* b = bits + m[0];
+    int64_t nb = m[1], bt = m[2], bnum = m[3], ok = m[4], sidx = m[5];
+    TTime t{m[9], m[8], m[7], m[6], m[11]};
+    if (resync && sidx > base_idx) {  // restamp bursts stamped pre-resync
+      t = base;
+      add_tn(&t, sidx - base_idx);
+    }
+    int64_t* tout = times + i * 5;
+    tout[0] = t.hn; tout[1] = t.mn; tout[2] = t.fn; tout[3] = t.tn;
+    tout[4] = t.sn;
+    actions[i] = 0;
+    dout[D_LAST_MN] = t.mn;
+    dout[D_LAST_FN] = t.fn;
+    int64_t tc = (m[10] == TS_SYNC)   ? 3
+                 : (m[10] == TS_NORM_2) ? 2
+                 : (st->is_traffic ? 4 : 1);
+    dout[D_CONTENT0 + (((t.tn - 1) % 4 + 4) % 4)] = tc;
+    bool is_voice_slot = (bt == T_SCH_F && st->is_traffic);
+    if (ok) dout[D_CRC_OK]++;
+    else if (!is_voice_slot) dout[D_CRC_FAIL]++;
+    int64_t lchan = 0;  // LC_UNKNOWN
+    if (bt == T_SB1) {  // SYNC PDU parsed inline (tetra_lower_mac.c:246-276)
+      dout[D_SB1_SEEN] = 1;
+      dout[D_MCC] = (int64_t)peek(b, nb, 31, 10);
+      dout[D_MNC] = (int64_t)peek(b, nb, 41, 14);
+      dout[D_CC] = (int64_t)peek(b, nb, 4, 6);
+      if (ok) {
+        dout[D_SB1_OK] = 1;
+        dout[D_CELL_MCC] = dout[D_MCC];
+        dout[D_CELL_MNC] = dout[D_MNC];
+        dout[D_CELL_CC] = dout[D_CC];
+        dout[D_CELL_TN] = (int64_t)peek(b, nb, 10, 2) + 1;
+        dout[D_CELL_FN] = (int64_t)peek(b, nb, 12, 5);
+        dout[D_CELL_MN] = (int64_t)peek(b, nb, 17, 6);
+        dout[D_CELL_SIDX] = sidx;
+        base = TTime{base_hn, dout[D_CELL_MN], dout[D_CELL_FN],
+                     dout[D_CELL_TN], base_sn};
+        base_idx = sidx;
+        resync = true;
+        dout[D_LAST_CRC_FAIL] = 0;
+      } else {
+        dout[D_LAST_CRC_FAIL] = 1;
       }
-      if (r < 0) break;
-      offset += r;
+      lchan = LC_BSCH;
+    } else if (bt == T_BBK) {
+      lchan = LC_AACH;
+    } else if (bt == T_SB2) {
+      lchan = (t.fn == 18 && t.tn == 4 - ((t.mn + 3) % 4)) ? 11 : 0;  // BNCH
+      dout[D_LAST_CRC_FAIL] = ok ? 0 : 1;
+    } else if (bt == T_SCH_F) {
+      lchan = 1;  // LC_SCH_F
+      if (ok) dout[D_LAST_CRC_FAIL] = 0;
+      if (st->is_traffic && have_voice) actions[i] = 1;
+    } else if (bt == T_NDB) {
+      // clause 19.4.4 slot stealing (rx/lower_mac.py NDB branch)
+      if (st->is_traffic && bnum == 1) st->blk1_stolen = 1;
+      if (st->is_traffic && bnum == 2 && st->blk1_stolen &&
+          !st->blk2_stolen) {
+        if (have_half) actions[i] = 2;  // surviving half carries speech
+        continue;
+      }
+      dout[D_LAST_CRC_FAIL] = ok ? 0 : 1;
+    } else {
+      dout[D_LAST_CRC_FAIL] = ok ? 0 : 1;
+    }
+    if (!ok) continue;  // upper_mac.receive gates on crc_ok
+    uint64_t seen = 0;
+    receive_core(st, b, nb, lchan, t.tn, t.fn, &seen);
+    if (seen & (1ull << 20)) {  // accumulate AACH display deltas
+      const Aach* a = &st->aach;
+      if (a->have1) {
+        dout[D_A_HAVE1] = 1; dout[D_A_CODE1] = a->code1;
+        dout[D_A_VAL1] = a->val1;
+      }
+      if (a->have2) {
+        dout[D_A_HAVE2] = 1; dout[D_A_CODE2] = a->code2;
+        dout[D_A_VAL2] = a->val2;
+      }
+      if (a->have_dl) { dout[D_A_HAVE_DL] = 1; dout[D_A_DL] = a->dl; }
+      if (a->have_ul) { dout[D_A_HAVE_UL] = 1; dout[D_A_UL] = a->ul; }
+    }
+    if (seen & (1ull << 21)) {
+      dout[D_SI_SEEN] = 1;
+      if (!st->si.cck_valid_no_hf) {
+        dout[D_HF_SEEN] = 1;
+        dout[D_HF_VAL] = st->si.hyperframe_number;
+      }
     }
   }
-  return (uint64_t)(st->is_traffic & 0xFF) |
-         ((uint64_t)(st->blk1_stolen & 1) << 8) |
-         ((uint64_t)(st->blk2_stolen & 1) << 9) |
-         ((uint64_t)(st->addr_type & 7) << 10) |
-         ((uint64_t)(st->usage_marker & 0x3F) << 13) | seen |
-         ((uint64_t)(st->ssi & 0xFFFFFF) << 32);
+  return pack_flags(st, 0);
 }
 
 }  // extern "C"

@@ -33,6 +33,19 @@ F_AACH_SEEN = 1 << 20
 F_SI_SEEN = 1 << 21
 F_SSI_SHIFT, F_SSI_MASK = 32, 0xFFFFFF
 
+# macparse_dispatch dout indices (enum in macparse.cpp)
+(D_CRC_OK, D_CRC_FAIL, D_LAST_CRC_FAIL, D_SI_SEEN, D_HF_SEEN, D_HF_VAL,
+ D_A_HAVE1, D_A_CODE1, D_A_VAL1, D_A_HAVE2, D_A_CODE2, D_A_VAL2,
+ D_A_HAVE_DL, D_A_DL, D_A_HAVE_UL, D_A_UL,
+ D_CONTENT0, D_CONTENT1, D_CONTENT2, D_CONTENT3,
+ D_LAST_MN, D_LAST_FN,
+ D_SB1_SEEN, D_MCC, D_MNC, D_CC,
+ D_SB1_OK, D_CELL_MCC, D_CELL_MNC, D_CELL_CC,
+ D_CELL_TN, D_CELL_FN, D_CELL_MN, D_CELL_SIDX,
+ DOUT_LEN) = range(35)
+META_FIELDS = 12  # off, nbits, blk_type, blk_num, crc_ok, slot_index,
+                  # tn, fn, mn, hn, train_seq, sn
+
 
 class AachStruct(ctypes.Structure):
     _fields_ = [(n, ctypes.c_int64) for n in
@@ -96,6 +109,12 @@ def load():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_uint64]
+            lib.macparse_dispatch.restype = ctypes.c_uint64
+            lib.macparse_dispatch.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_uint64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
             assert lib.macparse_state_size() == ctypes.sizeof(MacStateStruct)
             _lib = lib
         except Exception:
@@ -117,6 +136,26 @@ class NativeMacHandle:
     def receive(self, bits_ptr, n, lchan, tn, fn, flags_in) -> int:
         return self.lib.macparse_receive(self.h, bits_ptr, n, lchan, tn, fn,
                                          flags_in)
+
+    def dispatch(self, bits, meta, flags_in, have_voice, have_half,
+                 base_hn, base_sn):
+        """One call for a whole feed cycle's block list (macparse_dispatch).
+
+        bits: concatenated type-1 bit buffer (uint8, C-contiguous);
+        meta: (n, META_FIELDS) int64.  Returns (flags, dout, actions, times)
+        -- dout int64[DOUT_LEN] accumulated display/cell deltas, actions
+        uint8[n] deferred voice work, times int64[n,5] restamped TDMA times
+        (hn,mn,fn,tn,sn)."""
+        import numpy as np
+        n = len(meta)
+        dout = np.zeros(DOUT_LEN, np.int64)
+        actions = np.zeros(n, np.uint8)
+        times = np.zeros((n, 5), np.int64)
+        flags = self.lib.macparse_dispatch(
+            self.h, bits.ctypes.data, meta.ctypes.data, n, flags_in,
+            have_voice, have_half, base_hn, base_sn,
+            dout.ctypes.data, actions.ctypes.data, times.ctypes.data)
+        return flags, dout, actions, times
 
     def __del__(self):
         try:
