@@ -43,7 +43,50 @@ def main():
     advance = t50 * hop
     n_chunks = int(np.ceil(t36 / (demod_mod.K_SYM * 1.96))) + 1
 
-    if mode == "chanonly":   # channelize only (no resample)
+    if mode == "foldonly":   # polyphase fold only (no DFT): the 96-slice
+        import jax.numpy as jnp2
+
+        def body(carry, xs):
+            wr, wi = xs
+            hop_ = n_ch // 2
+            h2 = CH._prototype(n_ch).reshape(CH.TAPS_PER_BRANCH, 2, hop_)
+            T = wr.shape[0]
+            n_out = (T - L) // hop_ + 1
+            n_z = T // hop_
+            zr = wr[:n_z * hop_].reshape(n_z, hop_)
+            zi = wi[:n_z * hop_].reshape(n_z, hop_)
+            acc = [[jnp2.zeros((n_out, hop_), wr.dtype) for _ in range(2)]
+                   for _ in range(2)]
+            for s in range(2 * CH.TAPS_PER_BRANCH):
+                j, d = s // 2, s % 2
+                w = jnp2.asarray(h2[j, d])
+                acc[0][d] = acc[0][d] + zr[s:s + n_out] * w
+                acc[1][d] = acc[1][d] + zi[s:s + n_out] * w
+            fr = jnp2.concatenate(acc[0], axis=-1)
+            fi = jnp2.concatenate(acc[1], axis=-1)
+            return carry, fr.sum() + fi.sum()
+        carry0 = jnp.zeros((), jnp.float32)
+        xs_shape = (k, wide_len)
+        muxes = 1
+    elif mode == "dftonly":  # DFT + signflip + transpose on random frames
+        Wr, Wi = map(jnp.asarray, CH._dft_basis(n_ch))
+
+        def body(carry, xs):
+            fr, fi = xs
+            yr = fr @ Wr.T - fi @ Wi.T
+            yi = fr @ Wi.T + fi @ Wr.T
+            m = jnp.arange(fr.shape[0])
+            kk = jnp.arange(n_ch)
+            signflip = jnp.where((m[:, None] * kk[None, :]) % 2 == 1,
+                                 -1.0, 1.0)
+            yr = yr * signflip
+            yi = yi * signflip
+            return carry, (jnp.swapaxes(yr, 0, 1).sum()
+                           + jnp.swapaxes(yi, 0, 1).sum())
+        carry0 = jnp.zeros((), jnp.float32)
+        xs_shape = (k, t50, n_ch)
+        muxes = 1
+    elif mode == "chanonly":   # channelize only (no resample)
         def body(carry, xs):
             wr, wi = xs
             yr, yi = CH._channelize_block(wr, wi, n_ch)

@@ -20,7 +20,12 @@ def main():
     from tetra_tpu.parallel import channelizer as CH
     from tetra_tpu.rx import demod_fast as demod_mod
 
-    def run_config(n_ch, t50, k):
+    def run_config(n_ch, t50, k, G=1):
+        """G: independent n_ch-channel multiplexes stacked per scan block
+        (channelized per stream, demodulated together at C=G*n_ch).  The
+        backend's ~27 ms fixed dispatch overhead dominates small programs
+        (scripts/ablate_wideband.py attribution), so throughput is mostly
+        a question of how many blocks one dispatch amortizes: k*G."""
         hop = n_ch // 2
         L = n_ch * CH.TAPS_PER_BRANCH
         t36 = t50 * 18 // 25
@@ -28,11 +33,14 @@ def main():
         wide_len = (t50 - 1) * hop + L
         advance = t50 * hop
         n_chunks = int(np.ceil(t36 / (demod_mod.K_SYM * 1.96))) + 1
+        chan_g = jax.vmap(lambda r, i: CH._channelize_block(r, i, n_ch))
 
         def body(carry, xs):
             dstate, hr, hi = carry
-            wr, wi = xs
-            yr, yi = CH._channelize_block(wr, wi, n_ch)
+            wr, wi = xs                      # (G, wide_len)
+            yr, yi = chan_g(wr, wi)          # (G, n_ch, t50)
+            yr = yr.reshape(G * n_ch, t50)
+            yi = yi.reshape(G * n_ch, t50)
             rr, ri, hr, hi = CH._resample_stream_block(yr, yi, hr, hi, t36)
             dstate, outs = demod_mod._demod_block_impl(
                 dstate, rr, ri, n_chunks, True, True)
@@ -44,10 +52,12 @@ def main():
 
         jit_step = jax.jit(step)
         rng = np.random.default_rng(0)
-        wr = jnp.asarray(rng.standard_normal((k, wide_len)).astype(np.float32))
-        wi = jnp.asarray(rng.standard_normal((k, wide_len)).astype(np.float32))
-        hist = jnp.zeros((n_ch, CH.RS_TAPS_PER_PHASE - 1), jnp.float32)
-        carry = (demod_mod.demod_init(n_ch), hist, hist)
+        wr = jnp.asarray(
+            rng.standard_normal((k, G, wide_len)).astype(np.float32))
+        wi = jnp.asarray(
+            rng.standard_normal((k, G, wide_len)).astype(np.float32))
+        hist = jnp.zeros((G * n_ch, CH.RS_TAPS_PER_PHASE - 1), jnp.float32)
+        carry = (demod_mod.demod_init(G * n_ch), hist, hist)
         carry, chk = jit_step(carry, wr, wi)
         float(chk)
         carry, chk = jit_step(carry, wr, wi)
@@ -58,18 +68,19 @@ def main():
             carry, chk = jit_step(carry, wr, wi)
             float(chk)
         dt = time.perf_counter() - t0
-        return k * advance * iters / dt / 1e6
+        return G * k * advance * iters / dt / 1e6
 
     result = None
     # t50 must map to a K_SAMP-multiple t36 (t50 * 18/25 % K_SAMP == 0)
-    for n_ch, t50, k in ((256, 6400, 8), (256, 6400, 1), (128, 6400, 8),
-                         (128, 6400, 1), (64, 6400, 1)):
+    for n_ch, t50, k, G in ((256, 6400, 64, 4), (256, 6400, 64, 1),
+                            (256, 6400, 8, 1), (256, 6400, 1, 1),
+                            (128, 6400, 8, 1), (64, 6400, 1, 1)):
         try:
-            msps = run_config(n_ch, t50, k)
-            result = dict(n_ch=n_ch, t50=t50, k=k, msps=round(msps, 3))
+            msps = run_config(n_ch, t50, k, G)
+            result = dict(n_ch=n_ch, t50=t50, k=k, G=G, msps=round(msps, 3))
             break
         except Exception as e:
-            print(f"# config ({n_ch},{t50},{k}) failed: "
+            print(f"# config ({n_ch},{t50},{k},{G}) failed: "
                   f"{type(e).__name__}: {str(e)[:160]}")
             continue
     # wideband Msamples/s at n_ch*25 kHz == n_ch/40 real-time multiplexes
@@ -80,7 +91,7 @@ def main():
         "config": result,
         "realtime_multiplexes": (round(result["msps"] * 1e6
                                        / (result["n_ch"] * 25_000), 1)
-                                 if result else 0.0),
+                                 if result else 0.0),  # of n_ch channels each
     }))
 
 
