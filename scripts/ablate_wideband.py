@@ -128,6 +128,27 @@ def main():
         carry0 = (demod_mod.demod_init(n_ch), hist, hist)
         xs_shape = (k, wide_len)
         muxes = 1
+    elif mode == "stacked_fm":
+        # frame-major cascade: channelizer emits (t50, n_ch), the superblock
+        # left-matmul resampler keeps channels on lanes, one transpose feeds
+        # the demod
+        chan_g = jax.vmap(lambda r, i: CH._channelize_block_fm(r, i, n_ch))
+
+        def body(carry, xs):
+            dstate, hr, hi = carry
+            wr, wi = xs                      # (G, wide_len)
+            yr, yi = chan_g(wr, wi)          # (G, t50, n_ch)
+            yr = jnp.moveaxis(yr, 0, 1).reshape(t50, G * n_ch)
+            yi = jnp.moveaxis(yi, 0, 1).reshape(t50, G * n_ch)
+            rr, ri, hr, hi = CH._resample_stream_block_fm(yr, yi, hr, hi,
+                                                          t36)
+            dstate, outs = demod_mod._demod_block_impl(
+                dstate, rr.T, ri.T, n_chunks, True, True)
+            return (dstate, hr, hi), outs["dist"].sum()
+        hist = jnp.zeros((CH.RS_TAPS_PER_PHASE - 1, G * n_ch), jnp.float32)
+        carry0 = (demod_mod.demod_init(G * n_ch), hist, hist)
+        xs_shape = (k, G, wide_len)
+        muxes = G
     else:  # stacked
         chan_g = jax.vmap(lambda r, i: CH._channelize_block(r, i, n_ch))
 

@@ -199,3 +199,29 @@ def test_stacked_multiplex_batching_is_exact():
         dib1, val1 = run_single(g)
         assert np.array_equal(val[g], val1), g
         assert np.array_equal(dib[g][val[g]], dib1[val1]), g
+
+
+def test_frame_major_resampler_matches_channel_major():
+    """_resample_stream_block_fm (superblock left-matmul, channels on
+    lanes) == _resample_stream_block (channel-major) across streamed
+    blocks, up to matmul summation order."""
+    C, t50, t36 = 16, 800, 576
+    pad = CH.RS_TAPS_PER_PHASE - 1
+    x = RNG.standard_normal((2, C, 3 * t50)).astype(np.float32)
+    h_cm = jnp.zeros((C, pad), jnp.float32)
+    h_fm = jnp.zeros((pad, C), jnp.float32)
+    hr_cm = hi_cm = h_cm
+    hr_fm = hi_fm = h_fm
+    for b in range(3):
+        xr = jnp.asarray(x[0, :, b * t50:(b + 1) * t50])
+        xi = jnp.asarray(x[1, :, b * t50:(b + 1) * t50])
+        yr_cm, yi_cm, hr_cm, hi_cm = CH._resample_stream_block(
+            xr, xi, hr_cm, hi_cm, t36)
+        yr_fm, yi_fm, hr_fm, hi_fm = CH._resample_stream_block_fm(
+            xr.T, xi.T, hr_fm, hi_fm, t36)
+        np.testing.assert_allclose(np.asarray(yr_fm).T, np.asarray(yr_cm),
+                                   rtol=0, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(yi_fm).T, np.asarray(yi_cm),
+                                   rtol=0, atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(hr_fm).T,
+                                      np.asarray(hr_cm))

@@ -160,3 +160,33 @@ def test_mm_pallas_channel_tiling():
                                       np.asarray(r2[2]))
         np.testing.assert_allclose(np.asarray(res[5])[:, sl],
                                    np.asarray(r2[5]), atol=1e-5)
+
+
+def test_chan_pallas_matches_xla_channelizer():
+    """Fused fold+DFT kernel (interpret) == the XLA channelizer twin."""
+    import numpy as np
+    from tetra_tpu.parallel import channelizer as CH
+    from tetra_tpu.ops import chan_pallas as CP
+
+    rng = np.random.default_rng(11)
+    for n_ch, t50 in ((16, 800), (16, 775)):
+        hop = n_ch // 2
+        L = n_ch * CH.TAPS_PER_BRANCH
+        wide_len = (t50 - 1) * hop + L
+        xr = jnp.asarray(rng.standard_normal(wide_len).astype(np.float32))
+        xi = jnp.asarray(rng.standard_normal(wide_len).astype(np.float32))
+        ref_r, ref_i = CH._channelize_block_impl(xr, xi, n_ch,
+                                                 use_pallas=False)
+        n_z = wide_len // hop
+        zr = xr[:n_z * hop].reshape(n_z, hop)
+        zi = xi[:n_z * hop].reshape(n_z, hop)
+        Wr, Wi = CH._dft_basis(n_ch)
+        F = jnp.asarray(CP._fold_weights(CH._prototype(n_ch), n_ch))
+        need = t50 + 2 * CH.TAPS_PER_BRANCH - 1
+        yr, yi = CP.fold_dft(zr[:need], zi[:need], F,
+                             jnp.asarray(Wr.T), jnp.asarray(Wi.T), n_ch,
+                             q_tile=64, interpret=True)
+        np.testing.assert_allclose(np.asarray(yr).T, np.asarray(ref_r),
+                                   rtol=0, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(yi).T, np.asarray(ref_i),
+                                   rtol=0, atol=2e-5)

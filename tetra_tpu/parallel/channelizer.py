@@ -61,8 +61,20 @@ def _dft_basis(n_ch: int) -> tuple[np.ndarray, np.ndarray]:
     return (W.real.astype(np.float32), W.imag.astype(np.float32))
 
 
-@partial(jax.jit, static_argnames=("n_ch",))
-def _channelize_block(xr, xi, n_ch: int):
+# Pallas kernel selection: None = auto (fused fold+DFT kernel on TPU
+# backends, XLA composition on CPU); set True/False to force.
+USE_PALLAS = None
+
+
+def _resolve_pallas(flag) -> bool:
+    if flag is not None:
+        return bool(flag)
+    return jax.default_backend() not in ("cpu",)
+
+
+@partial(jax.jit, static_argnames=("n_ch", "use_pallas", "frame_major"))
+def _channelize_block_impl(xr, xi, n_ch: int, use_pallas: bool = False,
+                           frame_major: bool = False):
     """(T,) wideband float pair -> (n_ch, T//(n_ch//2)) channel float pairs.
 
     2x oversampled: hop = n_ch//2.  Input must be padded so that
@@ -74,16 +86,29 @@ def _channelize_block(xr, xi, n_ch: int):
     sum of 2*TAPS_PER_BRANCH static slices of z weighted by the folded
     prototype -- no gather (this backend gathers at ~6 ns/element;
     slices/matmuls keep the wideband front-end on the TPU fast path).
+
+    use_pallas routes fold+DFT+signflip through the fused VMEM-resident
+    kernel (ops/chan_pallas.fold_dft); the XLA composition below is the
+    reference twin (interpret-mode equality in tests/test_pallas.py).
     """
     hop = n_ch // 2
     L = n_ch * TAPS_PER_BRANCH
-    h2 = _prototype(n_ch).reshape(TAPS_PER_BRANCH, 2, hop)  # [j, d, c]
     Wr, Wi = map(jnp.asarray, _dft_basis(n_ch))
     T = xr.shape[0]
     n_out = (T - L) // hop + 1
     n_z = T // hop
     zr = xr[:n_z * hop].reshape(n_z, hop)
     zi = xi[:n_z * hop].reshape(n_z, hop)
+    if use_pallas:
+        from ..ops.chan_pallas import _fold_weights, fold_dft
+        need = n_out + 2 * TAPS_PER_BRANCH - 1
+        F = jnp.asarray(_fold_weights(_prototype(n_ch), n_ch))
+        yr, yi = fold_dft(zr[:need], zi[:need], F,
+                          jnp.asarray(Wr.T), jnp.asarray(Wi.T), n_ch)
+        if frame_major:
+            return yr, yi
+        return jnp.swapaxes(yr, 0, 1), jnp.swapaxes(yi, 0, 1)
+    h2 = _prototype(n_ch).reshape(TAPS_PER_BRANCH, 2, hop)  # [j, d, c]
     acc = [[jnp.zeros((n_out, hop), xr.dtype) for _ in range(2)]
            for _ in range(2)]  # [re/im][d]
     for s in range(2 * TAPS_PER_BRANCH):
@@ -104,7 +129,20 @@ def _channelize_block(xr, xi, n_ch: int):
     signflip = jnp.where((m[:, None] * k[None, :]) % 2 == 1, -1.0, 1.0)
     yr = yr * signflip
     yi = yi * signflip
+    if frame_major:
+        return yr, yi
     return jnp.swapaxes(yr, 0, 1), jnp.swapaxes(yi, 0, 1)
+
+
+def _channelize_block(xr, xi, n_ch: int):
+    return _channelize_block_impl(xr, xi, n_ch, _resolve_pallas(USE_PALLAS))
+
+
+def _channelize_block_fm(xr, xi, n_ch: int):
+    """Frame-major variant: returns (t50, n_ch) streams, skipping the final
+    transpose so the frame-major resampler consumes them directly."""
+    return _channelize_block_impl(xr, xi, n_ch, _resolve_pallas(USE_PALLAS),
+                                  frame_major=True)
 
 
 def channelize(iq: np.ndarray, n_ch: int) -> np.ndarray:
@@ -221,6 +259,57 @@ def resample_50_to_36(iq: np.ndarray) -> np.ndarray:
 
 def resample_36_to_50(iq: np.ndarray) -> np.ndarray:
     return resample(iq, 25, 18)
+
+
+@lru_cache(maxsize=8)
+def _resamp_super_matrix(L: int, M: int, S: int) -> np.ndarray:
+    """Superblock form of _resamp_matrix for frame-major streams: S output
+    blocks as one (S*L, S*M + (B-1)*M) banded matrix, so the resampler is a
+    left-matmul with channels on the lane axis -- full MXU occupancy where
+    the channel-major form degenerates to a (.., B*M) @ (B*M, L) product
+    with N=18 lanes (~5% utilization; measured as the front-end's largest
+    remaining cost after the fold+DFT kernel)."""
+    W, B, _ = _resamp_matrix(L, M)
+    WS = np.zeros((S * L, (S + B - 1) * M), np.float32)
+    for u in range(S):
+        WS[u * L:(u + 1) * L, u * M:u * M + B * M] = W.T
+    return WS
+
+
+@partial(jax.jit, static_argnames=("t_out", "L", "M", "S"))
+def _resample_stream_block_fm(xr, xi, hr, hi, t_out: int, L: int = 18,
+                              M: int = 25, S: int = 32):
+    """Frame-major streaming resampler: xr/xi (t_in, C) NEW input rows,
+    hr/hi (RS_TAPS_PER_PHASE-1, C) carried input tail.  Same output stream
+    as _resample_stream_block up to matmul summation order (channels ride
+    the lane axis; time blocks ride the rows).  Returns (yr (t_out, C), yi,
+    hr2, hi2)."""
+    t_in = xr.shape[0]
+    assert t_out * M == t_in * L, (t_out, M, t_in, L)
+    pad = RS_TAPS_PER_PHASE - 1
+    _, B, ZF = _resamp_matrix(L, M)
+    assert B == 2, "superblock window slicing assumes B == 2"
+    n_q = t_in // M
+    while n_q % S:
+        S //= 2
+    n_super = n_q // S
+    WS = jnp.asarray(_resamp_super_matrix(L, M, S))
+    C = xr.shape[1]
+
+    def run(x, h):
+        zshape = (ZF,) + x.shape[1:]
+        xpp = jnp.concatenate([jnp.zeros(zshape, x.dtype), h, x], axis=0)
+        blocks = xpp.reshape(n_q + B - 1, M, C)
+        base = blocks[:n_super * S].reshape(n_super, S * M, C)
+        extra = blocks[S::S].reshape(n_super, (B - 1) * M, C)
+        win = jnp.concatenate([base, extra], axis=1)  # (n_super, (S+1)M, C)
+        y = jnp.einsum("ow,gwc->goc", WS, win,
+                       preferred_element_type=jnp.float32)
+        return y.reshape(t_out, C)
+
+    yr = run(xr, hr)
+    yi = run(xi, hi)
+    return yr, yi, xr[-pad:], xi[-pad:]
 
 
 @partial(jax.jit, static_argnames=("t_out", "L", "M"))
