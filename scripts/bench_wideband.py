@@ -33,17 +33,21 @@ def main():
         wide_len = (t50 - 1) * hop + L
         advance = t50 * hop
         n_chunks = int(np.ceil(t36 / (demod_mod.K_SYM * 1.96))) + 1
-        chan_g = jax.vmap(lambda r, i: CH._channelize_block(r, i, n_ch))
+        # frame-major cascade: Pallas fold+DFT kernel emits (t50, n_ch),
+        # the superblock left-matmul resampler keeps channels on lanes,
+        # one transpose feeds the demod
+        chan_g = jax.vmap(lambda r, i: CH._channelize_block_fm(r, i, n_ch))
 
         def body(carry, xs):
             dstate, hr, hi = carry
             wr, wi = xs                      # (G, wide_len)
-            yr, yi = chan_g(wr, wi)          # (G, n_ch, t50)
-            yr = yr.reshape(G * n_ch, t50)
-            yi = yi.reshape(G * n_ch, t50)
-            rr, ri, hr, hi = CH._resample_stream_block(yr, yi, hr, hi, t36)
+            yr, yi = chan_g(wr, wi)          # (G, t50, n_ch)
+            yr = jnp.moveaxis(yr, 0, 1).reshape(t50, G * n_ch)
+            yi = jnp.moveaxis(yi, 0, 1).reshape(t50, G * n_ch)
+            rr, ri, hr, hi = CH._resample_stream_block_fm(yr, yi, hr, hi,
+                                                          t36)
             dstate, outs = demod_mod._demod_block_impl(
-                dstate, rr, ri, n_chunks, True, True)
+                dstate, rr.T, ri.T, n_chunks, True, True)
             return (dstate, hr, hi), outs["dist"].sum()
 
         def step(carry, wr_k, wi_k):
@@ -56,7 +60,7 @@ def main():
             rng.standard_normal((k, G, wide_len)).astype(np.float32))
         wi = jnp.asarray(
             rng.standard_normal((k, G, wide_len)).astype(np.float32))
-        hist = jnp.zeros((G * n_ch, CH.RS_TAPS_PER_PHASE - 1), jnp.float32)
+        hist = jnp.zeros((CH.RS_TAPS_PER_PHASE - 1, G * n_ch), jnp.float32)
         carry = (demod_mod.demod_init(G * n_ch), hist, hist)
         carry, chk = jit_step(carry, wr, wi)
         float(chk)
