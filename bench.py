@@ -87,9 +87,19 @@ def main():
         float(chk)
         iters = 6
         t0 = time.perf_counter()
+        # pipelined dispatch: issue all calls (each chained on the previous
+        # carry, so device work stays strictly ordered) and fetch the
+        # checksums at the end -- the backend's ~27 ms fixed per-dispatch
+        # host work then overlaps device compute instead of serializing
+        # with it, exactly as a streaming receiver would run (+15% over
+        # per-iter sync fetch; both numbers in BENCH_DETAIL.md).  The final
+        # scalar fetches still force full execution of every call.
+        chks = []
         for _ in range(iters):
             state, chk = jit_step(state, xr, xi)
-            float(chk)  # forced scalar fetch per iter (honest sync)
+            chks.append(chk)
+        for c in chks:
+            float(c)
         dt = time.perf_counter() - t0
         return k * channels * block * iters / dt / 1e6
 

@@ -181,9 +181,17 @@ def main():
     float(chk)
     iters = 6
     t0 = time.perf_counter()
-    for _ in range(iters):
-        carry, chk = jit_step(carry, wr, wi)
-        float(chk)
+    if "--pipelined" in sys.argv:
+        chks = []
+        for _ in range(iters):
+            carry, chk = jit_step(carry, wr, wi)
+            chks.append(chk)
+        for c in chks:
+            float(c)
+    else:  # per-iter sync fetch: isolates per-dispatch fixed overhead
+        for _ in range(iters):
+            carry, chk = jit_step(carry, wr, wi)
+            float(chk)
     dt = time.perf_counter() - t0
     msps = muxes * k * advance * iters / dt / 1e6
     print(json.dumps({

@@ -68,9 +68,14 @@ def main():
         float(chk)
         iters = 6
         t0 = time.perf_counter()
+        # pipelined dispatch (see bench.py): fixed per-call host overhead
+        # overlaps device compute; final fetches force full execution
+        chks = []
         for _ in range(iters):
             carry, chk = jit_step(carry, wr, wi)
-            float(chk)
+            chks.append(chk)
+        for c in chks:
+            float(c)
         dt = time.perf_counter() - t0
         return G * k * advance * iters / dt / 1e6
 
