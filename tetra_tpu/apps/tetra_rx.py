@@ -119,27 +119,45 @@ def _ascii_constellation(re, im, size=17, half=1.8):
     return ["      |" + "".join(r) + "|" for r in rows]
 
 
+def _lamp(ok: bool) -> str:
+    """ANSI equivalent of the reference's BoxIndicator colored lamp
+    (gui_widgets.h:16-33): green/red dot."""
+    return "\x1b[32m●\x1b[0m" if ok else "\x1b[31m●\x1b[0m"
+
+
+def _quality_meter(q: float, width: int = 12) -> str:
+    """ANSI equivalent of SigQualityMeter (gui_widgets.h:35-66): a bar of
+    signal quality derived from the mean |phase error| q (0 = perfect,
+    SYNC_QUALITY_THRESHOLD = the sync gate, ~0.9 = random)."""
+    from tetra_tpu import params as P
+    frac = max(0.0, min(1.0, 1.0 - q / (2 * P.SYNC_QUALITY_THRESHOLD)))
+    fill = int(round(frac * width))
+    color = "\x1b[32m" if q < P.SYNC_QUALITY_THRESHOLD else "\x1b[31m"
+    return (color + "█" * fill + "\x1b[0m" + "░" * (width - fill))
+
+
 def _render_dashboard(rx, C, constellation=True):
     """Terminal panel with the reference status GUI's field set
-    (menuHandler, main.cpp:199-374) rendered from DisplayState."""
+    (menuHandler, main.cpp:199-374) rendered from DisplayState, with ANSI
+    lamp/meter widgets standing in for BoxIndicator/SigQualityMeter."""
     lines = ["\x1b[2J\x1b[H=== tetra_tpu receiver status ==="]
     tc_names = {0: "-", 1: "CTRL", 2: "NDB2", 3: "SYNC", 4: "VOICE"}
     for c in range(C):
         d = rx.display(c)
         lock = "LOCK" if rx.locked(c) else "----"
         q = rx.sym_quality[c]
-        qflag = "ok" if rx.quality_ok(c) else "BAD"
         slots = "/".join(tc_names.get(t, "?") for t in d.timeslot_content)
         lines.append(
-            f"ch{c:3d} [{lock}] q={q:.2f}({qflag}) "
+            f"ch{c:3d} {_lamp(rx.locked(c))}[{lock}] "
+            f"|{_quality_meter(q)}| q={q:.2f} "
             f"net {d.mcc}/{d.mnc} cc {d.cc}  "
             f"t {d.curr_hyperframe}:{d.curr_multiframe:02d}/{d.curr_frame:02d}  "
             f"dl {d.dl_freq/1e6:9.4f} MHz ul {d.ul_freq/1e6:9.4f} MHz")
         lines.append(
             f"      slots [{slots}]  usage {d.dl_usage}/{d.ul_usage}  "
             f"access {d.access1_code}{d.access1}/{d.access2_code}{d.access2}  "
-            f"crc {rx.crc_counts(c)[0]}/{rx.crc_counts(c)[1]}"
-            f"{'  CRC-FAIL' if d.last_crc_fail else ''}")
+            f"crc {_lamp(not d.last_crc_fail)} "
+            f"{rx.crc_counts(c)[0]}/{rx.crc_counts(c)[1]}")
         flags = [n for n in ("voice_service", "normal_mode", "air_encryption",
                              "sndcp_data", "circuit_data", "advanced_link")
                  if getattr(d, n)]
