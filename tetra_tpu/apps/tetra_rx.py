@@ -40,7 +40,13 @@ def load_iq(path: str) -> np.ndarray:
 
 
 def iter_blocks(args):
-    """Yield (C, block) complex64 blocks from a file or live UDP stream."""
+    """Yield (C, block) complex64 blocks from a file or live UDP stream.
+
+    In fused-wideband mode (args._fused: --wideband with the fast chain,
+    decode mode) raw 1-D wideband chunks are yielded instead and the
+    receiver runs the one-program cascade (TetraReceiver.process_wideband)
+    -- which also makes live udp: wideband input work."""
+    fused = getattr(args, "_fused", False)
     if args.input.startswith("udp:"):
         from ..runtime.iq_stream import IqStream
         stream = IqStream()
@@ -50,10 +56,15 @@ def iter_blocks(args):
         while _time.time() < t_end:
             blk = stream.read(args.block, timeout_ms=1000)
             if len(blk) == args.block:
-                yield blk[None, :]
+                yield blk if fused else blk[None, :]
         stream.stop()
         return
     iq = load_iq(args.input)
+    if fused:
+        chunk = 6400 * (args.wideband // 2)  # one cascade advance
+        for i in range(0, len(iq), chunk):
+            yield iq[i:i + chunk]
+        return
     if args.wideband:
         from ..parallel import channelizer as CH2
         ch = CH2.channelize(iq, args.wideband)
@@ -261,6 +272,11 @@ def main(argv=None):
                        "wideband": args.wideband,
                        "status_every": args.status_every}, f, indent=1)
 
+    # fused-wideband: channelize+resample+demod as ONE device program per
+    # block inside the receiver (streaming, live-input capable); the split
+    # host path remains for the ff/exact chains and mode 1
+    args._fused = bool(args.wideband) and args.demod == "fast" \
+        and args.mode == 0
     live = args.input.startswith("udp:")
     blocks = None if live else list(iter_blocks(args))
 
@@ -286,6 +302,8 @@ def main(argv=None):
     voice = VoicePipeline() if (args.voice and not pooled) else None
     rx = None
     status_blocks = max(1, int(args.status_every * P.SAMPLE_RATE / args.block))
+    if args._fused:  # fused blocks advance 6400*hop wideband samples
+        status_blocks = max(1, int(args.status_every * 25_000 / 6400))
     audio_out = None
     if args.voice and args.audio_rate:
         from ..voice.audio_out import AudioOutput
@@ -320,9 +338,10 @@ def main(argv=None):
         else:
             pcm.tofile(pcm_out)
     C = 1
+    wb = args.wideband if args._fused else 0
     for i, blk in enumerate(blocks or iter_blocks(args)):
         if rx is None:
-            C = blk.shape[0]
+            C = args.wideband if args._fused else blk.shape[0]
             # the event log's only CLI consumer is -v: leave it off
             # otherwise (headless decode skips event/LLC/MLE bookkeeping
             # and the log cannot grow unboundedly on long captures)
@@ -331,10 +350,10 @@ def main(argv=None):
                                    mac_workers=args.mac_workers,
                                    voice=bool(args.voice),
                                    keystore=args.keystore,
-                                   events=args.verbose)
+                                   events=args.verbose, wideband=wb)
             else:
                 rx = TetraReceiver(C, voice_cb=voice, mode=args.demod,
-                                   events=args.verbose)
+                                   events=args.verbose, wideband=wb)
             if args.keystore and not pooled:
                 from ..crypto.state import CryptoState, KeyStore
                 for m in rx.mac:
@@ -348,7 +367,10 @@ def main(argv=None):
                 import os as _os
                 if _os.path.exists(args.state):
                     rx.load_state(args.state)
-        rx.process(blk)
+        if args._fused:
+            rx.process_wideband(blk)
+        else:
+            rx.process(blk)
         if args.verbose:
             if i == 0:
                 ev_seen = [0] * C

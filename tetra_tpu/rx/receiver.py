@@ -15,16 +15,37 @@ import numpy as np
 from . import demod as demod_exact
 from . import demod_fast
 from . import demod_ff
+from functools import partial
+
+import jax
+
 from .burst_sync import BurstSync
 from .lower_mac import LowerMac, process_bursts_multi
 from .tdma import PhyState
+
+
+@partial(jax.jit, static_argnames=("n_ch", "t36", "n_chunks", "up", "upmm"))
+def _wideband_step(dstate, wr, wi, hr, hi, n_ch: int, t36: int,
+                   n_chunks: int, up: bool, upmm: bool):
+    """Fused wideband block: channelize (frame-major) -> streaming 18/25
+    resample -> chunked demod, one device program (the bench_wideband
+    cascade as the production receiver path)."""
+    from ..parallel import channelizer as CH
+    from . import demod_fast
+
+    yr, yi = CH._channelize_block_impl(
+        wr, wi, n_ch, CH._resolve_pallas(CH.USE_PALLAS), frame_major=True)
+    rr, ri, hr, hi = CH._resample_stream_block_fm(yr, yi, hr, hi, t36)
+    dstate, outs = demod_fast._demod_block_impl(dstate, rr.T, ri.T,
+                                                n_chunks, up, upmm)
+    return dstate, outs, hr, hi
 
 
 class TetraReceiver:
     def __init__(self, channels: int = 1, voice_cb=None, mode: str = "fast",
                  device_acquire: bool | None = None, mac_workers: int = 0,
                  voice: bool = False, keystore: str | None = None,
-                 events: bool = True):
+                 events: bool = True, wideband: int = 0, t50: int = 6400):
         """mode: "fast" = chunked-update production loops (demod_fast);
         "ff" = feedforward block receiver (demod_ff: estimate-then-apply,
         no feedback loops -- best quality floors and instant coarse-CFO
@@ -46,7 +67,18 @@ class TetraReceiver:
         events: keep the per-channel parsed-PDU event log (UpperMac.events).
         Disable for headless/bulk decode -- skips event construction and
         LLC/MLE identification whose only output is that log, and stops the
-        log growing unboundedly in long runs."""
+        log growing unboundedly in long runs.
+
+        wideband: N > 0 makes this an N x 25 kHz wideband receiver: feed
+        raw antenna IQ at N*25 kHz through process_wideband() and the
+        channelizer + 18/25 resampler + demod run fused in ONE device
+        program per block (the bench_wideband cascade), with the
+        resampler's per-channel history carried in the receiver state for
+        exact stream continuity.  channels is forced to N.  t50 sets the
+        per-channel 50 kHz samples per internal block (t50*18/25 must be a
+        multiple of the demod chunk)."""
+        if wideband:
+            channels = wideband
         self.channels = channels
         self.demod = {"fast": demod_fast, "ff": demod_ff}.get(
             mode, demod_exact)
@@ -70,6 +102,26 @@ class TetraReceiver:
                 for m in self.mac:
                     m.voice_cb = voice_cb
         self.sym_quality = np.zeros(channels, np.float32)
+        self.wideband = wideband
+        if wideband:
+            from ..parallel import channelizer as CH
+            assert mode in ("fast",), "wideband fusion uses the fast chain"
+            t36 = t50 * 18 // 25
+            assert t50 % 25 == 0 and t36 % self.demod.K_SAMP == 0, (
+                "t50*18/25 must be a multiple of the demod chunk")
+            hop = wideband // 2
+            L = wideband * CH.TAPS_PER_BRANCH
+            pad = CH.RS_TAPS_PER_PHASE - 1
+            self._wb = dict(
+                t50=t50, t36=t36, hop=hop, L=L,
+                wide_len=(t50 - 1) * hop + L, advance=t50 * hop,
+                n_chunks=int(np.ceil(t36 / (self.demod.K_SYM * 1.96))) + 1,
+                buf=np.zeros(0, np.complex64),
+                hist_r=jnp.zeros((pad, channels), jnp.float32),
+                hist_i=jnp.zeros((pad, channels), jnp.float32))
+            # the ff-style coarse-CFO preset needs per-channel IQ the fused
+            # program never exposes; the FLL pulls in from zero instead
+            self._cfo_primed = True
 
     @staticmethod
     def coarse_cfo(iq: np.ndarray) -> np.ndarray:
@@ -104,6 +156,31 @@ class TetraReceiver:
                 est = self.coarse_cfo(np.asarray(iq, np.complex64))
                 self.state = self.state._replace(fll_freq=jnp.asarray(est))
         self.state, outs = self.demod.demod_block(self.state, iq)
+        self._post_demod(outs)
+
+    def process_wideband(self, raw: np.ndarray) -> None:
+        """Feed raw wideband IQ at N*25 kHz (any length; buffered
+        internally).  Each full window runs channelize -> resample -> demod
+        as ONE device program (see __init__ wideband)."""
+        assert self.wideband, "construct with wideband=N"
+        wb = self._wb
+        wb["buf"] = np.concatenate([wb["buf"],
+                                    np.asarray(raw, np.complex64)])
+        while len(wb["buf"]) >= wb["wide_len"]:
+            win = wb["buf"][:wb["wide_len"]]
+            wb["buf"] = wb["buf"][wb["advance"]:]
+            wr = jnp.asarray(np.ascontiguousarray(win.real, np.float32))
+            wi = jnp.asarray(np.ascontiguousarray(win.imag, np.float32))
+            (self.state, outs, wb["hist_r"], wb["hist_i"]) = _wideband_step(
+                self.state, wr, wi, wb["hist_r"], wb["hist_i"],
+                self.wideband, wb["t36"], wb["n_chunks"],
+                self.demod._resolve_pallas(self.demod.USE_PALLAS),
+                self.demod._resolve_pallas(self.demod.USE_PALLAS_MM))
+            self._post_demod(outs)
+
+    def _post_demod(self, outs) -> None:
+        """Shared bit pipeline: demod outputs -> burst sync -> batched
+        FEC/MAC dispatch."""
         dibits = np.asarray(outs["dibits"])
         valid = np.asarray(outs["valid"])
         dist = np.asarray(outs["dist"])
@@ -211,6 +288,10 @@ class TetraReceiver:
                 m.cell.mcc, m.cell.mnc, m.cell.colour_code,
                 m.cell.scramb_init, m.crc_oks, m.crc_fails], np.int64)
         data["sym_quality"] = self.sym_quality
+        if self.wideband:
+            data["wb_buf"] = self._wb["buf"]
+            data["wb_hist_r"] = np.asarray(self._wb["hist_r"])
+            data["wb_hist_i"] = np.asarray(self._wb["hist_i"])
         np.savez(path, **data)
 
     def load_state(self, path: str) -> None:
@@ -237,5 +318,9 @@ class TetraReceiver:
             d = m.upper.display
             d.mcc, d.mnc, d.cc = m.cell.mcc, m.cell.mnc, m.cell.colour_code
         self.sym_quality = z["sym_quality"]
+        if self.wideband and "wb_hist_r" in z.files:
+            self._wb["buf"] = z["wb_buf"].astype(np.complex64)
+            self._wb["hist_r"] = jnp.asarray(z["wb_hist_r"])
+            self._wb["hist_i"] = jnp.asarray(z["wb_hist_i"])
         # restored FLL state must not be clobbered by the coarse-CFO preset
         self._cfo_primed = True
