@@ -376,3 +376,24 @@ def test_voice_pipeline_half_slot_flow():
     assert audio.shape == (480,)
     assert (audio[:240] == 0).all()
     assert vp.slots_decoded == 1 and vp.bad_frames == 0
+
+
+def test_audio_output_rate_change():
+    """AudioOutput handles runtime sample-rate changes (the reference's
+    sampleRateChangeHandler): lengths and silence padding track the new
+    rate."""
+    from tetra_tpu.voice.audio_out import AudioOutput
+
+    ao = AudioOutput(out_rate=48_000)
+    pcm = (np.sin(2 * np.pi * 440 / 8000 * np.arange(480))
+           * 8000).astype(np.int16)
+    y = ao.render(pcm)
+    # block resampler trims the (taps-1)-sample transient
+    assert len(y) == (480 - 24) * 6 * 2   # 8k -> 48k, stereo interleaved
+    assert len(ao.silence(480)) == 480 * 6 * 2
+    ao.set_out_rate(16_000)
+    y = ao.render(pcm)
+    assert len(y) == (480 - 24) * 2 * 2
+    assert ao.out_rate == 16_000
+    # stereo interleave duplicates channels
+    assert np.array_equal(y[0::2], y[1::2])

@@ -17,8 +17,16 @@ from ..parallel.channelizer import resample
 
 class AudioOutput:
     def __init__(self, out_rate: int = 48_000, in_rate: int = 8_000):
-        g = gcd(out_rate, in_rate)
-        self.L, self.M = out_rate // g, in_rate // g
+        self.in_rate = in_rate
+        self.set_out_rate(out_rate)
+
+    def set_out_rate(self, out_rate: int) -> None:
+        """Runtime sample-rate change (the reference's
+        sampleRateChangeHandler, main.cpp:416-422: resampler stop ->
+        setOutSamplerate -> start; the stateless block resampler here has
+        no stream state to reset)."""
+        g = gcd(out_rate, self.in_rate)
+        self.L, self.M = out_rate // g, self.in_rate // g
         self.out_rate = out_rate
 
     def render(self, pcm8k: np.ndarray, stereo: bool = True) -> np.ndarray:
