@@ -20,7 +20,8 @@ import sys
 import numpy as np
 
 
-def run_point(snr_db, cfo_hz, wideband=False, n_slots=240, seed=7):
+def run_point(snr_db, cfo_hz, wideband=False, n_slots=240, seed=7,
+              fused=False):
     import jax
     import jax.numpy as jnp
 
@@ -45,9 +46,15 @@ def run_point(snr_db, cfo_hz, wideband=False, n_slots=240, seed=7):
             jnp.asarray(wide[None]), jax.random.key(seed),
             snr_db=snr_db - 10 * np.log10(N / 2), cfo_hz=cfo_hz,
             sample_rate=N * 25_000.0))[0]
-        y = CH.resample_50_to_36(CH.channelize(wide, N))[k][None]
-        ch_idx = 0
-        rx = TetraReceiver(1)
+        if fused:
+            # the production fused cascade (TetraReceiver.process_wideband)
+            ch_idx = k
+            rx = TetraReceiver(wideband=N, t50=1600)
+            y = None
+        else:
+            y = CH.resample_50_to_36(CH.channelize(wide, N))[k][None]
+            ch_idx = 0
+            rx = TetraReceiver(1)
     else:
         y = np.asarray(channel(jnp.asarray(x[None]), jax.random.key(seed),
                                snr_db=snr_db, cfo_hz=cfo_hz,
@@ -68,9 +75,14 @@ def run_point(snr_db, cfo_hz, wideband=False, n_slots=240, seed=7):
         return orig(items, decoded, bursts)
 
     m._dispatch_decoded = spy
-    T = 4096
-    for i in range(y.shape[1] // T):
-        rx.process(y[:, i * T:(i + 1) * T])
+    if y is None:
+        step = 123_457   # deliberately unaligned raw feeds
+        for i in range(0, len(wide), step):
+            rx.process_wideband(wide[i:i + step])
+    else:
+        T = 4096
+        for i in range(y.shape[1] // T):
+            rx.process(y[:, i * T:(i + 1) * T])
 
     tx_by_time = {(r.time.mn, r.time.fn, r.time.tn): i
                   for i, r in enumerate(records)}
@@ -99,10 +111,10 @@ def run_point(snr_db, cfo_hz, wideband=False, n_slots=240, seed=7):
 def main():
     print(f"{'path':<10} {'SNR dB':>6} {'lock':>5} {'slots':>5} "
           f"{'pre-FEC BER':>12} {'CRC-ok':>7}")
-    for wideband in (False, True):
-        name = "wideband" if wideband else "narrow"
+    for wideband, fused in ((False, False), (True, False), (True, True)):
+        name = ("wb-fused" if fused else "wideband") if wideband else "narrow"
         for snr in (8, 10, 12, 14, 16, 18, 20, 25):
-            r = run_point(float(snr), 300.0, wideband=wideband)
+            r = run_point(float(snr), 300.0, wideband=wideband, fused=fused)
             ber = ("-" if r["ber"] != r["ber"] or r["matched_slots"] == 0
                    else f"{r['ber']:.2e}")
             print(f"{name:<10} {snr:>6} {str(r['locked']):>5} "
