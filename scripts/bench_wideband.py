@@ -33,19 +33,20 @@ def main():
         wide_len = (t50 - 1) * hop + L
         advance = t50 * hop
         n_chunks = int(np.ceil(t36 / (demod_mod.K_SYM * 1.96))) + 1
-        # frame-major cascade: Pallas fold+DFT kernel emits (t50, n_ch),
-        # the superblock left-matmul resampler keeps channels on lanes,
-        # one transpose feeds the demod
-        chan_g = jax.vmap(lambda r, i: CH._channelize_block_fm(r, i, n_ch))
+        # one-kernel front-end per mux (fold+DFT+sign flip+resample fused,
+        # ops/chan_pallas.fold_dft_resample via CH._front_end_block), then
+        # the demod at C = G*n_ch
+        import functools
+        fe = functools.partial(CH._front_end_block, n_ch=n_ch, t36=t36,
+                               use_pallas=CH._resolve_pallas(CH.USE_PALLAS))
+        fe_g = jax.vmap(lambda r, i, hr, hi: fe(r, i, hr, hi))
 
         def body(carry, xs):
-            dstate, hr, hi = carry
+            dstate, hr, hi = carry           # hists: (G, pad, n_ch)
             wr, wi = xs                      # (G, wide_len)
-            yr, yi = chan_g(wr, wi)          # (G, t50, n_ch)
-            yr = jnp.moveaxis(yr, 0, 1).reshape(t50, G * n_ch)
-            yi = jnp.moveaxis(yi, 0, 1).reshape(t50, G * n_ch)
-            rr, ri, hr, hi = CH._resample_stream_block_fm(yr, yi, hr, hi,
-                                                          t36)
+            rr, ri, hr, hi = fe_g(wr, wi, hr, hi)   # (G, t36, n_ch)
+            rr = jnp.moveaxis(rr, 0, 1).reshape(t36, G * n_ch)
+            ri = jnp.moveaxis(ri, 0, 1).reshape(t36, G * n_ch)
             dstate, outs = demod_mod._demod_block_impl(
                 dstate, rr.T, ri.T, n_chunks, True, True)
             return (dstate, hr, hi), outs["dist"].sum()
@@ -60,7 +61,7 @@ def main():
             rng.standard_normal((k, G, wide_len)).astype(np.float32))
         wi = jnp.asarray(
             rng.standard_normal((k, G, wide_len)).astype(np.float32))
-        hist = jnp.zeros((CH.RS_TAPS_PER_PHASE - 1, G * n_ch), jnp.float32)
+        hist = jnp.zeros((G, CH.RS_TAPS_PER_PHASE - 1, n_ch), jnp.float32)
         carry = (demod_mod.demod_init(G * n_ch), hist, hist)
         carry, chk = jit_step(carry, wr, wi)
         float(chk)

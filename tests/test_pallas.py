@@ -190,3 +190,53 @@ def test_chan_pallas_matches_xla_channelizer():
                                    rtol=0, atol=2e-5)
         np.testing.assert_allclose(np.asarray(yi).T, np.asarray(ref_i),
                                    rtol=0, atol=2e-5)
+
+
+def test_chan_pallas_fused_resample_matches_xla():
+    """fold_dft_resample (interpret): the single-kernel front-end ==
+    XLA channelize (frame-major) + streaming superblock resample, across
+    streamed blocks (halo continuity across blocks AND grid tiles)."""
+    import numpy as np
+    from tetra_tpu.parallel import channelizer as CH
+    from tetra_tpu.ops import chan_pallas as CP
+
+    rng = np.random.default_rng(21)
+    n_ch, t50 = 16, 1600            # 2 grid tiles of 800
+    t36 = t50 * 18 // 25
+    hop = n_ch // 2
+    L = n_ch * CH.TAPS_PER_BRANCH
+    wide_len = (t50 - 1) * hop + L
+    advance = t50 * hop
+    pad = CH.RS_TAPS_PER_PHASE - 1
+    raw = rng.standard_normal((2, 2 * advance + wide_len - advance)
+                              ).astype(np.float32)
+    Wr, Wi = CH._dft_basis(n_ch)
+    F = jnp.asarray(CP._fold_weights(CH._prototype(n_ch), n_ch))
+    WS = jnp.asarray(CH._resamp_super_matrix(18, 25, 32))
+    hr_k = hi_k = jnp.zeros((pad, n_ch), jnp.float32)
+    hr_x = hi_x = jnp.zeros((pad, n_ch), jnp.float32)
+    for b in range(2):
+        win = raw[:, b * advance:b * advance + wide_len]
+        xr, xi = jnp.asarray(win[0]), jnp.asarray(win[1])
+        # XLA composition
+        yr, yi = CH._channelize_block_impl(xr, xi, n_ch, use_pallas=False,
+                                           frame_major=True)
+        rr_x, ri_x, hr_x, hi_x = CH._resample_stream_block_fm(
+            yr, yi, hr_x, hi_x, t36)
+        # fused kernel (interpret)
+        n_z = wide_len // hop
+        zr = xr[:n_z * hop].reshape(n_z, hop)
+        zi = xi[:n_z * hop].reshape(n_z, hop)
+        need = t50 + 2 * CH.TAPS_PER_BRANCH - 1
+        zf = jnp.zeros((2, n_ch), jnp.float32)
+        rr_k, ri_k, tr, ti = CP.fold_dft_resample(
+            zr[:need], zi[:need], F, jnp.asarray(Wr.T), jnp.asarray(Wi.T),
+            WS, jnp.concatenate([zf, hr_k]), jnp.concatenate([zf, hi_k]),
+            n_ch, t36, q_tile=800, interpret=True)
+        hr_k, hi_k = tr[2:], ti[2:]
+        np.testing.assert_allclose(np.asarray(rr_k), np.asarray(rr_x),
+                                   rtol=0, atol=3e-5, err_msg=str(b))
+        np.testing.assert_allclose(np.asarray(ri_k), np.asarray(ri_x),
+                                   rtol=0, atol=3e-5, err_msg=str(b))
+        np.testing.assert_allclose(np.asarray(hr_k), np.asarray(hr_x),
+                                   rtol=0, atol=2e-5, err_msg=str(b))

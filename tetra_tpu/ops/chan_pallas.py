@@ -17,6 +17,14 @@ block index so Mosaic fetches it once.
 Semantics are the reference channelizer's exactly (same fold order, same
 DFT basis, same sign flip); tests/test_pallas.py checks interpret-mode
 equality against the XLA twin.
+
+Compiled-TPU numerics note: this backend runs every f32 dot (XLA and
+Mosaic alike) at bf16-class precision, so compiled outputs of any
+dot-containing stage sit ~4e-3 relative from float64 truth and two
+lowerings of the same math can differ ~2e-3 from each other (the
+elementwise fold is exact f32).  Cross-path comparisons on TPU must be
+decode-level, not elementwise (CLAUDE.md); interpret mode remains the
+exact-semantics oracle.
 """
 
 from __future__ import annotations
@@ -62,6 +70,101 @@ def _kernel(n_s: int, q_tile: int,
     flip = (1 - 2 * (m_par * k_par)).astype(jnp.float32)
     yr_ref[...] = yr * flip
     yi_ref[...] = yi * flip
+
+
+def _kernel_rs(n_s: int, q_tile: int, s_l: int, s_m: int,
+               zr_ref, zi_ref, f_ref, wr_ref, wi_ref, ws_ref,
+               hd_r_ref, hd_i_ref, yr_ref, yi_ref, tr_ref, ti_ref,
+               cr_ref, ci_ref):
+    """fold + DFT + sign flip + fused 18/25 polyphase resample.
+
+    Per sequential grid step: produce one q_tile-frame 50 kHz tile, prepend
+    the carried 25-row halo (cr/ci scratch; seeded from the hd head refs =
+    [ZF zeros | stream history] on step 0), left-multiply by the banded
+    superblock matrix ws (s_l, q_tile + s_m) to emit the s_l-row 36 kHz
+    tile, and carry the tile's last s_m rows.  tr/ti accumulate the final
+    halo (the next block's stream history) -- rewritten every step with a
+    constant output index, so the last step's value lands."""
+    q0 = pl.program_id(0) * q_tile
+    hop = zr_ref.shape[1]
+    accs = []
+    for z_ref in (zr_ref, zi_ref):
+        acc = [jnp.zeros((q_tile, hop), jnp.float32) for _ in range(2)]
+        for s in range(n_s):
+            w = f_ref[s, :][None, :]
+            zs = z_ref[pl.ds(q0 + s, q_tile), :]
+            acc[s % 2] = acc[s % 2] + zs * w
+        accs.append(jnp.concatenate(acc, axis=1))
+    fr, fi = accs
+    yr = jnp.dot(fr, wr_ref[...], preferred_element_type=jnp.float32) \
+        - jnp.dot(fi, wi_ref[...], preferred_element_type=jnp.float32)
+    yi = jnp.dot(fr, wi_ref[...], preferred_element_type=jnp.float32) \
+        + jnp.dot(fi, wr_ref[...], preferred_element_type=jnp.float32)
+    n_ch = yr.shape[1]
+    m_par = ((jax.lax.broadcasted_iota(jnp.int32, (q_tile, 1), 0) + q0) % 2)
+    k_par = jax.lax.broadcasted_iota(jnp.int32, (1, n_ch), 1) % 2
+    flip = (1 - 2 * (m_par * k_par)).astype(jnp.float32)
+    yr = yr * flip
+    yi = yi * flip
+
+    @pl.when(pl.program_id(0) == 0)
+    def _seed():
+        cr_ref[...] = hd_r_ref[...]
+        ci_ref[...] = hd_i_ref[...]
+
+    for y, c_ref, out_ref, t_ref in ((yr, cr_ref, yr_ref, tr_ref),
+                                     (yi, ci_ref, yi_ref, ti_ref)):
+        win = jnp.concatenate([c_ref[...], y], axis=0)  # (s_m + Q, n_ch)
+        out_ref[...] = jnp.dot(ws_ref[...], win,
+                               preferred_element_type=jnp.float32)
+        c_ref[...] = y[q_tile - s_m:, :]
+        t_ref[...] = y[q_tile - s_m:, :]
+
+
+@partial(jax.jit, static_argnames=("n_ch", "t36", "q_tile", "interpret"))
+def fold_dft_resample(zr, zi, F, wr_t, wi_t, ws, hd_r, hd_i,
+                      n_ch: int, t36: int, q_tile: int = 800,
+                      interpret: bool = False):
+    """Whole wideband front-end in ONE kernel: polyphase fold, DFT, sign
+    flip, and the streaming 18/25 superblock resample.
+
+    zr/zi as fold_dft; ws: the (18*q_tile/25, q_tile + 25) superblock
+    resampling matrix; hd_r/hd_i: (25, n_ch) resampler window head
+    ([ZF zeros | 23-row stream history]).  Returns frame-major
+    (t36, n_ch) yr, yi and the (25, n_ch) tails whose rows [ZF:] are the
+    next block's stream history.  Requires t50 % q_tile == 0 and
+    q_tile % 25 == 0."""
+    n_s = F.shape[0]
+    n_out = zr.shape[0] - (n_s - 1)          # t50
+    assert n_out % q_tile == 0 and q_tile % 25 == 0, (n_out, q_tile)
+    s_m = 25
+    s_l = q_tile * 18 // 25
+    assert s_l * (n_out // q_tile) == t36
+    grid = (n_out // q_tile,)
+    whole = pl.BlockSpec(zr.shape, lambda q: (0, 0), memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec(F.shape, lambda q: (0, 0), memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((n_ch, n_ch), lambda q: (0, 0),
+                         memory_space=pltpu.VMEM)
+    wsspec = pl.BlockSpec(ws.shape, lambda q: (0, 0),
+                          memory_space=pltpu.VMEM)
+    hdspec = pl.BlockSpec((s_m, n_ch), lambda q: (0, 0),
+                          memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((s_l, n_ch), lambda q: (q, 0),
+                       memory_space=pltpu.VMEM)
+    tail = pl.BlockSpec((s_m, n_ch), lambda q: (0, 0),
+                        memory_space=pltpu.VMEM)
+    yr, yi, tr, ti = pl.pallas_call(
+        partial(_kernel_rs, n_s, q_tile, s_l, s_m),
+        grid=grid,
+        in_specs=[whole, whole, fspec, wspec, wspec, wsspec, hdspec, hdspec],
+        out_specs=[out, out, tail, tail],
+        out_shape=[jax.ShapeDtypeStruct((t36, n_ch), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((s_m, n_ch), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((s_m, n_ch), jnp.float32),
+                        pltpu.VMEM((s_m, n_ch), jnp.float32)],
+        interpret=interpret,
+    )(zr, zi, F, wr_t, wi_t, ws, hd_r, hd_i)
+    return yr, yi, tr, ti
 
 
 @partial(jax.jit, static_argnames=("n_ch", "q_tile", "interpret"))

@@ -138,6 +138,46 @@ def _channelize_block(xr, xi, n_ch: int):
     return _channelize_block_impl(xr, xi, n_ch, _resolve_pallas(USE_PALLAS))
 
 
+@partial(jax.jit, static_argnames=("n_ch", "t36", "use_pallas"))
+def _front_end_block(xr, xi, hr, hi, n_ch: int, t36: int,
+                     use_pallas: bool = False):
+    """Whole wideband front-end for one block: channelize + streaming 18/25
+    resample, frame-major.  xr/xi: (wide_len,) wideband rows; hr/hi:
+    (RS_TAPS_PER_PHASE-1, n_ch) stream history.  Returns (rr (t36, n_ch),
+    ri, hr2, hi2).
+
+    On the Pallas path the fold, DFT, sign flip AND the superblock
+    resample run as ONE kernel (ops/chan_pallas.fold_dft_resample) with
+    the 50 kHz stream never leaving VMEM; otherwise the XLA twins compose.
+    """
+    hop = n_ch // 2
+    L = n_ch * TAPS_PER_BRANCH
+    T = xr.shape[0]
+    n_out = (T - L) // hop + 1
+    q_tile = 800
+    if use_pallas and n_out % q_tile == 0 and t36 * 25 == n_out * 18:
+        from ..ops.chan_pallas import _fold_weights, fold_dft_resample
+        Wr, Wi = map(jnp.asarray, _dft_basis(n_ch))
+        n_z = T // hop
+        zr = xr[:n_z * hop].reshape(n_z, hop)
+        zi = xi[:n_z * hop].reshape(n_z, hop)
+        need = n_out + 2 * TAPS_PER_BRANCH - 1
+        F = jnp.asarray(_fold_weights(_prototype(n_ch), n_ch))
+        WS = jnp.asarray(_resamp_super_matrix(18, 25, q_tile // 25))
+        pad = RS_TAPS_PER_PHASE - 1
+        _, _, ZF = _resamp_matrix(18, 25)      # head = [ZF zeros | history]
+        zf = jnp.zeros((ZF,) + hr.shape[1:], hr.dtype)
+        hd_r = jnp.concatenate([zf, hr], axis=0)
+        hd_i = jnp.concatenate([zf, hi], axis=0)
+        rr, ri, tr, ti = fold_dft_resample(
+            zr[:need], zi[:need], F, jnp.asarray(Wr.T), jnp.asarray(Wi.T),
+            WS, hd_r, hd_i, n_ch, t36, q_tile=q_tile)
+        return rr, ri, tr[25 - pad:], ti[25 - pad:]
+    yr, yi = _channelize_block_impl(xr, xi, n_ch, use_pallas,
+                                    frame_major=True)
+    return _resample_stream_block_fm(yr, yi, hr, hi, t36)
+
+
 def _channelize_block_fm(xr, xi, n_ch: int):
     """Frame-major variant: returns (t50, n_ch) streams, skipping the final
     transpose so the frame-major resampler consumes them directly."""

@@ -33,9 +33,8 @@ def _wideband_step(dstate, wr, wi, hr, hi, n_ch: int, t36: int,
     from ..parallel import channelizer as CH
     from . import demod_fast
 
-    yr, yi = CH._channelize_block_impl(
-        wr, wi, n_ch, CH._resolve_pallas(CH.USE_PALLAS), frame_major=True)
-    rr, ri, hr, hi = CH._resample_stream_block_fm(yr, yi, hr, hi, t36)
+    rr, ri, hr, hi = CH._front_end_block(wr, wi, hr, hi, n_ch, t36,
+                                         CH._resolve_pallas(CH.USE_PALLAS))
     dstate, outs = demod_fast._demod_block_impl(dstate, rr.T, ri.T,
                                                 n_chunks, up, upmm)
     return dstate, outs, hr, hi
