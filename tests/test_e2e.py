@@ -79,6 +79,44 @@ def test_bit_level_sysinfo_and_aach():
     assert not d.migration_supported and not d.never_minimum_mode
 
 
+def test_bit_level_aach_survives_3bit_bbk_errors():
+    """Every BBK (AACH) field takes 3 bit errors and the MAC stack must be
+    indistinguishable from the clean run: the ML RM(30,14) decode corrects
+    up to 3 errors (d_min = 8), where the reference consumes the AACH
+    unverified ("FIXME: RM3014-decode", tetra_lower_mac.c:231) and a
+    parity-only gate would drop every corrupted block."""
+    n_slots = 170
+    bits, records = cell.downlink_bits(CFG, n_slots, start=START.copy())
+    corrupted = bits.copy()
+    for s, rec in enumerate(records):
+        b = s * P.BITS_PER_TS
+        if rec.kind == "sync":
+            for off in (3, 11, 27):
+                corrupted[b + P.SB_BBK_OFFSET + off] ^= 1
+        else:
+            for off in (P.NDB_BBK1_OFFSET + 2, P.NDB_BBK1_OFFSET + 9,
+                        P.NDB_BBK2_OFFSET + 5):
+                corrupted[b + off] ^= 1
+
+    def run(stream):
+        phy = PhyState()
+        sync = BurstSync(phy=phy)
+        mac = LowerMac(phy=phy)
+        for i in range(0, len(stream), 510 * 4):
+            mac.process_bursts(sync.feed(stream[i:i + 510 * 4]))
+        return sync, mac
+
+    s_clean, m_clean = run(bits)
+    s_bad, m_bad = run(corrupted)
+    assert s_bad.state == RX_LOCKED and s_bad.lock_losses == 0
+    # block accounting identical to the clean run: every corrupted AACH was
+    # repaired and accepted, nothing else was disturbed
+    assert (m_bad.crc_oks, m_bad.crc_fails) == (m_clean.crc_oks,
+                                                m_clean.crc_fails)
+    d = m_bad.upper.display
+    assert d.dl_usage == 2 and d.ul_usage == 0
+
+
 def test_bit_level_tdma_time_tracking():
     sync, mac, records, _ = run_bit_level()
     # once the SYNC PDU has re-synchronized the shared PHY time, the burst

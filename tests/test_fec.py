@@ -137,13 +137,23 @@ def test_scrambler_self_inverse_and_init():
     assert (init >> 22) & 0x3FF == 262
 
 
-def test_rm3014_roundtrip_and_error_detect():
+def test_rm3014_roundtrip_corrects_3_rejects_4():
+    # pin the design assumption of rx_fec.rm3014_decode: d_min = 8
+    cb = rx_fec._rm_codebook_pm1()          # (30, 16384) ±1
+    agree = (cb[:, :1] * cb[:, 1:]).sum(axis=0)   # vs the all-zero word
+    assert (30 - agree.max()) / 2 == 8      # linear code: weights = distances
     bits = RNG.integers(0, 2, 14).astype(np.uint8)
     coded = fec_enc.rm3014_encode(bits)
-    info, ok = rx_fec.rm3014_decode(jnp.asarray(coded[None]))
-    assert (np.asarray(info)[0] == bits).all() and np.asarray(ok)[0]
+    # 0..3 errors: corrected to the exact info word and accepted
+    for nerr in range(4):
+        bad = coded.copy()
+        pos = RNG.choice(30, nerr, replace=False)
+        bad[pos] ^= 1
+        info, ok = rx_fec.rm3014_decode(jnp.asarray(bad[None]))
+        assert (np.asarray(info)[0] == bits).all() and np.asarray(ok)[0], nerr
+    # 4 errors: always rejected (nearest codeword is at distance >= 4)
     bad = coded.copy()
-    bad[20] ^= 1
+    bad[RNG.choice(30, 4, replace=False)] ^= 1
     _, ok = rx_fec.rm3014_decode(jnp.asarray(bad[None]))
     assert not np.asarray(ok)[0]
 

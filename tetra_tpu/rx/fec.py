@@ -117,17 +117,39 @@ def crc16_check(bits: jnp.ndarray) -> jnp.ndarray:
 _RM_FULL = np.concatenate([np.eye(14, dtype=np.uint8), P.RM3014_PARITY], axis=1)
 
 
-def rm3014_decode(bits30: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(..., 30) coded bits -> ((..., 14) info bits, (...,) parity_ok).
+@lru_cache(maxsize=1)
+def _rm_codebook_pm1() -> np.ndarray:
+    """(30, 16384) ±1 image of every RM(30,14) codeword, column i encoding
+    info word i (MSB-first).  The measured minimum distance of the code is
+    8 (tests assert it), so nearest-codeword decoding corrects any <= 3 bit
+    errors unambiguously."""
+    info = ((np.arange(1 << 14)[:, None] >> np.arange(13, -1, -1)) & 1)
+    cw = np.concatenate([info, (info @ P.RM3014_PARITY) % 2], axis=1)
+    return np.ascontiguousarray((1.0 - 2.0 * cw).T.astype(np.float32))
 
-    The reference truncates without checking ("FIXME: RM3014-decode",
-    tetra_lower_mac.c:231); we additionally recompute the parity so AACH
-    blocks can be gated like CRC blocks.
+
+def rm3014_decode(bits30: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(..., 30) coded bits -> ((..., 14) info bits, (...,) ok).
+
+    Maximum-likelihood nearest-codeword decode: one (..., 30) @ (30, 16384)
+    ±1 correlation on the MXU against the full codebook, argmax, then the
+    info bits are the bits of the winning index (no gather).  ok is the
+    bounded-distance acceptance dist <= 3 = (d_min-1)/2 with d_min = 8:
+    within it the winner is provably unique; at exactly 4 residual errors
+    the true word is rejected (no other codeword can be nearer than 4).
+
+    The reference truncates the systematic bits without checking OR
+    correcting ("FIXME: RM3014-decode", tetra_lower_mac.c:231) and so
+    consumes corrupted AACH unverified; this both gates and repairs it.
+    Scores are exact even at this backend's bf16-class matmul precision:
+    ±1 operands and integer sums <= 30 are representable exactly.
     """
-    info = bits30[..., :14]
-    expect = (info.astype(jnp.int32) @ jnp.asarray(P.RM3014_PARITY, jnp.int32)) % 2
-    ok = jnp.all(expect == bits30[..., 14:].astype(jnp.int32), axis=-1)
-    return info, ok
+    x = 1.0 - 2.0 * bits30.astype(jnp.float32)
+    scores = x @ jnp.asarray(_rm_codebook_pm1())        # (..., 16384)
+    best = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+    dist = (30.0 - jnp.max(scores, axis=-1)) * 0.5
+    info = ((best[..., None] >> jnp.arange(13, -1, -1)) & 1).astype(jnp.uint8)
+    return info, dist <= 3.0
 
 
 # ---------------------------------------------------------------------------
