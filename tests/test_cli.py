@@ -51,6 +51,22 @@ def test_cli_decode_mode(capture):
     assert summary[0]["mnc"] == cfg.mnc
 
 
+def test_cli_decode_cs16_capture(capture, tmp_path):
+    """The same capture stored as interleaved int16 (SDR++/HackRF raw
+    format) must decode identically via --format/extension inference."""
+    path, cfg = capture
+    iq = np.fromfile(path, np.complex64)
+    flat = np.stack([iq.real, iq.imag], axis=1).reshape(-1)
+    flat = flat * (32000.0 / np.abs(flat).max())   # typical full-scale capture
+    inter = np.round(flat).astype(np.int16)
+    p16 = tmp_path / "capture.cs16"
+    inter.tofile(p16)
+    r = _run_cli([str(p16), "--status-every", "5"])
+    assert r.returncode == 0, r.stderr[-500:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary[0]["locked"] and summary[0]["mcc"] == cfg.mcc
+
+
 def test_cli_netsyms_mode(capture):
     path, _ = capture
     import socket

@@ -8,7 +8,8 @@ Capability parity with the reference plugin's two operating modes
                     osmo-tetra "NETSYMS" format (tetra-rx compatible,
                     main.cpp:385-414), with the training-sequence monitor.
 
-Input: complex64 raw IQ at 36 kHz per channel - a file path, or `udp:PORT`
+Input: raw IQ at 36 kHz per channel - a file path (cf32/cs16/cs8/cu8 raw
+samples, see --format), or `udp:PORT`
 for a live stream into the native ring-buffer runtime - or a wideband capture
 with --wideband N (channelized to N x 25 kHz channels).
 
@@ -34,9 +35,43 @@ from ..rx import demod as demod_exact
 from ..voice.pipeline import VoicePipeline
 
 
-def load_iq(path: str) -> np.ndarray:
-    data = np.fromfile(path, np.complex64)
-    return data
+#: raw IQ sample formats: name -> (numpy dtype, DC offset, scale to ~unit)
+IQ_FORMATS = {
+    "cf32": (np.complex64, 0.0, 1.0),          # interleaved float32 I/Q
+    "cs16": (np.int16, 0.0, 1.0 / 32768.0),    # interleaved int16 (SDR++,
+                                               # HackRF captures, ...)
+    "cs8": (np.int8, 0.0, 1.0 / 128.0),        # interleaved int8
+    "cu8": (np.uint8, 127.5, 1.0 / 127.5),     # offset uint8 (rtl_sdr)
+}
+
+
+def _format_of(path: str, fmt: str | None) -> str:
+    """Explicit --format wins; else infer from the file extension
+    (.cf32/.fc32/.cs16/.sc16/.cs8/.cu8; anything else = cf32, the
+    historical default)."""
+    if fmt:
+        return fmt
+    ext = path.rsplit(".", 1)[-1].lower()
+    alias = {"fc32": "cf32", "sc16": "cs16", "raw": "cf32", "iq": "cf32"}
+    ext = alias.get(ext, ext)
+    return ext if ext in IQ_FORMATS else "cf32"
+
+
+def load_iq(path: str, fmt: str | None = None) -> np.ndarray:
+    """Load a raw IQ capture in any of IQ_FORMATS as complex64.
+
+    The reference consumes an SDR++ VFO stream, so any device SDR++
+    supports feeds it; file-based operation here covers the common raw
+    capture formats (rtl_sdr cu8, SDR++/HackRF cs16, GNURadio cf32)."""
+    name = _format_of(path, fmt)
+    dtype, off, scale = IQ_FORMATS[name]
+    if name == "cf32":
+        return np.fromfile(path, np.complex64)
+    raw = np.fromfile(path, dtype).astype(np.float32)
+    raw = (raw - np.float32(off)) * np.float32(scale)
+    if len(raw) & 1:
+        raw = raw[:-1]
+    return (raw[0::2] + 1j * raw[1::2]).astype(np.complex64)
 
 
 def iter_blocks(args):
@@ -59,7 +94,7 @@ def iter_blocks(args):
                 yield blk if fused else blk[None, :]
         stream.stop()
         return
-    iq = load_iq(args.input)
+    iq = load_iq(args.input, getattr(args, "format", None))
     if fused:
         chunk = 6400 * (args.wideband // 2)  # one cascade advance
         for i in range(0, len(iq), chunk):
@@ -216,7 +251,10 @@ def _format_event(e) -> str | None:
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("input", help="raw complex64 IQ file")
+    ap.add_argument("input", help="raw IQ file (see --format) or udp:PORT")
+    ap.add_argument("--format", choices=sorted(IQ_FORMATS), default=None,
+                    help="raw sample format of the input file (default: "
+                         "inferred from the extension, else cf32)")
     ap.add_argument("--wideband", type=int, default=0, metavar="N",
                     help="input is a wideband capture at N*25 kHz; "
                          "channelize to N channels")
