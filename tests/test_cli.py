@@ -67,6 +67,32 @@ def test_cli_decode_cs16_capture(capture, tmp_path):
     assert summary[0]["locked"] and summary[0]["mcc"] == cfg.mcc
 
 
+def test_load_iq_formats_agree(capture, tmp_path):
+    """load_iq must return the same signal (up to quantization) for cf32,
+    cs16, cu8 raw formats and a 2-channel s16 IQ WAV."""
+    import wave
+    from tetra_tpu.apps.tetra_rx import load_iq
+    path, _ = capture
+    ref = np.fromfile(path, np.complex64)[:4096]
+    flat = np.stack([ref.real, ref.imag], axis=1).reshape(-1)
+    scale = 32000.0 / np.abs(flat).max()
+    s16 = np.round(flat * scale).astype(np.int16)
+    (tmp_path / "a.cs16").write_bytes(s16.tobytes())
+    u8 = np.round(flat * (120.0 / np.abs(flat).max()) + 127.5).astype(np.uint8)
+    (tmp_path / "a.cu8").write_bytes(u8.tobytes())
+    with wave.open(str(tmp_path / "a.wav"), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(36000)
+        w.writeframes(s16.tobytes())
+    for name, tol in (("a.cs16", 2e-4), ("a.cu8", 2e-2), ("a.wav", 2e-4)):
+        got = load_iq(str(tmp_path / name))
+        assert len(got) == len(ref), name
+        g = got / np.abs(got).max()
+        r = ref / np.abs(ref).max()
+        assert np.abs(g - r).max() < tol, name
+
+
 def test_cli_netsyms_mode(capture):
     path, _ = capture
     import socket

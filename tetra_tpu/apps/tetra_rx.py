@@ -58,11 +58,28 @@ def _format_of(path: str, fmt: str | None) -> str:
 
 
 def load_iq(path: str, fmt: str | None = None) -> np.ndarray:
-    """Load a raw IQ capture in any of IQ_FORMATS as complex64.
+    """Load an IQ capture as complex64: raw samples in any of IQ_FORMATS,
+    or a 2-channel WAV recording (SDR#/SDR++ baseband format: left = I,
+    right = Q, s16 or f32 frames).
 
     The reference consumes an SDR++ VFO stream, so any device SDR++
-    supports feeds it; file-based operation here covers the common raw
-    capture formats (rtl_sdr cu8, SDR++/HackRF cs16, GNURadio cf32)."""
+    supports feeds it; file-based operation here covers the common
+    capture formats (rtl_sdr cu8, SDR++/HackRF cs16, GNURadio cf32,
+    SDR# baseband WAV)."""
+    if fmt is None and path.lower().endswith(".wav"):
+        from scipy.io import wavfile
+        _, data = wavfile.read(path, mmap=True)
+        if data.ndim != 2 or data.shape[1] != 2:
+            raise ValueError(f"{path}: IQ WAV must have 2 channels")
+        if data.dtype == np.int16:
+            data = data.astype(np.float32) / 32768.0
+        elif data.dtype == np.int32:
+            data = data.astype(np.float32) / 2147483648.0
+        elif data.dtype == np.uint8:
+            data = (data.astype(np.float32) - 127.5) / 127.5
+        else:
+            data = data.astype(np.float32)
+        return (data[:, 0] + 1j * data[:, 1]).astype(np.complex64)
     name = _format_of(path, fmt)
     dtype, off, scale = IQ_FORMATS[name]
     if name == "cf32":
