@@ -208,6 +208,18 @@ def test_cli_voice_and_audio_rate(tmp_path):
     assert np.abs(audio).max() <= 4.0  # unclamped float path; ringing ok
 
 
+def test_cli_profile_trace(capture, tmp_path):
+    """--profile must write a loadable JAX trace and not disturb decode."""
+    path, cfg = capture
+    tdir = tmp_path / "trace"
+    r = _run_cli([path, "--status-every", "5", "--profile", str(tdir)])
+    assert r.returncode == 0, r.stderr[-500:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary[0]["locked"] and summary[0]["mcc"] == cfg.mcc
+    traces = list(tdir.rglob("*.xplane.pb")) + list(tdir.rglob("*.trace.json.gz"))
+    assert traces, f"no trace files under {tdir}"
+
+
 def test_cli_dashboard_and_metrics(capture, tmp_path):
     """--dashboard renders the panel incl. ASCII constellation; --metrics
     appends structured DisplayState records (SURVEY.md section 5:

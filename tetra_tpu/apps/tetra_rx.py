@@ -305,6 +305,11 @@ def main(argv=None):
     ap.add_argument("--state", default=None, metavar="NPZ",
                     help="receiver checkpoint: loaded if present, saved on "
                          "exit (resume decoding without re-acquisition)")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a JAX device+host trace of the decode "
+                         "loop into DIR (view with TensorBoard/Perfetto; "
+                         "the reference has no profiling at all, SURVEY "
+                         "section 5)")
     ap.add_argument("--config", default=None, metavar="JSON",
                     help="per-instance settings file: loaded as defaults, "
                          "saved back on exit (the plugin's config "
@@ -394,6 +399,9 @@ def main(argv=None):
             pcm.tofile(pcm_out)
     C = 1
     wb = args.wideband if args._fused else 0
+    if args.profile:
+        import jax as _jax
+        _jax.profiler.start_trace(args.profile)
     for i, blk in enumerate(blocks or iter_blocks(args)):
         if rx is None:
             C = args.wideband if args._fused else blk.shape[0]
@@ -469,6 +477,9 @@ def main(argv=None):
                           f"q={rx.sym_quality[c]:.2f}")
                 else:
                     print(f"[ch {c}] UNLOCKED q={rx.sym_quality[c]:.2f}")
+    if args.profile:
+        import jax as _jax
+        _jax.profiler.stop_trace()
     if pcm_out:
         pcm_out.close()
     if args.state and rx is not None and not pooled:
