@@ -142,17 +142,21 @@ def _chunk_body(T, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
     # ---- interpolation + ML derivative via Horner polynomials ----
     # every offset's stride-2 row set in ONE stacked selection matmul pair
     if "select" in ablate:
-        exs_r = jnp.broadcast_to(wr[:1, :], (_N_OFF * K_SYM, C))
-        exs_i = jnp.broadcast_to(wi[:1, :], (_N_OFF * K_SYM, C))
+        ex_r = [jnp.broadcast_to(wr[:1, :], (K_SYM, C))] * _N_OFF
+        ex_i = [jnp.broadcast_to(wi[:1, :], (K_SYM, C))] * _N_OFF
     else:
-        # (a bit-exact 3-pass bf16 Dekker-split variant of this product
-        # measured NO win -- 124 vs 118 ms/dispatch: Mosaic's f32 matmul
-        # path is already efficient and the split adds VPU conversions)
+        # Two bit-exact reformulations of this product measured NO win:
+        # a 3-pass bf16 Dekker split (124 vs 118 ms/dispatch -- the f32
+        # Mosaic matmul path is already efficient and the split adds VPU
+        # conversions), and an (80, 80) even/odd de-interleave matmul
+        # with the 12 offset windows as static slices, 4.8x fewer MXU
+        # FLOPs (122.7 vs 122.5 ms, identical checksums -- the selection
+        # matmul overlaps other kernel work and is not the bound).
         S = sel_ref[:, :]                              # (N_OFF*K, _NEED)
         exs_r = jnp.dot(S, wr, preferred_element_type=jnp.float32)
         exs_i = jnp.dot(S, wi, preferred_element_type=jnp.float32)
-    ex_r = [exs_r[o * K_SYM:(o + 1) * K_SYM, :] for o in range(_N_OFF)]
-    ex_i = [exs_i[o * K_SYM:(o + 1) * K_SYM, :] for o in range(_N_OFF)]
+        ex_r = [exs_r[o * K_SYM:(o + 1) * K_SYM, :] for o in range(_N_OFF)]
+        ex_i = [exs_i[o * K_SYM:(o + 1) * K_SYM, :] for o in range(_N_OFF)]
     f0r = jnp.zeros((K_SYM, C), jnp.float32)
     f0i = jnp.zeros((K_SYM, C), jnp.float32)
     d_r = jnp.zeros((K_SYM, C), jnp.float32)
