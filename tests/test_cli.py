@@ -93,6 +93,37 @@ def test_load_iq_formats_agree(capture, tmp_path):
         assert np.abs(g - r).max() < tol, name
 
 
+def test_load_iq_wav_rate_mismatch(tmp_path):
+    """A WAV recorded at an SDR rate (not 36 kHz) must raise with a resample
+    hint instead of silently never locking (ADVICE round 1)."""
+    import wave
+    import pytest
+    from tetra_tpu.apps.tetra_rx import load_iq
+    with wave.open(str(tmp_path / "b.wav"), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(2_400_000)
+        w.writeframes(np.zeros(256, np.int16).tobytes())
+    with pytest.raises(ValueError, match="2400000 Hz.*36000"):
+        load_iq(str(tmp_path / "b.wav"), expect_rate=36000)
+    # matching rate passes; no expectation passes too (library use)
+    assert len(load_iq(str(tmp_path / "b.wav"), expect_rate=2_400_000)) == 128
+    assert len(load_iq(str(tmp_path / "b.wav"))) == 128
+
+
+def test_format_of_warns_on_unknown_sample_suffix(capsys):
+    """An unrecognized extension that looks like a sample format (.sc8,
+    .cs12) warns to stderr before the cf32 fallback (ADVICE round 1)."""
+    from tetra_tpu.apps.tetra_rx import _format_of
+    assert _format_of("x.sc8", None) == "cf32"
+    assert "warning" in capsys.readouterr().err
+    assert _format_of("x.cs12", None) == "cf32"
+    assert "warning" in capsys.readouterr().err
+    for benign in ("x.raw", "x.iq", "x.cf32", "x.dat", "noext"):
+        _format_of(benign, None)
+        assert capsys.readouterr().err == "", benign
+
+
 def test_cli_netsyms_mode(capture):
     path, _ = capture
     import socket

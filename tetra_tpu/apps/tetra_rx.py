@@ -48,16 +48,26 @@ IQ_FORMATS = {
 def _format_of(path: str, fmt: str | None) -> str:
     """Explicit --format wins; else infer from the file extension
     (.cf32/.fc32/.cs16/.sc16/.cs8/.cu8; anything else = cf32, the
-    historical default)."""
+    historical default).  An unrecognized extension that LOOKS like a
+    sample-format suffix (e.g. .sc8, .cs12, .cu4) gets a stderr warning
+    instead of being silently parsed as float32 garbage."""
     if fmt:
         return fmt
     ext = path.rsplit(".", 1)[-1].lower()
     alias = {"fc32": "cf32", "sc16": "cs16", "raw": "cf32", "iq": "cf32"}
     ext = alias.get(ext, ext)
-    return ext if ext in IQ_FORMATS else "cf32"
+    if ext in IQ_FORMATS:
+        return ext
+    import re
+    if re.fullmatch(r"[su]?[cif][a-z]?\d{1,2}", ext):
+        print(f"warning: unrecognized sample-format extension .{ext}; "
+              f"reading {path} as cf32 (use --format to override)",
+              file=sys.stderr)
+    return "cf32"
 
 
-def load_iq(path: str, fmt: str | None = None) -> np.ndarray:
+def load_iq(path: str, fmt: str | None = None,
+            expect_rate: int | None = None) -> np.ndarray:
     """Load an IQ capture as complex64: raw samples in any of IQ_FORMATS,
     or a 2-channel WAV recording (SDR#/SDR++ baseband format: left = I,
     right = Q, s16 or f32 frames).
@@ -65,10 +75,20 @@ def load_iq(path: str, fmt: str | None = None) -> np.ndarray:
     The reference consumes an SDR++ VFO stream, so any device SDR++
     supports feeds it; file-based operation here covers the common
     capture formats (rtl_sdr cu8, SDR++/HackRF cs16, GNURadio cf32,
-    SDR# baseband WAV)."""
+    SDR# baseband WAV).
+
+    expect_rate: required sample rate in Hz (36000 narrowband, N*25000
+    wideband).  WAV headers carry the true capture rate; a mismatch
+    (e.g. a 2.4 Msps SDR recording fed to the 36 kHz receiver) would
+    silently never lock, so it raises with a resample hint instead."""
     if fmt is None and path.lower().endswith(".wav"):
         from scipy.io import wavfile
-        _, data = wavfile.read(path, mmap=True)
+        wav_rate, data = wavfile.read(path, mmap=True)
+        if expect_rate is not None and int(wav_rate) != int(expect_rate):
+            raise ValueError(
+                f"{path}: capture is {wav_rate} Hz but the receiver expects "
+                f"{expect_rate} Hz - resample first, or use --wideband N "
+                f"with N*25000 matching the capture rate")
         if data.ndim != 2 or data.shape[1] != 2:
             raise ValueError(f"{path}: IQ WAV must have 2 channels")
         if data.dtype == np.int16:
@@ -111,7 +131,9 @@ def iter_blocks(args):
                 yield blk if fused else blk[None, :]
         stream.stop()
         return
-    iq = load_iq(args.input, getattr(args, "format", None))
+    iq = load_iq(args.input, getattr(args, "format", None),
+                 expect_rate=(args.wideband * 25000 if args.wideband
+                              else P.SAMPLE_RATE))
     if fused:
         chunk = 6400 * (args.wideband // 2)  # one cascade advance
         for i in range(0, len(iq), chunk):
@@ -402,84 +424,88 @@ def main(argv=None):
     if args.profile:
         import jax as _jax
         _jax.profiler.start_trace(args.profile)
-    for i, blk in enumerate(blocks or iter_blocks(args)):
-        if rx is None:
-            C = args.wideband if args._fused else blk.shape[0]
-            # the event log's only CLI consumer is -v: leave it off
-            # otherwise (headless decode skips event/LLC/MLE bookkeeping
-            # and the log cannot grow unboundedly on long captures)
-            if pooled:
-                rx = TetraReceiver(C, mode=args.demod,
-                                   mac_workers=args.mac_workers,
-                                   voice=bool(args.voice),
-                                   keystore=args.keystore,
-                                   events=args.verbose, wideband=wb)
-            else:
-                rx = TetraReceiver(C, voice_cb=voice, mode=args.demod,
-                                   events=args.verbose, wideband=wb)
-            if args.keystore and not pooled:
-                from ..crypto.state import CryptoState, KeyStore
-                for m in rx.mac:
-                    m.upper.crypto_state = CryptoState(
-                        store=KeyStore.load(args.keystore))
-                if voice is not None and rx.mac:
-                    # encrypted-voice decode (single shared pipeline:
-                    # channel 0's crypto state)
-                    voice.crypto_state = rx.mac[0].upper.crypto_state
-            if args.state and not pooled:
-                import os as _os
-                if _os.path.exists(args.state):
-                    rx.load_state(args.state)
-        if args._fused:
-            rx.process_wideband(blk)
-        else:
-            rx.process(blk)
-        if args.verbose:
-            if i == 0:
-                ev_seen = [0] * C
-            for c in range(C):
-                events = (rx.pool.views[c].events if pooled
-                          else rx.mac[c].upper.events)
-                for e in events[ev_seen[c]:]:
-                    line = _format_event(e)
-                    if line:
-                        print(f"[ch {c}] {e[1]} {line}")
-                ev_seen[c] = len(events)
-        if pcm_out is not None:
-            pcm = (rx.pool.take_audio() if pooled
-                   else voice.take_audio() if voice is not None
-                   else None)
-            if pcm is not None and len(pcm):
-                _write_pcm(pcm)
-        if args.metrics and (i + 1) % status_blocks == 0:
-            import time as _time
-            with open(args.metrics, "a") as mf:
-                for c in range(C):
-                    oks, fails = rx.crc_counts(c)
-                    rec = dict(ts=_time.time(), channel=c,
-                               locked=rx.locked(c),
-                               quality=float(rx.sym_quality[c]),
-                               crc_ok=oks, crc_fail=fails,
-                               **rx.display(c).as_dict())
-                    mf.write(json.dumps(rec) + "\n")
-        if args.dashboard and (i + 1) % status_blocks == 0:
-            _render_dashboard(rx, C)
-        elif (i + 1) % status_blocks == 0:
-            for c in range(C):
-                d = rx.display(c)
-                if rx.locked(c):
-                    print(f"[ch {c}] LOCK mcc={d.mcc} mnc={d.mnc} cc={d.cc} "
-                          f"time={d.curr_multiframe}/{d.curr_frame} "
-                          f"dl={d.dl_freq/1e6:.4f}MHz "
-                          f"usage={d.dl_usage}/{d.ul_usage} "
-                          f"slots={d.timeslot_content} "
-                          f"crc={rx.crc_counts(c)[0]}/{rx.crc_counts(c)[1]} "
-                          f"q={rx.sym_quality[c]:.2f}")
+    try:
+        for i, blk in enumerate(blocks or iter_blocks(args)):
+            if rx is None:
+                C = args.wideband if args._fused else blk.shape[0]
+                # the event log's only CLI consumer is -v: leave it off
+                # otherwise (headless decode skips event/LLC/MLE bookkeeping
+                # and the log cannot grow unboundedly on long captures)
+                if pooled:
+                    rx = TetraReceiver(C, mode=args.demod,
+                                       mac_workers=args.mac_workers,
+                                       voice=bool(args.voice),
+                                       keystore=args.keystore,
+                                       events=args.verbose, wideband=wb)
                 else:
-                    print(f"[ch {c}] UNLOCKED q={rx.sym_quality[c]:.2f}")
-    if args.profile:
-        import jax as _jax
-        _jax.profiler.stop_trace()
+                    rx = TetraReceiver(C, voice_cb=voice, mode=args.demod,
+                                       events=args.verbose, wideband=wb)
+                if args.keystore and not pooled:
+                    from ..crypto.state import CryptoState, KeyStore
+                    for m in rx.mac:
+                        m.upper.crypto_state = CryptoState(
+                            store=KeyStore.load(args.keystore))
+                    if voice is not None and rx.mac:
+                        # encrypted-voice decode (single shared pipeline:
+                        # channel 0's crypto state)
+                        voice.crypto_state = rx.mac[0].upper.crypto_state
+                if args.state and not pooled:
+                    import os as _os
+                    if _os.path.exists(args.state):
+                        rx.load_state(args.state)
+            if args._fused:
+                rx.process_wideband(blk)
+            else:
+                rx.process(blk)
+            if args.verbose:
+                if i == 0:
+                    ev_seen = [0] * C
+                for c in range(C):
+                    events = (rx.pool.views[c].events if pooled
+                              else rx.mac[c].upper.events)
+                    for e in events[ev_seen[c]:]:
+                        line = _format_event(e)
+                        if line:
+                            print(f"[ch {c}] {e[1]} {line}")
+                    ev_seen[c] = len(events)
+            if pcm_out is not None:
+                pcm = (rx.pool.take_audio() if pooled
+                       else voice.take_audio() if voice is not None
+                       else None)
+                if pcm is not None and len(pcm):
+                    _write_pcm(pcm)
+            if args.metrics and (i + 1) % status_blocks == 0:
+                import time as _time
+                with open(args.metrics, "a") as mf:
+                    for c in range(C):
+                        oks, fails = rx.crc_counts(c)
+                        rec = dict(ts=_time.time(), channel=c,
+                                   locked=rx.locked(c),
+                                   quality=float(rx.sym_quality[c]),
+                                   crc_ok=oks, crc_fail=fails,
+                                   **rx.display(c).as_dict())
+                        mf.write(json.dumps(rec) + "\n")
+            if args.dashboard and (i + 1) % status_blocks == 0:
+                _render_dashboard(rx, C)
+            elif (i + 1) % status_blocks == 0:
+                for c in range(C):
+                    d = rx.display(c)
+                    if rx.locked(c):
+                        print(f"[ch {c}] LOCK mcc={d.mcc} mnc={d.mnc} cc={d.cc} "
+                              f"time={d.curr_multiframe}/{d.curr_frame} "
+                              f"dl={d.dl_freq/1e6:.4f}MHz "
+                              f"usage={d.dl_usage}/{d.ul_usage} "
+                              f"slots={d.timeslot_content} "
+                              f"crc={rx.crc_counts(c)[0]}/{rx.crc_counts(c)[1]} "
+                              f"q={rx.sym_quality[c]:.2f}")
+                    else:
+                        print(f"[ch {c}] UNLOCKED q={rx.sym_quality[c]:.2f}")
+    finally:
+        if args.profile:
+            import jax as _jax
+            # always stop/flush the trace, even when the decode loop
+            # raises (KeyboardInterrupt on live udp: streams included)
+            _jax.profiler.stop_trace()
     if pcm_out:
         pcm_out.close()
     if args.state and rx is not None and not pooled:
