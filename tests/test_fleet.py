@@ -1,0 +1,171 @@
+"""Native fleet engine parity: the C++ per-channel bit pipeline
+(rx/native/fleet.cpp via rx/fleet.FleetEngine) must be EXACTLY equivalent to
+the Python pipeline (BurstSync + LowerMac + native macparse dispatch) in the
+production no-event/no-crypto configuration -- lock states, TDMA time,
+display state, CRC tallies, scrambling adoption, and voice callbacks."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tetra_tpu import params as P
+from tetra_tpu.rx.receiver import TetraReceiver
+from tetra_tpu.rx.tdma import TdmaTime
+from tetra_tpu.tx import cell
+from tetra_tpu.tx.channel import channel
+from tetra_tpu.tx.modulator import modulate
+
+pytestmark = pytest.mark.skipif(
+    __import__("tetra_tpu.rx.fleet", fromlist=["load"]).load() is None,
+    reason="native fleet engine unavailable")
+
+START = TdmaTime(mn=1, fn=17, tn=4)
+
+
+def _assert_parity(rx_f: TetraReceiver, rx_p: TetraReceiver):
+    C = rx_p.channels
+    for c in range(C):
+        sync, mac = rx_p.sync[c], rx_p.mac[c]
+        ch = rx_f.fleet.chan(c)
+        assert ch.state == sync.state, (c, ch.state, sync.state)
+        assert ch.lock_losses == sync.lock_losses, c
+        assert ch.start_bitnum == sync.bitbuf_start_bitnum, c
+        assert ch.buf_len == len(sync.bitbuf), c
+        assert bytes(ch.buf[:ch.buf_len]) == sync.bitbuf.tobytes(), c
+        t, tp = ch.time, sync.phy.time
+        assert (t.hn, t.mn, t.fn, t.tn, t.sn) == (
+            tp.hn, tp.mn, tp.fn, tp.tn, tp.sn), c
+        assert ch.slot_count == sync.phy.slot_count, c
+        assert rx_f.fleet.crc_counts(c) == (mac.crc_oks, mac.crc_fails), c
+        assert int(rx_f.fleet.scramb[c]) == mac.cell.scramb_init, c
+        assert (ch.cell_mcc, ch.cell_mnc, ch.cell_cc) == (
+            mac.cell.mcc, mac.cell.mnc, mac.cell.colour_code), c
+        assert rx_f.display(c).as_dict() == rx_p.display(c).as_dict(), c
+        # MAC flag state
+        up = mac.upper
+        m = ch.mac
+        assert (m.is_traffic, bool(m.blk1_stolen), bool(m.blk2_stolen)) == (
+            up.is_traffic, up.blk1_stolen, up.blk2_stolen), c
+        assert (m.ssi, m.addr_type, m.usage_marker) == (
+            up.ssi, up.addr_type, up.usage_marker), c
+
+
+def _run_pair(iq: np.ndarray, block: int = 4096, voice: bool = False):
+    C = iq.shape[0]
+    voice_f, voice_p = [], []
+    vcb_f = (lambda t, b: voice_f.append((str(t), b.tobytes()))) if voice \
+        else None
+    vcb_p = (lambda t, b: voice_p.append((str(t), b.tobytes()))) if voice \
+        else None
+    rx_f = TetraReceiver(C, fleet=True, voice_cb=vcb_f)
+    rx_p = TetraReceiver(C, events=False, voice_cb=vcb_p,
+                         device_acquire=False)
+    for i in range(iq.shape[1] // block):
+        blk = iq[:, i * block:(i + 1) * block]
+        rx_f.process(blk)
+        rx_p.process(blk)
+    _assert_parity(rx_f, rx_p)
+    assert voice_f == voice_p
+    return rx_f, rx_p, voice_f
+
+
+def test_fleet_parity_basic_multicell():
+    """Three channels, three different cells (distinct scrambling codes),
+    CFO + noise: every piece of per-channel state must match the Python
+    pipeline bit for bit."""
+    cfgs = [cell.CellConfig(mcc=262, mnc=1234, cc=7),
+            cell.CellConfig(mcc=901, mnc=42, cc=11),
+            cell.CellConfig(mcc=310, mnc=9999, cc=63)]
+    streams = []
+    for i, cfg in enumerate(cfgs):
+        bits, _ = cell.downlink_bits(cfg, 150, start=START.copy())
+        streams.append(np.asarray(modulate(jnp.asarray(bits[None, :])))[0])
+    L = min(len(s) for s in streams)
+    iq = np.stack([s[:L] for s in streams])
+    iq = np.asarray(channel(jnp.asarray(iq), jax.random.key(3), snr_db=22.0,
+                            cfo_hz=180.0, sample_rate=P.SAMPLE_RATE))
+    rx_f, rx_p, _ = _run_pair(iq)
+    for c, cfg in enumerate(cfgs):
+        assert rx_f.locked(c)
+        d = rx_f.display(c)
+        assert (d.mcc, d.mnc, d.cc) == (cfg.mcc, cfg.mnc, cfg.cc)
+        oks, fails = rx_f.crc_counts(c)
+        assert oks > 100
+
+
+def test_fleet_parity_dropout_handover_voice_stealing():
+    """The soak configuration: voice traffic, slot stealing, a dropout with
+    re-acquisition onto a DIFFERENT cell (scrambling change mid-stream) --
+    the hard paths of the sync machine and the dispatch restamp logic."""
+    rng = np.random.default_rng(19)
+    framegen = lambda: rng.integers(0, 2, (2, 137)).astype(np.uint8)
+    cfg_a = cell.CellConfig(mcc=262, mnc=1234, cc=7)
+    cfg_b = cell.CellConfig(mcc=901, mnc=42, cc=11)
+    bits_a, _ = cell.downlink_bits(cfg_a, 170, start=START.copy(),
+                                   voice_slots={2: framegen},
+                                   stolen_slots={(6, 2)})
+    bits_b, _ = cell.downlink_bits(cfg_b, 120,
+                                   start=TdmaTime(mn=9, fn=17, tn=4))
+    iq_a = np.asarray(modulate(jnp.asarray(bits_a[None, :])))
+    iq_b = np.asarray(modulate(jnp.asarray(bits_b[None, :])))
+    gap = np.zeros((1, 18000), np.complex64)
+    iq = np.concatenate([iq_a, gap, iq_b], axis=1)
+    iq = np.asarray(channel(jnp.asarray(iq), jax.random.key(5), snr_db=25.0,
+                            cfo_hz=-250.0, sample_rate=P.SAMPLE_RATE))
+    rx_f, rx_p, voice_seen = _run_pair(iq, voice=True)
+    assert rx_f.fleet.lock_losses(0) >= 1
+    assert rx_f.locked(0)
+    d = rx_f.display(0)
+    assert (d.mcc, d.mnc, d.cc) == (cfg_b.mcc, cfg_b.mnc, cfg_b.cc)
+    assert len(voice_seen) > 10
+
+
+def test_fleet_parity_low_snr_fuzz():
+    """8 channels at marginal SNR with independent CFOs: CRC failures,
+    trainseq misses, unlock/relock churn -- the state machines must still
+    track each other exactly."""
+    cfg = cell.CellConfig(mcc=262, mnc=1234, cc=7)
+    bits, _ = cell.downlink_bits(cfg, 130, start=START.copy())
+    one = np.asarray(modulate(jnp.asarray(bits[None, :])))[0]
+    C = 8
+    iq = np.stack([one] * C)
+    key = jax.random.key(11)
+    cfos = np.linspace(-400.0, 400.0, C)
+    rows = []
+    for c in range(C):
+        key, k = jax.random.split(key)
+        rows.append(np.asarray(channel(jnp.asarray(iq[c][None]), k,
+                                       snr_db=7.5 + 0.5 * c, cfo_hz=cfos[c],
+                                       sample_rate=P.SAMPLE_RATE))[0])
+    iq = np.stack(rows)
+    rx_f, rx_p, _ = _run_pair(iq)
+    # at least the high-SNR channels decode
+    assert any(rx_f.locked(c) for c in range(C))
+
+
+def test_decode_rows_mixed_equals_decode_blocks_mixed():
+    """The array-form FEC entry point (full-432 keystream rows) must be
+    bit-exact vs the list-form decode_blocks_mixed."""
+    from tetra_tpu.rx import fec as rx_fec
+    from tetra_tpu.tx import fec_enc
+    rng = np.random.default_rng(4)
+    scr = P.scramb_get_init(262, 1234, 7)
+    rows, t5m, types, scrs = [], [], [], []
+    for bt, t345 in ((P.TPSAP_T_SB1, 120), (P.TPSAP_T_BBK, 30),
+                     (P.TPSAP_T_SB2, 216), (P.TPSAP_T_NDB, 216),
+                     (P.TPSAP_T_SCH_F, 432)) * 3:
+        bits = rng.integers(0, 2, t345).astype(np.uint8)
+        rows.append((bt, bits, scr))
+        pad = np.zeros(432, np.uint8)
+        pad[:t345] = bits
+        t5m.append(pad)
+        types.append(bt)
+        scrs.append(scr)
+    want = rx_fec.decode_blocks_mixed(rows)
+    got_t1, got_ok = rx_fec.decode_rows_mixed(
+        np.stack(t5m), np.asarray(types), np.asarray(scrs))
+    for j, (w_t1, w_ok) in enumerate(want):
+        assert bool(got_ok[j]) == w_ok, j
+        assert (got_t1[j, :len(w_t1)] == w_t1).all(), j

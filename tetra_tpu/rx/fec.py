@@ -294,6 +294,59 @@ def decode_blocks_mixed(blocks: list[tuple[int, np.ndarray, int]]
     return [(type1[j, :metas[j]], bool(ok[j])) for j in range(B)]
 
 
+_MIX_TSEL_OF = np.full(8, -1, np.int32)
+_MIX_TSEL_OF[P.TPSAP_T_SB1] = _MIX_SB1
+_MIX_TSEL_OF[P.TPSAP_T_SB2] = _MIX_NDB
+_MIX_TSEL_OF[P.TPSAP_T_NDB] = _MIX_NDB
+_MIX_TSEL_OF[P.TPSAP_T_SCH_F] = _MIX_SCHF
+_MIX_TSEL_OF[P.TPSAP_T_BBK] = _MIX_BBK
+
+_KS432: dict[int, np.ndarray] = {}
+
+
+def _ks432(scramb: int) -> np.ndarray:
+    ks = _KS432.get(scramb)
+    if ks is None:
+        ks = _KS432[scramb] = fec_enc.scramb_keystream(scramb, _MIX_T345)
+        if len(_KS432) > 4096:
+            _KS432.clear()
+    return ks
+
+
+def decode_rows_mixed(t5: np.ndarray, blk_types: np.ndarray,
+                      scrambs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Array-form decode_blocks_mixed: zero Python work per row.
+
+    t5: (N, 432) uint8 type-5 rows zero-padded past each type's length
+    (the layout rx.fleet's native engine emits); blk_types/scrambs: (N,).
+    Returns (type1 (N, 268) uint8 rows, ok (N,) bool).  One device call.
+
+    Keystream rows are full 432 bits regardless of the row's true type-5
+    length: _decode_mixed_jit computes every variant for every row and
+    selects by tsel, and each variant only reads its own [:t345] window,
+    so descrambled garbage beyond a row's real bits never reaches its
+    selected output (bit-exact vs decode_blocks_mixed; tests/test_fleet.py).
+    """
+    N = len(blk_types)
+    tsel = _MIX_TSEL_OF[np.asarray(blk_types, np.int64)]
+    assert (tsel >= 0).all(), "row type outside the fused variant table"
+    scrambs = np.where(np.asarray(blk_types) == P.TPSAP_T_SB1,
+                       P.SCRAMB_INIT, np.asarray(scrambs))
+    ksm = np.empty((N, _MIX_T345), np.uint8)
+    for s in np.unique(scrambs):
+        ksm[scrambs == s] = _ks432(int(s))
+    bucket = 1 << max(2, (N - 1).bit_length())
+    if bucket != N:
+        pad = bucket - N
+        t5 = np.concatenate([t5, np.zeros((pad, _MIX_T345), np.uint8)])
+        ksm = np.concatenate([ksm, np.zeros((pad, _MIX_T345), np.uint8)])
+        tsel = np.concatenate([tsel, np.full(pad, _MIX_BBK, np.int32)])
+    type1, ok = _decode_mixed_jit(jnp.asarray(t5), jnp.asarray(ksm),
+                                  jnp.asarray(tsel))
+    # writable host copies: callers patch rows in place (scramb adoption)
+    return np.array(type1[:N]), np.array(ok[:N])
+
+
 def decode_block(type5: jnp.ndarray, blk_type: int,
                  scramb_init) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Decode a batch of type-5 blocks of one type.

@@ -1,0 +1,270 @@
+"""Fleet receiver engine: native multi-channel bit pipeline around the
+batched device FEC.
+
+Python's per-cycle work in this path is TWO ctypes calls plus ONE device
+call, independent of channel count:
+
+    fleet_feed      (C++)  (C,T) dibits+valid -> burst sync -> type-5 rows
+    decode_rows_mixed (device)  all rows' FEC in one program
+    fleet_dispatch  (C++)  decoded rows -> per-channel MAC/display state
+
+Semantics are exactly the Python pipeline's (rx/burst_sync.BurstSync +
+rx/lower_mac.LowerMac in the production no-event/no-crypto configuration);
+tests/test_fleet.py asserts lock/display/CRC parity on mixed fuzz streams.
+The native engine lives in rx/native/fleet.cpp (built with macparse.cpp).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from .. import params as P
+from . import fec as rx_fec
+from .display import DisplayState
+from .native_mac import MacStateStruct
+from .tdma import TdmaTime
+
+_DIR = os.path.join(os.path.dirname(__file__), "native")
+_SRC = os.path.join(_DIR, "fleet.cpp")
+_SRC_DEP = os.path.join(_DIR, "macparse.cpp")
+_SO = os.path.join(_DIR, "libtetra_fleet.so")
+
+_lib = None
+_lock = threading.Lock()
+
+_T5_COLS, _T1_COLS, _META_COLS = 432, 268, 12
+
+# display flag order (Disp.flags in fleet.cpp = BS_SERVICE_FLAGS minus the
+# reserved slot)
+_DISP_FLAGS = ("advanced_link", "air_encryption", "sndcp_data",
+               "circuit_data", "voice_service", "normal_mode",
+               "migration_supported", "never_minimum_mode", "priority_cell",
+               "dereg_mandatory", "reg_mandatory")
+
+
+class _TTime(ctypes.Structure):
+    _fields_ = [(n, ctypes.c_int64) for n in ("hn", "mn", "fn", "tn", "sn")]
+
+
+class _Disp(ctypes.Structure):
+    _fields_ = ([(n, ctypes.c_int64) for n in
+                 ("curr_hyperframe", "curr_multiframe", "curr_frame")]
+                + [("timeslot_content", ctypes.c_int64 * 4)]
+                + [(n, ctypes.c_int64) for n in
+                   ("dl_usage", "ul_usage", "access1_code", "access2_code",
+                    "access1", "access2", "dl_freq", "ul_freq", "mcc", "mnc",
+                    "cc", "last_crc_fail")]
+                + [("flags", ctypes.c_int64 * 11)])
+
+
+class FleetChanStruct(ctypes.Structure):
+    _fields_ = [(n, ctypes.c_int64) for n in
+                ("state", "start_bitnum", "next_frame", "scan_from",
+                 "lock_losses", "buf_len")] + [
+        ("time", _TTime), ("slot_count", ctypes.c_int64),
+        ("cell_mcc", ctypes.c_int64), ("cell_mnc", ctypes.c_int64),
+        ("cell_cc", ctypes.c_int64), ("scramb_init", ctypes.c_int64),
+        ("cell_time", _TTime),
+        ("crc_oks", ctypes.c_int64), ("crc_fails", ctypes.c_int64),
+        ("disp", _Disp), ("mac", MacStateStruct),
+        ("buf", ctypes.c_uint8 * (1 << 16)),
+    ]
+
+
+def load():
+    """Build (if stale) and load the native fleet library; None on failure
+    or when disabled via TETRA_NO_NATIVE_MAC (the fleet path is native-only,
+    so disabling the native MAC disables it too)."""
+    global _lib
+    if os.environ.get("TETRA_NO_NATIVE_MAC"):
+        return None
+    with _lock:
+        if _lib is not None:
+            return _lib if _lib is not False else None
+        try:
+            src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_DEP))
+            if not os.path.exists(_SO) or os.path.getmtime(_SO) < src_mtime:
+                subprocess.run(["g++", "-O2", "-std=c++17", "-shared",
+                                "-fPIC", "-I", _DIR, "-o", _SO, _SRC],
+                               check=True)
+            lib = ctypes.CDLL(_SO)
+            lib.fleet_create.restype = ctypes.c_void_p
+            lib.fleet_create.argtypes = [
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64]
+            lib.fleet_destroy.argtypes = [ctypes.c_void_p]
+            lib.fleet_chan_size.restype = ctypes.c_int64
+            lib.fleet_chan_ptr.restype = ctypes.c_void_p
+            lib.fleet_chan_ptr.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+            lib.fleet_scramb_ptr.restype = ctypes.c_void_p
+            lib.fleet_scramb_ptr.argtypes = [ctypes.c_void_p]
+            lib.fleet_feed.restype = ctypes.c_int64
+            lib.fleet_feed.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64]
+            lib.fleet_dispatch.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+            assert lib.fleet_chan_size() == ctypes.sizeof(FleetChanStruct), (
+                lib.fleet_chan_size(), ctypes.sizeof(FleetChanStruct))
+            _lib = lib
+        except Exception:
+            _lib = False
+            return None
+        return _lib
+
+
+class FleetEngine:
+    """Owns the native per-channel state for `channels` channels."""
+
+    def __init__(self, channels: int, voice_cb=None):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native fleet engine unavailable "
+                               "(TETRA_NO_NATIVE_MAC or no compiler)")
+        self.lib = lib
+        self.channels = channels
+        self.voice_cb = voice_cb
+        y = np.ascontiguousarray(P.TRAIN_Y, np.uint8)
+        n = np.ascontiguousarray(P.TRAIN_N, np.uint8)
+        p = np.ascontiguousarray(P.TRAIN_P, np.uint8)
+        self.h = lib.fleet_create(
+            channels, y.ctypes.data, len(y), n.ctypes.data, len(n),
+            p.ctypes.data, len(p), P.SCRAMB_INIT)
+        self.scramb = np.ctypeslib.as_array(
+            ctypes.cast(lib.fleet_scramb_ptr(self.h),
+                        ctypes.POINTER(ctypes.c_int64)), (channels,))
+        self._chans = [FleetChanStruct.from_address(
+            lib.fleet_chan_ptr(self.h, c)) for c in range(channels)]
+        self._cap = 0
+        self._t5 = self._meta = None
+
+    def __del__(self):
+        try:
+            self.lib.fleet_destroy(self.h)
+        except Exception:
+            pass
+
+    # -- per-cycle pipeline ------------------------------------------------
+
+    def process(self, dibits: np.ndarray, valid: np.ndarray) -> int:
+        """One feed cycle: (C, T) dibits + valid mask -> burst sync ->
+        device FEC -> MAC dispatch.  Returns the number of blocks decoded."""
+        C, T = dibits.shape
+        assert C == self.channels
+        cap = C * (T * 2 // P.BITS_PER_TS + 2) * 3
+        if cap > self._cap:
+            self._cap = cap
+            self._t5 = np.empty((cap, _T5_COLS), np.uint8)
+            self._meta = np.empty((cap, _META_COLS), np.int64)
+        dibits = np.ascontiguousarray(dibits, np.uint8)
+        valid = np.ascontiguousarray(valid, np.uint8)
+        n = self.lib.fleet_feed(self.h, dibits.ctypes.data,
+                                valid.ctypes.data, T,
+                                self._t5.ctypes.data, self._meta.ctypes.data,
+                                self._cap)
+        assert n <= self._cap, "fleet_feed capacity overflow"
+        if n == 0:
+            return 0
+        meta = self._meta[:n]
+        t5 = self._t5[:n]
+        chans = meta[:, 0]
+        blk_types = meta[:, 1]
+        scrambs = self.scramb[chans]
+        type1, ok = rx_fec.decode_rows_mixed(t5, blk_types, scrambs)
+
+        # adopt each channel's first good SYNC PDU scrambling code and
+        # re-decode rows decoded under a stale code (exactly
+        # rx/lower_mac.decode_bursts_multi's two-phase flow)
+        sb1 = (blk_types == P.TPSAP_T_SB1) & ok
+        if sb1.any():
+            rows = np.nonzero(sb1)[0]
+            t1s = type1[rows]
+            mcc = t1s[:, 31:41] @ (1 << np.arange(9, -1, -1))
+            mnc = t1s[:, 41:55] @ (1 << np.arange(13, -1, -1))
+            cc = t1s[:, 4:10] @ (1 << np.arange(5, -1, -1))
+            new_scr = ((cc | (mnc << 6) | (mcc << 20)) << 2) | P.SCRAMB_INIT
+            redo = np.zeros(n, bool)
+            adopted: dict[int, int] = {}
+            for r, s in zip(rows, new_scr):
+                c = int(chans[r])
+                if c not in adopted:
+                    adopted[c] = int(s)
+            for c, s in adopted.items():
+                if s != int(self.scramb[c]):
+                    redo |= (chans == c) & (blk_types != P.TPSAP_T_SB1)
+                    scrambs[chans == c] = s
+            if redo.any():
+                idx = np.nonzero(redo)[0]
+                t1r, okr = rx_fec.decode_rows_mixed(
+                    t5[idx], blk_types[idx], scrambs[idx])
+                type1[idx] = t1r
+                ok[idx] = okr
+
+        actions = np.empty(n, np.uint8)
+        times = np.empty((n, 5), np.int64)
+        okb = np.ascontiguousarray(ok, np.uint8)
+        type1 = np.ascontiguousarray(type1)
+        self.lib.fleet_dispatch(self.h, type1.ctypes.data, okb.ctypes.data,
+                                meta.ctypes.data, n,
+                                int(self.voice_cb is not None),
+                                int(getattr(self.voice_cb, "half", None)
+                                    is not None),
+                                actions.ctypes.data, times.ctypes.data)
+        if self.voice_cb is not None and actions.any():
+            half_cb = getattr(self.voice_cb, "half", None)
+            for i in np.nonzero(actions)[0]:
+                c = int(chans[i])
+                t345 = int(meta[i, 10])
+                type4 = (t5[i, :t345]
+                         ^ rx_fec.keystream(int(self.scramb[c]), t345))
+                # times[i] carries the restamped TDMA time (post-SB1-resync),
+                # exactly what the Python path hands its voice callbacks
+                t = TdmaTime(*(int(v) for v in times[i]))
+                if actions[i] == 1:
+                    self.voice_cb(t, type4)
+                else:
+                    half_cb(t, type4)
+        return int(n)
+
+    # -- views ---------------------------------------------------------------
+
+    def chan(self, c: int) -> FleetChanStruct:
+        return self._chans[c]
+
+    def display(self, c: int) -> DisplayState:
+        d = self._chans[c].disp
+        return DisplayState(
+            curr_hyperframe=d.curr_hyperframe,
+            curr_multiframe=d.curr_multiframe, curr_frame=d.curr_frame,
+            timeslot_content=list(d.timeslot_content),
+            dl_usage=d.dl_usage, ul_usage=d.ul_usage,
+            access1_code=chr(d.access1_code) if d.access1_code else "",
+            access2_code=chr(d.access2_code) if d.access2_code else "",
+            access1=d.access1, access2=d.access2,
+            dl_freq=d.dl_freq, ul_freq=d.ul_freq,
+            mcc=d.mcc, mnc=d.mnc, cc=d.cc,
+            last_crc_fail=bool(d.last_crc_fail),
+            **{name: bool(d.flags[i]) for i, name in enumerate(_DISP_FLAGS)})
+
+    def locked(self, c: int) -> bool:
+        return self._chans[c].state == 2
+
+    def crc_counts(self, c: int) -> tuple[int, int]:
+        ch = self._chans[c]
+        return int(ch.crc_oks), int(ch.crc_fails)
+
+    def phy_time(self, c: int) -> TdmaTime:
+        t = self._chans[c].time
+        return TdmaTime(t.hn, t.mn, t.fn, t.tn, t.sn)
+
+    def lock_losses(self, c: int) -> int:
+        return int(self._chans[c].lock_losses)

@@ -1,0 +1,490 @@
+// Native multi-channel steady-state receiver engine ("fleet" path).
+//
+// Closes the host-stack gap (VERDICT round 1, item 1): the per-channel
+// Python loops of rx/burst_sync.BurstSync.feed and the per-channel display
+// delta application of rx/lower_mac._dispatch_native dominated the full
+// IQ->PDU pipeline at 256+ channels (~1000x below the demod-only headline).
+// This engine owns per-channel state for the WHOLE bit pipeline around the
+// batched device FEC call:
+//
+//   fleet_feed:      (C, T) dibits+valid -> per-channel bit append, the
+//                    exact BurstSync state machine (UNLOCKED/KNOW_FSTART/
+//                    LOCKED; re-design of phy/tetra_burst_sync.c:54-155),
+//                    burst field splitting (tetra_burst.c:343-393 layouts)
+//                    -- emitting ONE zero-padded (N, 432) type-5 matrix +
+//                    meta rows, ready for rx.fec.decode_rows_mixed.
+//   fleet_dispatch:  decoded (N, 268) type-1 rows + crc flags -> the full
+//                    lower/upper MAC dispatch per channel (macparse.cpp
+//                    receive core + the display/cell/PHY-time bookkeeping
+//                    of rx/lower_mac.LowerMac), all state held natively.
+//
+// Python's per-cycle work becomes two ctypes calls + one device call,
+// independent of channel count.  Semantics are kept EXACTLY equal to the
+// Python pipeline (rx/burst_sync.py + rx/lower_mac.py in the no-event,
+// no-crypto production configuration); tests/test_fleet.py fuzzes parity.
+//
+// Built together with macparse.cpp (included below) into libtetra_fleet.so.
+
+#include "macparse.cpp"
+
+namespace {
+
+// burst-sync states (rx/burst_sync.py)
+constexpr int64_t RX_UNLOCKED = 0;
+constexpr int64_t RX_KNOW_FSTART = 1;
+constexpr int64_t RX_LOCKED = 2;
+
+constexpr int64_t BITS_PER_TS = 510;
+constexpr int64_t SYNC_TRAIN_OFFSET = 214;
+constexpr int64_t NORM_TRAIN_OFFSET = 244;
+constexpr int64_t SYNC_TO_NEXT = 296;
+constexpr int64_t UNLOCK_KEEP = 4096;   // BurstSync._unlock keep window
+
+// train_seq ids (params.py)
+constexpr int64_t TS_NORM_1_ID = 0;
+constexpr int64_t TS_NORM_2_ID = 1;
+constexpr int64_t TS_SYNC_ID = 3;
+
+// burst field layout (params.py:99-112 <- tetra_burst.c:33-49)
+constexpr int64_t SB_BLK1_OFF = 94, SB_BLK1_BITS_N = 120;
+constexpr int64_t SB_BBK_OFF = 252, SB_BBK_BITS_N = 30;
+constexpr int64_t SB_BLK2_OFF = 282, SB_BLK2_BITS_N = 216;
+constexpr int64_t NDB_BLK1_OFF = 14, NDB_BBK1_OFF = 230, NDB_BBK1_BITS_N = 14;
+constexpr int64_t NDB_BBK2_OFF = 266, NDB_BBK2_BITS_N = 16;
+constexpr int64_t NDB_BLK2_OFF = 282, NDB_BLK_BITS_N = 216;
+
+constexpr int64_t FLEET_BUFCAP = 1 << 16;   // bits (BurstSync.bufsize)
+constexpr int64_t T5_COLS = 432;            // padded type-5 row
+constexpr int64_t T1_COLS = 268;            // padded type-1 row
+constexpr int64_t META_COLS = 12;  // chan, blk_type, blk_num, slot_index,
+                                   // tn, fn, mn, hn, sn, train_seq, t345, rsv
+
+// display state mirror (rx/display.py DisplayState; FleetDisp in fleet.py)
+struct Disp {
+  int64_t curr_hyperframe, curr_multiframe, curr_frame;
+  int64_t timeslot_content[4];
+  int64_t dl_usage, ul_usage;
+  int64_t access1_code, access2_code, access1, access2;  // code: 0 = unset
+  int64_t dl_freq, ul_freq, mcc, mnc, cc;
+  int64_t last_crc_fail;
+  int64_t flags[11];  // BS_SERVICE_FLAGS order (rx/mac_pdu.py, None slot
+                      // omitted): advanced_link, air_encryption, sndcp_data,
+                      // circuit_data, voice_service, normal_mode,
+                      // migration_supported, never_minimum_mode,
+                      // priority_cell, dereg_mandatory, reg_mandatory
+};
+
+struct FleetChan {
+  // burst sync (rx/burst_sync.BurstSync fields)
+  int64_t state, start_bitnum, next_frame, scan_from, lock_losses;
+  int64_t buf_len;
+  // PHY (rx/tdma.PhyState)
+  TTime time;
+  int64_t slot_count;
+  // cell (rx/lower_mac.CellData)
+  int64_t cell_mcc, cell_mnc, cell_cc, scramb_init;
+  TTime cell_time;
+  // counters (rx/lower_mac.LowerMac)
+  int64_t crc_oks, crc_fails;
+  Disp disp;
+  MacState mac;
+  uint8_t buf[FLEET_BUFCAP];
+};
+
+struct Fleet {
+  int64_t C;
+  int64_t scramb_default;
+  // training sequences (passed from params at create: single source of truth)
+  int64_t ylen, nlen, plen;
+  uint8_t y[64], n[64], p[64];
+  FleetChan* ch;        // C channel states
+  int64_t* scramb;      // (C,) current scrambling inits (numpy view)
+};
+
+inline bool match_at(const uint8_t* buf, int64_t len, int64_t off,
+                     const uint8_t* seq, int64_t slen) {
+  if (off < 0 || off + slen > len) return false;
+  return std::memcmp(buf + off, seq, (size_t)slen) == 0;
+}
+
+// earliest full match of seq in buf[from..len): returns offset or -1
+inline int64_t find_seq(const uint8_t* buf, int64_t len, int64_t from,
+                        const uint8_t* seq, int64_t slen) {
+  if (from < 0) from = 0;
+  for (int64_t o = from; o + slen <= len; o++) {
+    if (buf[o] == seq[0] && std::memcmp(buf + o, seq, (size_t)slen) == 0)
+      return o;
+  }
+  return -1;
+}
+
+// find_train_seq(bits, which) semantics (rx/burst_sync.py:38-56): earliest
+// offset wins; ties broken by `which` order.  which = bitmask of seq ids.
+inline int64_t find_train(const Fleet* f, const uint8_t* buf, int64_t len,
+                          bool with_norm, int64_t* seq_out) {
+  // order in _SEARCH_SEQS_LOCKED: SYNC, NORM_1, NORM_2
+  int64_t best = -1, best_seq = -1;
+  int64_t oy = find_seq(buf, len, 0, f->y, f->ylen);
+  if (oy >= 0) { best = oy; best_seq = TS_SYNC_ID; }
+  if (with_norm) {
+    int64_t on = find_seq(buf, len, 0, f->n, f->nlen);
+    if (on >= 0 && (best < 0 || on < best)) { best = on; best_seq = TS_NORM_1_ID; }
+    int64_t op = find_seq(buf, len, 0, f->p, f->plen);
+    if (op >= 0 && (best < 0 || op < best)) { best = op; best_seq = TS_NORM_2_ID; }
+  }
+  *seq_out = best_seq;
+  return best;
+}
+
+inline void chan_unlock(FleetChan* c) {
+  // BurstSync._unlock: drop stale bits beyond the reference's 4096-bit
+  // window so re-acquisition does not latch onto minutes-old bursts
+  c->state = RX_UNLOCKED;
+  c->lock_losses++;
+  if (c->buf_len > UNLOCK_KEEP) {
+    int64_t drop = c->buf_len - UNLOCK_KEEP;
+    std::memmove(c->buf, c->buf + drop, (size_t)(c->buf_len - drop));
+    c->buf_len -= drop;
+    c->start_bitnum += drop;
+  }
+  c->scan_from = c->start_bitnum;
+}
+
+// emit one block row: zero-padded type-5 bits + meta
+inline int64_t emit_block(const FleetChan* c, int64_t chan, int64_t blk_type,
+                          int64_t blk_num, int64_t train_seq,
+                          const uint8_t* bits, int64_t nbits,
+                          uint8_t* t5, int64_t* meta, int64_t row,
+                          int64_t cap) {
+  if (row >= cap) return row + 1;  // overflow signalled to caller
+  uint8_t* dst = t5 + row * T5_COLS;
+  std::memcpy(dst, bits, (size_t)nbits);
+  if (nbits < T5_COLS) std::memset(dst + nbits, 0, (size_t)(T5_COLS - nbits));
+  int64_t* m = meta + row * META_COLS;
+  m[0] = chan; m[1] = blk_type; m[2] = blk_num; m[3] = c->slot_count;
+  m[4] = c->time.tn; m[5] = c->time.fn; m[6] = c->time.mn; m[7] = c->time.hn;
+  m[8] = c->time.sn; m[9] = train_seq; m[10] = nbits; m[11] = 0;
+  return row + 1;
+}
+
+// split one 510-bit burst into typed blocks (Burst.blocks(),
+// rx/burst_sync.py:67-94 <- tetra_burst_rx_cb, tetra_burst.c:343-393)
+inline int64_t emit_burst(const FleetChan* c, int64_t chan, int64_t seq_id,
+                          const uint8_t* b, uint8_t* t5, int64_t* meta,
+                          int64_t row, int64_t cap) {
+  if (seq_id == TS_SYNC_ID) {
+    row = emit_block(c, chan, T_SB1, 1, seq_id, b + SB_BLK1_OFF,
+                     SB_BLK1_BITS_N, t5, meta, row, cap);
+    row = emit_block(c, chan, T_BBK, 0, seq_id, b + SB_BBK_OFF,
+                     SB_BBK_BITS_N, t5, meta, row, cap);
+    row = emit_block(c, chan, T_SB2, 2, seq_id, b + SB_BLK2_OFF,
+                     SB_BLK2_BITS_N, t5, meta, row, cap);
+    return row;
+  }
+  uint8_t bbk[SB_BBK_BITS_N];
+  std::memcpy(bbk, b + NDB_BBK1_OFF, NDB_BBK1_BITS_N);
+  std::memcpy(bbk + NDB_BBK1_BITS_N, b + NDB_BBK2_OFF, NDB_BBK2_BITS_N);
+  if (seq_id == TS_NORM_2_ID) {
+    row = emit_block(c, chan, T_BBK, 0, seq_id, bbk, SB_BBK_BITS_N, t5, meta,
+                     row, cap);
+    row = emit_block(c, chan, T_NDB, 1, seq_id, b + NDB_BLK1_OFF,
+                     NDB_BLK_BITS_N, t5, meta, row, cap);
+    row = emit_block(c, chan, T_NDB, 2, seq_id, b + NDB_BLK2_OFF,
+                     NDB_BLK_BITS_N, t5, meta, row, cap);
+    return row;
+  }
+  // NORM_1: BBK + SCH/F (two 216-bit halves concatenated)
+  uint8_t schf[2 * NDB_BLK_BITS_N];
+  std::memcpy(schf, b + NDB_BLK1_OFF, NDB_BLK_BITS_N);
+  std::memcpy(schf + NDB_BLK_BITS_N, b + NDB_BLK2_OFF, NDB_BLK_BITS_N);
+  row = emit_block(c, chan, T_BBK, 0, seq_id, bbk, SB_BBK_BITS_N, t5, meta,
+                   row, cap);
+  row = emit_block(c, chan, T_SCH_F, 0, seq_id, schf, 2 * NDB_BLK_BITS_N, t5,
+                   meta, row, cap);
+  return row;
+}
+
+// one channel's feed: exact BurstSync.feed (rx/burst_sync.py:144-273)
+int64_t chan_feed(const Fleet* f, FleetChan* c, int64_t chan,
+                  const uint8_t* dibits, const uint8_t* valid, int64_t T,
+                  uint8_t* t5, int64_t* meta, int64_t row, int64_t cap) {
+  // dibits -> bits, MSB first (rx/demod.dibits_to_bits), appended under the
+  // bufsize cap (feed drops oldest bits first, like make_bitbuf_space)
+  int64_t nbits = 0;
+  for (int64_t t = 0; t < T; t++) nbits += valid[t] ? 2 : 0;
+  if (nbits == 0) return row;
+  int64_t total = c->buf_len + nbits;
+  if (total > FLEET_BUFCAP) {
+    int64_t drop = total - FLEET_BUFCAP;
+    if (drop > c->buf_len) drop = c->buf_len;
+    std::memmove(c->buf, c->buf + drop, (size_t)(c->buf_len - drop));
+    c->buf_len -= drop;
+    c->start_bitnum += drop;
+  }
+  uint8_t* w = c->buf + c->buf_len;
+  for (int64_t t = 0; t < T; t++) {
+    if (!valid[t]) continue;
+    uint8_t d = dibits[t];
+    *w++ = (d >> 1) & 1;
+    *w++ = d & 1;
+  }
+  c->buf_len += nbits;
+
+  bool progress = true;
+  while (progress) {
+    progress = false;
+    if (c->state == RX_UNLOCKED) {
+      if (c->buf_len < BITS_PER_TS * 2) break;
+      int64_t start = c->scan_from - c->start_bitnum - (f->ylen - 1);
+      if (start < 0) start = 0;
+      int64_t offs = find_seq(c->buf, c->buf_len, start, f->y, f->ylen);
+      if (offs < 0) {
+        c->scan_from = c->start_bitnum + c->buf_len;
+        break;
+      }
+      c->state = RX_KNOW_FSTART;
+      c->next_frame = c->start_bitnum + offs + SYNC_TO_NEXT;
+      progress = true;
+    } else if (c->state == RX_KNOW_FSTART) {
+      if (c->start_bitnum + c->buf_len < c->next_frame) break;
+      int64_t offset = c->next_frame - c->start_bitnum;
+      std::memmove(c->buf, c->buf + offset, (size_t)(c->buf_len - offset));
+      c->buf_len -= offset;
+      c->start_bitnum += offset;
+      c->next_frame += BITS_PER_TS;
+      c->state = RX_LOCKED;
+      progress = true;
+    } else {  // RX_LOCKED
+      if (c->buf_len < BITS_PER_TS) break;
+      add_tn(&c->time, 1);
+      c->slot_count++;
+      // steady-state fast path: expected offsets first (y@214, n/p@244)
+      int64_t seq_id = -1, offs = -1;
+      if (match_at(c->buf, c->buf_len, SYNC_TRAIN_OFFSET, f->y, f->ylen)) {
+        seq_id = TS_SYNC_ID; offs = SYNC_TRAIN_OFFSET;
+      } else if (match_at(c->buf, c->buf_len, NORM_TRAIN_OFFSET, f->n,
+                          f->nlen)) {
+        seq_id = TS_NORM_1_ID; offs = NORM_TRAIN_OFFSET;
+      } else if (match_at(c->buf, c->buf_len, NORM_TRAIN_OFFSET, f->p,
+                          f->plen)) {
+        seq_id = TS_NORM_2_ID; offs = NORM_TRAIN_OFFSET;
+      }
+      if (seq_id < 0) {
+        int64_t scan = BITS_PER_TS + 64;
+        if (scan > c->buf_len) scan = c->buf_len;
+        offs = find_train(f, c->buf, scan, true, &seq_id);
+        if (offs < 0)
+          offs = find_train(f, c->buf, c->buf_len, true, &seq_id);
+      }
+      if (offs < 0) {
+        chan_unlock(c);
+      } else if (seq_id == TS_SYNC_ID) {
+        if (offs == SYNC_TRAIN_OFFSET) {
+          row = emit_burst(c, chan, seq_id, c->buf, t5, meta, row, cap);
+        } else {
+          // wrong-offset SYNC: re-align directly to the fresh y instead of
+          // unlocking (documented + deviation, rx/burst_sync.py:245-260)
+          c->lock_losses++;
+          c->state = RX_KNOW_FSTART;
+          c->next_frame = c->start_bitnum + offs + SYNC_TO_NEXT;
+          progress = true;
+          continue;
+        }
+      } else if (offs == NORM_TRAIN_OFFSET) {
+        row = emit_burst(c, chan, seq_id, c->buf, t5, meta, row, cap);
+      }  // wrong-offset NORM: ignored, stay locked
+      std::memmove(c->buf, c->buf + BITS_PER_TS,
+                   (size_t)(c->buf_len - BITS_PER_TS));
+      c->buf_len -= BITS_PER_TS;
+      c->start_bitnum += BITS_PER_TS;
+      c->next_frame += BITS_PER_TS;
+      progress = true;
+    }
+  }
+  return row;
+}
+
+// per-channel dispatch of decoded blocks: the macparse_dispatch logic with
+// deltas applied DIRECTLY to this channel's persistent display/cell state
+// (mirrors rx/lower_mac.LowerMac._dispatch_native + its Python post-pass)
+void chan_dispatch(FleetChan* c, int64_t* scramb, const uint8_t* type1,
+                   const uint8_t* ok, const int64_t* meta,
+                   const int64_t* rows, int64_t nrows, int64_t have_voice,
+                   int64_t have_half, uint8_t* actions, int64_t* times) {
+  MacState* st = &c->mac;
+  Disp* d = &c->disp;
+  bool resync = false;
+  TTime base{};
+  int64_t base_idx = 0;
+  for (int64_t r = 0; r < nrows; r++) {
+    int64_t i = rows[r];
+    const int64_t* m = meta + i * META_COLS;
+    const uint8_t* b = type1 + i * T1_COLS;
+    int64_t bt = m[1], bnum = m[2], sidx = m[3];
+    int64_t oki = ok[i];
+    TTime t{m[7], m[6], m[5], m[4], m[8]};
+    if (resync && sidx > base_idx) {
+      t = base;
+      add_tn(&t, sidx - base_idx);
+    }
+    int64_t* tout = times + i * 5;
+    tout[0] = t.hn; tout[1] = t.mn; tout[2] = t.fn; tout[3] = t.tn;
+    tout[4] = t.sn;
+    actions[i] = 0;
+    d->curr_multiframe = t.mn;
+    d->curr_frame = t.fn;
+    int64_t tc = (m[9] == TS_SYNC_ID)     ? 3
+                 : (m[9] == TS_NORM_2_ID) ? 2
+                                          : (st->is_traffic ? 4 : 1);
+    d->timeslot_content[((t.tn - 1) % 4 + 4) % 4] = tc;
+    bool is_voice_slot = (bt == T_SCH_F && st->is_traffic);
+    if (oki) c->crc_oks++;
+    else if (!is_voice_slot) c->crc_fails++;
+    int64_t nb = (bt == T_SB1) ? 60 : (bt == T_BBK) ? 14
+                 : (bt == T_SCH_F) ? 268 : 124;
+    int64_t lchan = 0;  // LC_UNKNOWN
+    if (bt == T_SB1) {
+      d->mcc = (int64_t)peek(b, nb, 31, 10);
+      d->mnc = (int64_t)peek(b, nb, 41, 14);
+      d->cc = (int64_t)peek(b, nb, 4, 6);
+      if (oki) {
+        c->cell_cc = d->cc;
+        c->cell_time.tn = (int64_t)peek(b, nb, 10, 2) + 1;
+        c->cell_time.fn = (int64_t)peek(b, nb, 12, 5);
+        c->cell_time.mn = (int64_t)peek(b, nb, 17, 6);
+        c->cell_mcc = d->mcc;
+        c->cell_mnc = d->mnc;
+        *scramb = ((((c->cell_cc & 0x3F) | ((c->cell_mnc & 0x3FFF) << 6)
+                     | ((c->cell_mcc & 0x3FF) << 20)) << 2) | 3);
+        c->scramb_init = *scramb;
+        // PHY time resync + batch-lag correction (rx/lower_mac.py:77-87)
+        int64_t lag = c->slot_count - sidx;
+        c->time.tn = c->cell_time.tn;
+        c->time.fn = c->cell_time.fn;
+        c->time.mn = c->cell_time.mn;
+        if (lag > 0) add_tn(&c->time, lag);
+        base = TTime{c->cell_time.hn, c->cell_time.mn, c->cell_time.fn,
+                     c->cell_time.tn, c->cell_time.sn};
+        base_idx = sidx;
+        resync = true;
+        d->last_crc_fail = 0;
+      } else {
+        d->last_crc_fail = 1;
+      }
+      lchan = LC_BSCH;
+    } else if (bt == T_BBK) {
+      lchan = LC_AACH;
+    } else if (bt == T_SB2) {
+      lchan = (t.fn == 18 && t.tn == 4 - ((t.mn + 3) % 4)) ? 11 : 0;  // BNCH
+      d->last_crc_fail = oki ? 0 : 1;
+    } else if (bt == T_SCH_F) {
+      lchan = 1;  // LC_SCH_F
+      if (oki) d->last_crc_fail = 0;
+      if (st->is_traffic && have_voice) actions[i] = 1;
+    } else if (bt == T_NDB) {
+      if (st->is_traffic && bnum == 1) st->blk1_stolen = 1;
+      if (st->is_traffic && bnum == 2 && st->blk1_stolen &&
+          !st->blk2_stolen) {
+        if (have_half) actions[i] = 2;
+        continue;
+      }
+      d->last_crc_fail = oki ? 0 : 1;
+    } else {
+      d->last_crc_fail = oki ? 0 : 1;
+    }
+    if (!oki) continue;
+    uint64_t seen = 0;
+    receive_core(st, b, nb, lchan, t.tn, t.fn, &seen);
+    if (seen & (1ull << 20)) {
+      const Aach* a = &st->aach;
+      if (a->have1) { d->access1_code = 'A' + a->code1; d->access1 = a->val1; }
+      if (a->have2) { d->access2_code = 'A' + a->code2; d->access2 = a->val2; }
+      if (a->have_dl) d->dl_usage = a->dl;
+      if (a->have_ul) d->ul_usage = a->ul;
+    }
+    if (seen & (1ull << 21)) {
+      d->dl_freq = st->si.dl_freq;
+      d->ul_freq = st->si.ul_freq;
+      for (int64_t k = 0, j = 0; k < 12; k++) {
+        if (k == 3) continue;  // BS_SERVICE_FLAGS has a reserved slot
+        d->flags[j++] = (st->si.bs_service_details >> k) & 1;
+      }
+      if (!st->si.cck_valid_no_hf)
+        d->curr_hyperframe = st->si.hyperframe_number;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+Fleet* fleet_create(int64_t C, const uint8_t* y, int64_t ylen,
+                    const uint8_t* n, int64_t nlen, const uint8_t* p,
+                    int64_t plen, int64_t scramb_default) {
+  Fleet* f = new Fleet();
+  f->C = C;
+  f->scramb_default = scramb_default;
+  f->ylen = ylen; f->nlen = nlen; f->plen = plen;
+  std::memcpy(f->y, y, (size_t)ylen);
+  std::memcpy(f->n, n, (size_t)nlen);
+  std::memcpy(f->p, p, (size_t)plen);
+  f->ch = new FleetChan[C]();
+  f->scramb = new int64_t[C];
+  for (int64_t c = 0; c < C; c++) {
+    f->ch[c].time = TTime{0, 1, 1, 1, 1};       // TdmaTime defaults
+    f->ch[c].cell_time = TTime{0, 1, 1, 1, 1};
+    f->ch[c].scramb_init = scramb_default;
+    f->scramb[c] = scramb_default;
+  }
+  return f;
+}
+
+void fleet_destroy(Fleet* f) {
+  delete[] f->ch;
+  delete[] f->scramb;
+  delete f;
+}
+
+int64_t fleet_chan_size() { return (int64_t)sizeof(FleetChan); }
+void* fleet_chan_ptr(Fleet* f, int64_t c) { return &f->ch[c]; }
+void* fleet_scramb_ptr(Fleet* f) { return f->scramb; }
+
+// (C, T) dibits+valid -> type-5 rows + meta; returns row count (may exceed
+// cap: caller must check and re-call with a larger buffer -- never happens
+// with cap >= C * (T*2/510 + 2) * 3)
+int64_t fleet_feed(Fleet* f, const uint8_t* dibits, const uint8_t* valid,
+                   int64_t T, uint8_t* t5, int64_t* meta, int64_t cap) {
+  int64_t row = 0;
+  for (int64_t c = 0; c < f->C; c++)
+    row = chan_feed(f, &f->ch[c], c, dibits + c * T, valid + c * T, T, t5,
+                    meta, row, cap);
+  return row;
+}
+
+// decoded rows -> per-channel MAC dispatch.  Rows are channel-major (as
+// fleet_feed emits them); `actions` returns deferred voice work per row
+// (1 = full traffic slot, 2 = surviving half of a stolen slot).
+void fleet_dispatch(Fleet* f, const uint8_t* type1, const uint8_t* ok,
+                    const int64_t* meta, int64_t nrows, int64_t have_voice,
+                    int64_t have_half, uint8_t* actions, int64_t* times) {
+  int64_t i = 0;
+  // rows of one channel are contiguous; build the per-channel row lists on
+  // the fly (meta[:,0] is nondecreasing)
+  static thread_local int64_t* rows = nullptr;
+  static thread_local int64_t rows_cap = 0;
+  if (nrows > rows_cap) {
+    delete[] rows;
+    rows = new int64_t[nrows];
+    rows_cap = nrows;
+  }
+  while (i < nrows) {
+    int64_t chan = meta[i * META_COLS];
+    int64_t k = 0;
+    while (i < nrows && meta[i * META_COLS] == chan) rows[k++] = i++;
+    chan_dispatch(&f->ch[chan], &f->scramb[chan], type1, ok, meta, rows, k,
+                  have_voice, have_half, actions, times);
+  }
+}
+
+}  // extern "C"

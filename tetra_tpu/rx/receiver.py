@@ -44,7 +44,8 @@ class TetraReceiver:
     def __init__(self, channels: int = 1, voice_cb=None, mode: str = "fast",
                  device_acquire: bool | None = None, mac_workers: int = 0,
                  voice: bool = False, keystore: str | None = None,
-                 events: bool = True, wideband: int = 0, t50: int = 6400):
+                 events: bool = True, wideband: int = 0, t50: int = 6400,
+                 fleet: bool = False):
         """mode: "fast" = chunked-update production loops (demod_fast);
         "ff" = feedforward block receiver (demod_ff: estimate-then-apply,
         no feedback loops -- best quality floors and instant coarse-CFO
@@ -68,6 +69,12 @@ class TetraReceiver:
         LLC/MLE identification whose only output is that log, and stops the
         log growing unboundedly in long runs.
 
+        fleet: run the whole bit pipeline (burst sync + MAC dispatch +
+        display state) in the native fleet engine (rx.fleet.FleetEngine):
+        Python does two ctypes calls + one device FEC call per cycle
+        regardless of channel count -- the production path at scale.
+        Implies events=False and no crypto; voice_cb still works.
+
         wideband: N > 0 makes this an N x 25 kHz wideband receiver: feed
         raw antenna IQ at N*25 kHz through process_wideband() and the
         channelizer + 18/25 resampler + demod run fused in ONE device
@@ -87,6 +94,20 @@ class TetraReceiver:
         self.device_acquire = (channels >= 64 if device_acquire is None
                                else device_acquire)
         self.pool = None
+        self.fleet = None
+        if fleet:
+            from .fleet import FleetEngine
+            assert not mac_workers and keystore is None, \
+                "fleet mode replaces mac_workers; crypto needs the Python path"
+            self.fleet = FleetEngine(channels, voice_cb=voice_cb)
+            self.mac = []
+            self.sym_quality = np.zeros(channels, np.float32)
+            self.wideband = wideband
+            if wideband:
+                self._init_wideband(mode, t50)
+            else:
+                self._cfo_primed = False
+            return
         if mac_workers:
             from .hostpool import MacPool
             assert voice_cb is None, "pool mode: use voice=True instead"
@@ -103,24 +124,28 @@ class TetraReceiver:
         self.sym_quality = np.zeros(channels, np.float32)
         self.wideband = wideband
         if wideband:
-            from ..parallel import channelizer as CH
-            assert mode in ("fast",), "wideband fusion uses the fast chain"
-            t36 = t50 * 18 // 25
-            assert t50 % 25 == 0 and t36 % self.demod.K_SAMP == 0, (
-                "t50*18/25 must be a multiple of the demod chunk")
-            hop = wideband // 2
-            L = wideband * CH.TAPS_PER_BRANCH
-            pad = CH.RS_TAPS_PER_PHASE - 1
-            self._wb = dict(
-                t50=t50, t36=t36, hop=hop, L=L,
-                wide_len=(t50 - 1) * hop + L, advance=t50 * hop,
-                n_chunks=int(np.ceil(t36 / (self.demod.K_SYM * 1.96))) + 1,
-                buf=np.zeros(0, np.complex64),
-                hist_r=jnp.zeros((pad, channels), jnp.float32),
-                hist_i=jnp.zeros((pad, channels), jnp.float32))
-            # the ff-style coarse-CFO preset needs per-channel IQ the fused
-            # program never exposes; the FLL pulls in from zero instead
-            self._cfo_primed = True
+            self._init_wideband(mode, t50)
+
+    def _init_wideband(self, mode: str, t50: int):
+        from ..parallel import channelizer as CH
+        channels = self.channels
+        assert mode in ("fast",), "wideband fusion uses the fast chain"
+        t36 = t50 * 18 // 25
+        assert t50 % 25 == 0 and t36 % self.demod.K_SAMP == 0, (
+            "t50*18/25 must be a multiple of the demod chunk")
+        hop = self.wideband // 2
+        L = self.wideband * CH.TAPS_PER_BRANCH
+        pad = CH.RS_TAPS_PER_PHASE - 1
+        self._wb = dict(
+            t50=t50, t36=t36, hop=hop, L=L,
+            wide_len=(t50 - 1) * hop + L, advance=t50 * hop,
+            n_chunks=int(np.ceil(t36 / (self.demod.K_SYM * 1.96))) + 1,
+            buf=np.zeros(0, np.complex64),
+            hist_r=jnp.zeros((pad, channels), jnp.float32),
+            hist_i=jnp.zeros((pad, channels), jnp.float32))
+        # the ff-style coarse-CFO preset needs per-channel IQ the fused
+        # program never exposes; the FLL pulls in from zero instead
+        self._cfo_primed = True
 
     @staticmethod
     def coarse_cfo(iq: np.ndarray) -> np.ndarray:
@@ -186,6 +211,17 @@ class TetraReceiver:
         # constellation tap (reference: splitter->reshaper->GUI buffer,
         # main.cpp:85-89); kept as device arrays, fetched only on demand
         self._const = (outs["sym_re"], outs["sym_im"], valid)
+        if self.fleet is not None:
+            # fleet path: vectorized quality + the native engine's
+            # two-ctypes-calls-plus-one-device-call pipeline
+            v = valid.astype(bool)
+            cnt = v.sum(axis=1)
+            nz = cnt > 0
+            if nz.any():
+                s = np.where(v, dist, 0.0).sum(axis=1)
+                self.sym_quality[nz] = (s[nz] / cnt[nz]).astype(np.float32)
+            self.fleet.process(dibits, valid.astype(np.uint8))
+            return
         # burst sync per channel (host), then ONE cross-channel batched FEC
         # pass: device-call count stays constant as channels grow
         feeds: dict[int, np.ndarray] = {}
@@ -226,6 +262,8 @@ class TetraReceiver:
     # -- convenience views ---------------------------------------------------
 
     def display(self, c: int = 0):
+        if self.fleet is not None:
+            return self.fleet.display(c)
         if self.pool is not None:
             from .display import DisplayState
             d = self.pool.views[c].display
@@ -234,6 +272,8 @@ class TetraReceiver:
 
     def locked(self, c: int = 0) -> bool:
         from .burst_sync import RX_LOCKED
+        if self.fleet is not None:
+            return self.fleet.locked(c)
         return self.sync[c].state == RX_LOCKED
 
     def constellation(self, c: int = 0, n: int = 256):
@@ -249,6 +289,8 @@ class TetraReceiver:
 
     def crc_counts(self, c: int = 0) -> tuple[int, int]:
         """(crc_oks, crc_fails) — works in both in-process and pool modes."""
+        if self.fleet is not None:
+            return self.fleet.crc_counts(c)
         if self.pool is not None:
             v = self.pool.views[c]
             return v.crc_oks, v.crc_fails
@@ -269,6 +311,9 @@ class TetraReceiver:
     # not part of the checkpoint.
 
     def save_state(self, path: str) -> None:
+        if self.fleet is not None:
+            raise NotImplementedError("fleet-mode checkpointing: "
+                                      "use FleetEngine state directly")
         if self.pool is not None:
             raise NotImplementedError("checkpointing unsupported in "
                                       "mac_workers pool mode")

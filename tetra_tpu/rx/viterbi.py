@@ -90,6 +90,123 @@ def _viterbi(soft: jnp.ndarray, n_out: int, use_tch: bool,
     return jnp.swapaxes(bits_rev, 0, 1)  # (B, T) -- scan(reverse) keeps order
 
 
+# ---------------------------------------------------------------------------
+# Generic engine: arbitrary non-recursive (n, K <= 8) codes + tail-biting
+# (capability parity with osmo_conv.c:484-774, which handles n = 2..4,
+# K = 5/7, FLUSH / TRUNCATION / TAIL_BITING; this engine is not limited to
+# those n/K pairs).  Same batched lax.scan layout as the specialized decoder
+# above; throughput still comes from the batch axis.
+# ---------------------------------------------------------------------------
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def _generic_tables(polys: tuple[tuple[int, ...], ...]):
+    """Trellis tables for polys[(n, K)] with taps over [x_t, x_{t-1}, ...].
+
+    Returns (E, prev0, prev1, b_of, S): E[s, b, n] = +-1 expected soft sign,
+    predecessor tables for next-state ns = ((s << 1) | b) mod S (the
+    convention of viterbi_cch.c:36-60 / gen_state_info in osmo_conv.c).
+    """
+    pm = np.asarray(polys, np.int64)
+    n_out, K = pm.shape
+    S = 1 << (K - 1)
+    E = np.empty((S, 2, n_out), np.float32)
+    for s in range(S):
+        delayed = [(s >> i) & 1 for i in range(K - 1)]
+        for b in range(2):
+            window = np.array([b] + delayed, np.int64)
+            E[s, b] = 1.0 - 2.0 * ((pm @ window) % 2)
+    ns = np.arange(S)
+    # numpy results: the cache must never hold arrays materialized inside a
+    # jit trace (they would leak tracers into later traces)
+    return (E, (ns >> 1).astype(np.int32),
+            ((ns >> 1) + S // 2).astype(np.int32),
+            (ns & 1).astype(np.int32), S)
+
+
+@partial(jax.jit, static_argnames=("polys", "term"))
+def _viterbi_generic(soft: jnp.ndarray, polys: tuple, term: str):
+    E_n, prev0_n, prev1_n, b_of_n, S = _generic_tables(polys)
+    E, prev0, prev1, b_of = (jnp.asarray(E_n), jnp.asarray(prev0_n),
+                             jnp.asarray(prev1_n), jnp.asarray(b_of_n))
+    B, T, _ = soft.shape
+    half = S // 2
+
+    def acs(metrics, y):
+        bm = jnp.einsum("bn,sen->bse", y, E,
+                        preferred_element_type=jnp.float32)
+        cand0 = metrics[:, prev0] + bm[:, prev0, b_of]
+        cand1 = metrics[:, prev1] + bm[:, prev1, b_of]
+        take1 = cand1 > cand0
+        new = jnp.where(take1, cand1, cand0)
+        new = new - jnp.max(new, axis=1, keepdims=True)
+        return new, take1
+
+    seq = jnp.swapaxes(soft, 0, 1)                       # (T, B, n)
+    if term == "tailbite":
+        # osmo_conv tail-biting (conv_decode, osmo_conv.c:745-764): uniform
+        # start metrics, TWO forward passes (wrap-around), decisions from
+        # the second pass
+        init = jnp.zeros((B, S), jnp.float32)
+        mid, _ = jax.lax.scan(acs, init, seq)
+        final, decisions = jax.lax.scan(acs, mid, seq)
+    else:
+        init = jnp.full((B, S), _NEG, jnp.float32).at[:, 0].set(0.0)
+        final, decisions = jax.lax.scan(acs, init, seq)
+
+    def trace(state, dec_t):
+        bit = (state & 1).astype(jnp.uint8)
+        took1 = jnp.take_along_axis(dec_t, state, axis=1)
+        prev = jnp.where(took1, (state >> 1) + half, state >> 1)
+        return prev, bit
+
+    if term == "zero":
+        start = jnp.zeros((B, 1), jnp.int32)
+    elif term == "truncate":
+        start = jnp.argmax(final, axis=1).astype(jnp.int32)[:, None]
+    else:
+        # tail-biting state selection (traceback, osmo_conv.c:572-599):
+        # among states whose len-step traceback returns to themselves
+        # (circular consistency), pick the best end metric; if none is
+        # consistent, fall back to the best end metric overall.  All S
+        # candidate tracebacks run vectorized.
+        all_states = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None],
+                                      (B, S))
+        back, _ = jax.lax.scan(trace, all_states, decisions, reverse=True)
+        consistent = back == all_states
+        score = jnp.where(consistent, final, final - jnp.float32(1e9))
+        any_c = jnp.any(consistent, axis=1, keepdims=True)
+        score = jnp.where(any_c, score, final)
+        start = jnp.argmax(score, axis=1).astype(jnp.int32)[:, None]
+    _, bits_rev = jax.lax.scan(trace, start, decisions, reverse=True)
+    return jnp.swapaxes(bits_rev[..., 0], 0, 1)          # (B, T)
+
+
+def viterbi_decode_generic(soft: jnp.ndarray, polys, term: str = "zero"
+                           ) -> jnp.ndarray:
+    """Decode any non-recursive convolutional code, batched.
+
+    soft: (B, T, n) float32, +1 ~ bit 0 / -1 ~ bit 1 / 0 ~ punctured;
+    polys: (n, K) generator tap matrix (rows g_i over [x_t .. x_{t-K+1}]),
+    or a nested tuple of the same.  term: "zero" (encoder flushed to state
+    0 -- tail steps included in soft), "truncate" (direct truncation:
+    traceback from the best end state), or "tailbite" (tail-biting:
+    wrap-around pass + circularly-consistent best state, the
+    CONV_TERM_TAIL_BITING semantics of osmo_conv.c).
+
+    The TETRA downlink itself only ever needs the two K=5 codes of
+    viterbi_decode(); this engine provides the reference's full osmo_conv
+    generality (and beyond: any K <= 8, any n) for uplink/auxiliary use.
+    """
+    if not isinstance(polys, tuple):
+        polys = tuple(tuple(int(x) for x in row) for row in np.asarray(polys))
+    assert soft.shape[-1] == len(polys)
+    assert term in ("zero", "truncate", "tailbite")
+    return _viterbi_generic(soft.astype(jnp.float32), polys, term)
+
+
 def viterbi_decode(soft: jnp.ndarray, code: str = "cch",
                    term: str = "zero") -> jnp.ndarray:
     """Decode batched soft mother-code symbols.

@@ -58,15 +58,17 @@ def append_crc16(bits: np.ndarray) -> np.ndarray:
 def conv_encode(bits: np.ndarray, polys: np.ndarray = P.CONV_CCH_POLYS) -> np.ndarray:
     """Convolutional mother-code encoder, zero initial state.
 
-    polys has shape (N, 5) with taps over [x_n, x_{n-1}, .., x_{n-4}].
+    polys has shape (N, K) with taps over [x_n, x_{n-1}, .., x_{n-K+1}]
+    (K = 5 for both TETRA mother codes; arbitrary K supported for the
+    generic decoder, rx/viterbi.viterbi_decode_generic).
     Output shape (len(bits)*N,), interleaved g1..gN per input bit
     (semantics of lower_mac/tetra_conv_enc.c:46-95).
     """
     bits = np.asarray(bits, np.uint8)
-    n_out = polys.shape[0]
+    n_out, K = polys.shape
     # Build the delayed-bit matrix: row d = bits delayed by d (zero padded)
-    hist = np.zeros((5, len(bits)), np.uint8)
-    for d in range(5):
+    hist = np.zeros((K, len(bits)), np.uint8)
+    for d in range(K):
         if d == 0:
             hist[0] = bits
         else:
