@@ -54,9 +54,13 @@ def sharded_demod_step(mesh: Mesh, block_len: int):
     state_spec = jax.tree.map(lambda _: cspec, demod_mod.demod_init(1))
     out_spec = dict(sym_re=cspec, sym_im=cspec, dibits=cspec, valid=cspec,
                     dist=cspec, fll_freq=cspec, agc_gain=cspec)
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation, so the vma check rejects the fused-kernel path inside
+    # shard_map (the kernels are pure per-shard compute; nothing varies)
     shard = jax.shard_map(step, mesh=mesh,
                           in_specs=(state_spec, cspec, cspec),
-                          out_specs=(state_spec, out_spec))
+                          out_specs=(state_spec, out_spec),
+                          check_vma=False)
     return jax.jit(shard)
 
 
@@ -179,7 +183,8 @@ def sharded_wideband_demod_step(mesh: Mesh, n_ch: int, t50_new: int = 6400):
                     fleet_dist=Pspec())
     shard = jax.shard_map(step, mesh=mesh,
                           in_specs=(state_spec, Pspec("host"), Pspec("host")),
-                          out_specs=(state_spec, out_spec))
+                          out_specs=(state_spec, out_spec),
+                          check_vma=False)  # see sharded_demod_step
     return jax.jit(shard), wide_len, advance
 
 

@@ -579,6 +579,32 @@ def _resolve_pallas(flag) -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def pallas_interpret():
+    """Force the fused Pallas kernels, in interpret mode, for every demod
+    call inside the context -- CPU-executable validation of the EXACT
+    production kernel path (e.g. under shard_map on virtual multi-chip
+    meshes, where compiled Pallas is unavailable).  Clears the jit caches on
+    exit so interpret-mode traces never leak into compiled-mode calls."""
+    import functools
+    from ..ops import demod_pallas as DP
+    from ..ops import mm_pallas as MP
+    global USE_PALLAS, USE_PALLAS_MM
+    saved = (USE_PALLAS, USE_PALLAS_MM, DP.agc_fll_rrc, MP.mm_costas)
+    USE_PALLAS = USE_PALLAS_MM = True
+    DP.agc_fll_rrc = functools.partial(DP.agc_fll_rrc, interpret=True)
+    MP.mm_costas = functools.partial(MP.mm_costas, interpret=True)
+    try:
+        yield
+    finally:
+        USE_PALLAS, USE_PALLAS_MM, DP.agc_fll_rrc, MP.mm_costas = saved
+        _demod_block_impl.clear_cache()
+        _demod_scan_impl.clear_cache()
+
+
 def demod_block(state: FastDemodState, iq: np.ndarray):
     """Chunked-mode demod of one (C, T) complex block (complex only at the
     host boundary).  T must be a multiple of K_SAMP."""
