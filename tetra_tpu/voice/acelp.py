@@ -29,6 +29,30 @@ FRAME_BITS = 137
 FRAME_SAMPLES = 240
 SAMPLE_RATE = 8000
 
+#: 137-bit speech frame layout, serialized in the order the reference codec's
+#: Bits2prm_Tetra consumes parameters (tetra_lower_mac.c:355-363), with the
+#: published TETRA bit allocation: LSP 26 bits as three split-VQ indices
+#: (8+9+9), then per 60-sample subframe [pitch lag (8 absolute / 5 delta),
+#: 16-bit algebraic codebook word, 6-bit gain field].  Per-field sourcing
+#: confidence is recorded in PARITY.md (the ETSI quantizer codebook CONTENTS
+#: are not publicly redistributable; widths/order are the sourced part).
+FRAME_LAYOUT = (
+    ("lsp1", 0, 8), ("lsp2", 8, 9), ("lsp3", 17, 9),
+    ("pitch1", 26, 8), ("code1", 34, 16), ("gain1", 50, 6),
+    ("pitch2", 56, 5), ("code2", 61, 16), ("gain2", 77, 6),
+    ("pitch3", 83, 5), ("code3", 88, 16), ("gain3", 104, 6),
+    ("pitch4", 110, 5), ("code4", 115, 16), ("gain4", 131, 6),
+)
+assert FRAME_LAYOUT[-1][1] + FRAME_LAYOUT[-1][2] == FRAME_BITS
+
+
+def frame_field(name: str) -> tuple[int, int]:
+    """(offset, width) of a FRAME_LAYOUT field."""
+    for n, off, w in FRAME_LAYOUT:
+        if n == name:
+            return off, w
+    raise KeyError(name)
+
 
 def _load():
     global _lib

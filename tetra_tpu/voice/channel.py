@@ -8,15 +8,30 @@ Per traffic slot (two 30 ms ACELP frames, 2 x 137 = 274 speech bits):
 
   102 + 168 + 162 = 432 type-3 bits -> block interleaved -> scrambled.
 
-The mother code polynomials, puncture tables (8/12, 8/18, 8/17-STCH) and the
-class position reordering tables are protocol facts carried by the reference
-(viterbi_tch.c:29-33, tetra_conv_enc.c:99-201, tch_reordering.c:30-88).  The
-exact ETSI matrix interleaving pattern and CRC polynomial live in the ETSI
-codec sources the reference downloads at build time (absent here); this
-module uses a documented self-consistent choice for those two pieces (24x18
-block interleaver; CRC-8 poly 0x1D) - the TX fixture uses the same, so the
-loopback path is exact, and swapping in the ETSI patterns later is a
-two-constant change.
+Sourcing (per-field detail in PARITY.md):
+  * Mother code polynomials, puncture tables (8/12 = EN 300 395-2 5.5.2.1,
+    8/18 = 5.5.2.2, 8/17-STCH = 5.6.2.1) and the class position reordering
+    tables are protocol facts carried by the reference (viterbi_tch.c:29-33,
+    tetra_conv_enc.c:99-201, tch_reordering.c:30-88).  The block geometries
+    (class 2 + 8-bit CRC + 4 tail = 72 -> 162; STCH half: 30 + 4-bit CRC +
+    4 tail = 38 -> 80) are pinned by those puncturer definitions.
+  * Interleaving is EN 300 395-2 clause 5.5.3 MATRIX interleaving.  The
+    reference carries the (unused, index-buggy) matrix functions at
+    tetra_interleave.c:62-82; with their evident intent restored, the slot
+    interleaver here is that matrix with 24 lines x 18 columns: type-3 bits
+    written line by line, transmitted column by column
+    (interleaved[24*i + j] = type3[18*j + i]); the 216-bit stolen half uses
+    12 lines x 18 columns.  The line/column assignment itself is not
+    verifiable offline (the ETSI codec sources are fetched at reference
+    build time and absent here) -- the one-swap alternative is documented
+    in PARITY.md.
+  * CRC generator polynomials: CRC-8 g(X) = X^8+X^4+X^3+X^2+1 (0x1D) over
+    the 60 class-2 bits, CRC-4 g(X) = X^4+X+1 (0x3) over the stolen half's
+    30, both init 0 -- best-sourced recollection of clause 5.3, recorded as
+    unverified in PARITY.md.
+The TX fixture uses the same constants, so the loopback path is exact, and
+correcting any residual deviation against the real standard is a
+single-constant change per field.
 """
 
 from __future__ import annotations
@@ -41,17 +56,28 @@ N_C1 = 2 * N_CLASS1          # 112
 N_C2_INFO = 2 * N_CLASS2     # 60
 N_C2_BLOCK = N_C2_INFO + 8 + 4   # 72 (info + crc8 + tail)
 
-CRC8_POLY = 0x1D
+CRC8_POLY = 0x1D        # X^8+X^4+X^3+X^2+1, init 0 (clause 5.3; PARITY.md)
 
-# Speech interleaver: 24 columns x 18 rows block interleaver over the slot
-_IL_COLS = 24
+# EN 300 395-2 5.5.3 matrix interleaving: 24 lines x 18 columns for the
+# 432-bit slot (write line by line, transmit column by column) -- the
+# reference's matrix_interleave(lines, columns) semantics with its index
+# bug fixed (tetra_interleave.c:62-70: out[i*lines + j] = in[j*columns + i])
+_IL_LINES, _IL_COLUMNS = 24, 18
+
+
+def matrix_interleave_perm(lines: int, columns: int) -> np.ndarray:
+    """perm with interleaved[i*lines + j] = type3[perm[i*lines + j]] =
+    type3[j*columns + i] for i < columns, j < lines."""
+    i, j = np.meshgrid(np.arange(columns), np.arange(lines), indexing="ij")
+    out = np.empty(lines * columns, np.int32)
+    out[(i * lines + j).reshape(-1)] = (j * columns + i).reshape(-1)
+    return out
 
 
 @lru_cache(maxsize=1)
 def _interleave_perm() -> np.ndarray:
     """perm such that interleaved[i] = type3[perm[i]]."""
-    idx = np.arange(N_SLOT_BITS).reshape(_IL_COLS, N_SLOT_BITS // _IL_COLS)
-    return idx.T.reshape(-1).astype(np.int32)
+    return matrix_interleave_perm(_IL_LINES, _IL_COLUMNS)
 
 
 def interleave(bits: np.ndarray) -> np.ndarray:
@@ -153,15 +179,13 @@ N_HALF_BITS = 216
 N_HC1_CODED = 84
 N_HC2_CODED = 80
 N_HC2_BLOCK = N_CLASS2 + 4 + 4   # 38 (info + crc4 + tail)
-CRC4_POLY = 0x3                  # x^4 + x + 1
-_IL_HALF_COLS = 12
+CRC4_POLY = 0x3                  # X^4 + X + 1, init 0 (PARITY.md)
+_IL_HALF_LINES = 12
 
 
 @lru_cache(maxsize=1)
 def _half_interleave_perm() -> np.ndarray:
-    idx = np.arange(N_HALF_BITS).reshape(_IL_HALF_COLS,
-                                         N_HALF_BITS // _IL_HALF_COLS)
-    return idx.T.reshape(-1).astype(np.int32)
+    return matrix_interleave_perm(_IL_HALF_LINES, 18)
 
 
 @lru_cache(maxsize=1)

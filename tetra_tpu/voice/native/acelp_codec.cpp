@@ -13,9 +13,15 @@
 //   resolution, delta-coded across subframes), 4-pulse algebraic codebook
 //   on 15-sample track blocks (full subframe coverage), jointly-indexed
 //   pitch/code gains, pole-zero postfilter with adaptive tilt + highpass.
-// The 137-bit frame layout is this framework's own documented allocation
-// (voice/acelp.py mirrors it); audio is intelligible-speech-class output,
-// not bit-exact to the ETSI fixed-point decoder.
+// The 137-bit frame layout follows the PUBLISHED TETRA allocation as far
+// as it can be sourced (voice/acelp.py FRAME_LAYOUT mirrors it; per-field
+// sourcing in PARITY.md): LSP 26 bits as three split-VQ indices (8+9+9),
+// then per 60-sample subframe [pitch 8/5/5/5 delta-coded, 16-bit algebraic
+// code, 6-bit gains], serialized per subframe in the order Bits2prm_Tetra
+// consumes (used at tetra_lower_mac.c:355-363).  The quantizer CODEBOOK
+// CONTENTS are this framework's own (the ETSI tables are not
+// redistributable), so audio is intelligible-speech-class output, not
+// bit-exact to the ETSI fixed-point decoder.
 //
 // Plain C ABI for ctypes binding; no dependencies.
 
@@ -83,7 +89,12 @@ struct BitReader {
 // encoder/decoder divergence, e.g. across a BFI gap).
 // ---------------------------------------------------------------------------
 
-const int kLsfBits[LPC_ORDER] = {3, 3, 3, 3, 3, 2, 2, 2, 2, 3};
+// Widths grouped so the 26 LSF bits form the THREE split-VQ indices of the
+// published TETRA allocation (8 + 9 + 9): index1 = coefs 0-2 (3+3+2),
+// index2 = coefs 3-5 (3+3+3), index3 = coefs 6-9 (2+2+2+3).  Each index is
+// a product-codebook index over its coefficient group (the true ETSI VQ
+// codebooks live only in the non-redistributable codec sources).
+const int kLsfBits[LPC_ORDER] = {3, 3, 2, 3, 3, 3, 2, 2, 2, 3};
 constexpr float LSF_PRED = 0.65f;
 constexpr float LSF_SPAN = 0.25f;
 
@@ -465,17 +476,24 @@ void tetra_acelp_decode_frame(void* h, const uint8_t* bits137, int bfi,
     int lag2[NSUB], alg[NSUB], gains[NSUB];
     if (!bfi) {
         dequant_lsf(br, st->lsf_prev, lsf);        // 26 bits (predictive)
-        // absolute pitch, half-sample resolution: the full 8-bit codespace
-        // spans 20..147.5 samples in 0.5 steps (256 indices, no modulo waste)
-        lag2[0] = LAG2_MIN + br.take(8);
-        for (int s = 1; s < NSUB; s++) {
-            int delta2 = br.take(5) - 15;          // -7.5..+8 samples
-            int v = lag2[s - 1] + delta2;
-            lag2[s] = v < LAG2_MIN ? LAG2_MIN : (v > LAG2_MAX ? LAG2_MAX : v);
+        // Parameters follow in the documented serial order the reference
+        // codec consumes (Bits2prm_Tetra at tetra_lower_mac.c:355-363):
+        // per subframe [pitch, algebraic code, gains] -- {8,16,6} for
+        // subframe 1, {5,16,6} for subframes 2-4.  26+30+3*27 = 137.
+        for (int s = 0; s < NSUB; s++) {
+            if (s == 0) {
+                // absolute pitch, half-sample resolution: the full 8-bit
+                // codespace spans 20..147.5 samples in 0.5 steps
+                lag2[0] = LAG2_MIN + br.take(8);
+            } else {
+                int delta2 = br.take(5) - 15;      // -7.5..+8 samples
+                int v = lag2[s - 1] + delta2;
+                lag2[s] = v < LAG2_MIN ? LAG2_MIN
+                                       : (v > LAG2_MAX ? LAG2_MAX : v);
+            }
+            alg[s] = br.take(16);
+            gains[s] = br.take(6);
         }
-        for (int s = 0; s < NSUB; s++) alg[s] = br.take(16);
-        for (int s = 0; s < NSUB; s++) gains[s] = br.take(6);
-        // (26 + 8 + 15 + 64 + 24 = 137 bits)
     } else {
         // concealment: reuse previous LSFs, damp gains
         std::memcpy(lsf, st->lsf_prev, sizeof(lsf));
@@ -866,14 +884,18 @@ void tetra_acelp_encode_frame(void* h, const int16_t* pcm240,
                  (PITCH_MAX + EXC_PAD) * sizeof(float));
     std::memcpy(st->lsf_prev_q, lsf_q, sizeof(lsf_q));
 
-    // --- pack the 137-bit frame (layout mirrored by the decoder) ---
+    // --- pack the 137-bit frame (documented serial order; mirrored by the
+    // decoder): 3 LSP indices, then per subframe [pitch, code, gains] ---
     BitWriter bw{bits137, 0};
     for (int i = 0; i < LPC_ORDER; i++) bw.put(lsf_idx[i], kLsfBits[i]);
-    bw.put(lag2[0] - LAG2_MIN, 8);
-    for (int sub = 1; sub < NSUB; sub++)
-        bw.put(lag2[sub] - lag2[sub - 1] + 15, 5);
-    for (int sub = 0; sub < NSUB; sub++) bw.put(alg[sub], 16);
-    for (int sub = 0; sub < NSUB; sub++) bw.put(gains[sub], 6);
+    for (int sub = 0; sub < NSUB; sub++) {
+        if (sub == 0)
+            bw.put(lag2[0] - LAG2_MIN, 8);
+        else
+            bw.put(lag2[sub] - lag2[sub - 1] + 15, 5);
+        bw.put(alg[sub], 16);
+        bw.put(gains[sub], 6);
+    }
 }
 
 }  // extern "C"
