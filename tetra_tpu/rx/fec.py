@@ -314,7 +314,8 @@ def _ks432(scramb: int) -> np.ndarray:
 
 
 def decode_rows_mixed(t5: np.ndarray, blk_types: np.ndarray,
-                      scrambs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+                      scrambs: np.ndarray, min_bucket: int = 0
+                      ) -> tuple[np.ndarray, np.ndarray]:
     """Array-form decode_blocks_mixed: zero Python work per row.
 
     t5: (N, 432) uint8 type-5 rows zero-padded past each type's length
@@ -335,7 +336,10 @@ def decode_rows_mixed(t5: np.ndarray, blk_types: np.ndarray,
     ksm = np.empty((N, _MIX_T345), np.uint8)
     for s in np.unique(scrambs):
         ksm[scrambs == s] = _ks432(int(s))
-    bucket = 1 << max(2, (N - 1).bit_length())
+    # min_bucket pins the padded batch to one shape so a steady-state
+    # receiver compiles exactly ONE device program (remote compiles cost
+    # minutes per distinct shape on this backend)
+    bucket = max(1 << max(2, (N - 1).bit_length()), min_bucket)
     if bucket != N:
         pad = bucket - N
         t5 = np.concatenate([t5, np.zeros((pad, _MIX_T345), np.uint8)])

@@ -125,7 +125,7 @@ def load():
 class FleetEngine:
     """Owns the native per-channel state for `channels` channels."""
 
-    def __init__(self, channels: int, voice_cb=None):
+    def __init__(self, channels: int, voice_cb=None, pad_rows: int = 0):
         lib = load()
         if lib is None:
             raise RuntimeError("native fleet engine unavailable "
@@ -133,6 +133,10 @@ class FleetEngine:
         self.lib = lib
         self.channels = channels
         self.voice_cb = voice_cb
+        # pad the per-cycle FEC batch to one fixed bucket: a steady-state
+        # receiver then compiles exactly one mixed-decode program (remote
+        # compiles are minutes per distinct shape; rx/fec.decode_rows_mixed)
+        self.pad_rows = pad_rows
         y = np.ascontiguousarray(P.TRAIN_Y, np.uint8)
         n = np.ascontiguousarray(P.TRAIN_N, np.uint8)
         p = np.ascontiguousarray(P.TRAIN_P, np.uint8)
@@ -179,7 +183,8 @@ class FleetEngine:
         chans = meta[:, 0]
         blk_types = meta[:, 1]
         scrambs = self.scramb[chans]
-        type1, ok = rx_fec.decode_rows_mixed(t5, blk_types, scrambs)
+        type1, ok = rx_fec.decode_rows_mixed(t5, blk_types, scrambs,
+                                             min_bucket=self.pad_rows)
 
         # adopt each channel's first good SYNC PDU scrambling code and
         # re-decode rows decoded under a stale code (exactly
@@ -205,7 +210,8 @@ class FleetEngine:
             if redo.any():
                 idx = np.nonzero(redo)[0]
                 t1r, okr = rx_fec.decode_rows_mixed(
-                    t5[idx], blk_types[idx], scrambs[idx])
+                    t5[idx], blk_types[idx], scrambs[idx],
+                    min_bucket=self.pad_rows)
                 type1[idx] = t1r
                 ok[idx] = okr
 

@@ -99,7 +99,13 @@ class TetraReceiver:
             from .fleet import FleetEngine
             assert not mac_workers and keystore is None, \
                 "fleet mode replaces mac_workers; crypto needs the Python path"
-            self.fleet = FleetEngine(channels, voice_cb=voice_cb)
+            # fixed FEC bucket: the typical steady-state row count for this
+            # channel count at the default cycle length (one compiled
+            # program per receiver lifetime; see FleetEngine.pad_rows)
+            pad_rows = 1 << max(5, (channels * 28 - 1).bit_length()) \
+                if channels >= 64 else 0
+            self.fleet = FleetEngine(channels, voice_cb=voice_cb,
+                                     pad_rows=pad_rows)
             self.mac = []
             self.sym_quality = np.zeros(channels, np.float32)
             self.wideband = wideband
