@@ -65,22 +65,32 @@ def main():
     ap.add_argument("--sweep", action="store_true")
     ap.add_argument("--no-fleet", action="store_true",
                     help="python bit pipeline (round-1 baseline path)")
+    ap.add_argument("--cs16", action="store_true",
+                    help="feed SDR-native interleaved int16 (device-side "
+                         "conversion; halves the host->device bytes)")
     args = ap.parse_args()
 
     from tetra_tpu.rx.receiver import TetraReceiver
 
     def run(channels, t50, fleet=True):
         wide = build_wideband(channels, args.seconds + 1.5)
+        if args.cs16:
+            inter = np.empty(2 * len(wide), np.int16)
+            sc = 30000.0 / np.abs(wide).max()
+            inter[0::2] = np.round(wide.real * sc)
+            inter[1::2] = np.round(wide.imag * sc)
+            wide = inter
         rx = TetraReceiver(wideband=channels, t50=t50, fleet=fleet,
                            events=False)
         # warmup: compiles every program in the path AND covers the FLL
         # pull-in + scrambling acquisition (~1.5 s of air; the fused
         # wideband path has no per-channel coarse-CFO priming)
-        adv = rx._wb["advance"]
-        warm = rx._wb["wide_len"] + adv
+        stride = 2 if args.cs16 else 1
+        adv = stride * rx._wb["advance"]
+        warm = stride * rx._wb["wide_len"] + adv
         rx.process_wideband(wide[:warm])
         used = warm
-        fs = channels * 25_000
+        fs = stride * channels * 25_000
         while used < int(1.5 * fs):
             rx.process_wideband(wide[used:used + adv])
             used += adv
@@ -96,12 +106,13 @@ def main():
         n_locked = sum(rx.locked(c) for c in range(channels))
         oks = sum(rx.crc_counts(c)[0] for c in range(channels)) - ok0
         fails = sum(rx.crc_counts(c)[1] for c in range(channels)) - fail0
-        msps = processed / dt / 1e6
+        msps = processed / stride / dt / 1e6
         rt = msps * 1e6 / (channels * 25_000)   # real-time multiplexes
         assert n_locked > channels * 0.9, f"only {n_locked} locked"
         # steady state must be CRC-clean-dominated (decode-level sanity)
         assert oks > 3 * fails, (oks, fails)
         return dict(channels=channels, t50=t50, fleet=fleet,
+                    cs16=bool(args.cs16),
                     wideband_msps=round(msps, 1),
                     rt_multiplexes=round(rt, 2),
                     rt_channels=int(rt * channels),

@@ -190,6 +190,21 @@ class BurstSync:
                 self.state = RX_KNOW_FSTART
                 self.next_frame_start_bitnum = (
                     self.bitbuf_start_bitnum + offs + P.SYNC_TRAIN_TO_NEXT_SLOT)
+                # (+) decode the ANCHOR burst itself: the y we aligned on
+                # sits at slot offset 214, so its whole 510-bit slot is
+                # already buffered whenever offs >= 214.  The reference
+                # discards it (KNOW_FSTART waits for the NEXT slot,
+                # tetra_burst_sync.c:80-91), costing up to a full 72-slot
+                # SYNC period before the scrambling code is known; emitting
+                # it here cuts time-to-first-SYNC-PDU to zero.
+                a0 = offs - P.SYNC_TRAIN_OFFSET
+                if a0 >= 0 and a0 + P.BITS_PER_TS <= len(self.bitbuf):
+                    self.time.add_tn(1)
+                    self.phy.slot_count += 1
+                    out.append(Burst(P.TRAIN_SEQ_SYNC,
+                                     self.bitbuf[a0:a0 + P.BITS_PER_TS].copy(),
+                                     self.time.copy(),
+                                     self.phy.slot_count))
                 progress = True
             elif self.state == RX_KNOW_FSTART:
                 if (self.bitbuf_start_bitnum + len(self.bitbuf)

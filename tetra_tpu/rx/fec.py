@@ -205,33 +205,10 @@ def _decode_mixed_jit(type5p: jnp.ndarray, ks: jnp.ndarray,
                       tsel: jnp.ndarray):
     """type5p/ks: (B, 432) uint8 (rows zero-padded past their type's
     length); tsel: (B,) int32 variant id (0 SB1 / 1 SB2-NDB / 2 SCH-F /
-    3 BBK).  Returns (type1 (B, 268) uint8, ok (B,) bool)."""
-    B = type5p.shape[0]
-    type4 = type5p ^ ks
-    softs = []
-    for t345, t2, t1, ia in _MIX_VARIANTS:
-        t3 = type4[:, :t345][:, jnp.asarray(_deinterleave_idx(t345, ia))]
-        soft = depuncture_soft(t3, P.PUNCT_2_3, t2 * 4, 4)     # (B, t2, 4)
-        if t2 < _MIX_T2:
-            pad = jnp.full((B, _MIX_T2 - t2, 4), _MIX_PAD_AMP, jnp.float32)
-            soft = jnp.concatenate([soft, pad], axis=1)
-        softs.append(soft)
-    t3d = tsel[:, None, None]
-    soft = jnp.where(t3d == _MIX_SB1, softs[0],
-                     jnp.where(t3d == _MIX_NDB, softs[1], softs[2]))
-    type2 = viterbi_decode(soft, "cch")                        # (B, 288)
-    oks = [crc16_check(type2[..., : t1 + 16])
-           for _, _, t1, _ in _MIX_VARIANTS]
-    ok = jnp.where(tsel == _MIX_SB1, oks[0],
-                   jnp.where(tsel == _MIX_NDB, oks[1], oks[2]))
-    info14, ok_bbk = rm3014_decode(type4[:, :30])
-    type1 = type2[:, :_MIX_T1].astype(jnp.uint8)
-    bbk_row = jnp.concatenate(
-        [info14, jnp.zeros((B, _MIX_T1 - 14), info14.dtype)], axis=1)
-    is_bbk = tsel == _MIX_BBK
-    type1 = jnp.where(is_bbk[:, None], bbk_row.astype(jnp.uint8), type1)
-    ok = jnp.where(is_bbk, ok_bbk, ok)
-    return type1, ok
+    3 BBK).  Returns (type1 (B, 268) uint8, ok (B,) bool).  Body shared
+    with the packed-transfer variant (_decode_mixed_core below)."""
+    type1pad, ok = _decode_mixed_core(type5p, ks, tsel)
+    return type1pad[:, :_MIX_T1], ok
 
 
 _MIX_VARIANT_OF = {}  # blk_type -> (variant id, t345, t1)
@@ -349,6 +326,95 @@ def decode_rows_mixed(t5: np.ndarray, blk_types: np.ndarray,
                                   jnp.asarray(tsel))
     # writable host copies: callers patch rows in place (scramb adoption)
     return np.array(type1[:N]), np.array(ok[:N])
+
+
+_T5_BYTES = _MIX_T345 // 8     # 54
+_T1_BYTES = 34                 # ceil(268 / 8)
+_KS_SLOTS = 16                 # device keystream table rows (distinct cells)
+
+
+@jax.jit
+def _decode_mixed_packed_jit(t5p: jnp.ndarray, ks_table: jnp.ndarray,
+                             scramb_idx: jnp.ndarray, tsel: jnp.ndarray):
+    """Transfer-lean variant of _decode_mixed_jit: type-5 rows arrive BIT-
+    PACKED ((B, 54) uint8, MSB-first) and the keystream arrives as a row
+    INDEX into a (16, 432) device-resident table (one-hot matmul: 0/1
+    operands sum exactly even at bf16-class matmul precision).  Returns
+    (packed type1 (B, 34) uint8, ok (B,) bool).  Motivation: on the
+    tunneled backend the per-cycle host->device upload of unpacked rows
+    (~7 MB at 256 channels) dominated the whole FEC step; packing cuts the
+    link bytes ~14x each way."""
+    B = t5p.shape[0]
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (t5p[:, :, None] >> shifts[None, None, :]) & 1      # (B, 54, 8)
+    type5 = bits.reshape(B, _MIX_T345)
+    onehot = (scramb_idx[:, None] ==
+              jnp.arange(_KS_SLOTS)[None, :]).astype(jnp.float32)
+    ks = (onehot @ ks_table.astype(jnp.float32)).astype(jnp.uint8)
+    type1, ok = _decode_mixed_core(type5, ks, tsel)
+    t1b = type1.reshape(B, _T1_BYTES, 8)
+    weights = (jnp.uint8(1) << shifts).astype(jnp.uint8)
+    packed = jnp.sum(t1b * weights[None, None, :], axis=-1,
+                     dtype=jnp.uint8)
+    return packed, ok
+
+
+def _decode_mixed_core(type4_in, ks, tsel):
+    """Shared body of the mixed decode (see _decode_mixed_jit)."""
+    B = type4_in.shape[0]
+    type4 = type4_in ^ ks
+    softs = []
+    for t345, t2, t1, ia in _MIX_VARIANTS:
+        t3 = type4[:, :t345][:, jnp.asarray(_deinterleave_idx(t345, ia))]
+        soft = depuncture_soft(t3, P.PUNCT_2_3, t2 * 4, 4)
+        if t2 < _MIX_T2:
+            pad = jnp.full((B, _MIX_T2 - t2, 4), _MIX_PAD_AMP, jnp.float32)
+            soft = jnp.concatenate([soft, pad], axis=1)
+        softs.append(soft)
+    t3d = tsel[:, None, None]
+    soft = jnp.where(t3d == _MIX_SB1, softs[0],
+                     jnp.where(t3d == _MIX_NDB, softs[1], softs[2]))
+    type2 = viterbi_decode(soft, "cch")
+    oks = [crc16_check(type2[..., : t1 + 16])
+           for _, _, t1, _ in _MIX_VARIANTS]
+    ok = jnp.where(tsel == _MIX_SB1, oks[0],
+                   jnp.where(tsel == _MIX_NDB, oks[1], oks[2]))
+    info14, ok_bbk = rm3014_decode(type4[:, :30])
+    type1 = type2[:, :_MIX_T1].astype(jnp.uint8)
+    bbk_row = jnp.concatenate(
+        [info14, jnp.zeros((B, _MIX_T1 - 14), info14.dtype)], axis=1)
+    is_bbk = tsel == _MIX_BBK
+    type1 = jnp.where(is_bbk[:, None], bbk_row.astype(jnp.uint8), type1)
+    ok = jnp.where(is_bbk, ok_bbk, ok)
+    # pad type1 to a byte multiple for the packers
+    return jnp.concatenate(
+        [type1, jnp.zeros((B, _T1_BYTES * 8 - _MIX_T1), jnp.uint8)],
+        axis=1), ok
+
+
+def decode_rows_mixed_packed(t5p: np.ndarray, blk_types: np.ndarray,
+                             scramb_idx: np.ndarray, ks_table: jnp.ndarray,
+                             min_bucket: int = 0
+                             ) -> tuple[np.ndarray, np.ndarray]:
+    """Packed-transfer decode: t5p (N, 54) bit-packed rows, scramb_idx (N,)
+    rows into the (16, 432) device-resident ks_table (slot 0 must hold the
+    SCRAMB_INIT keystream; SB1 rows are forced to it here).  Returns
+    (packed type1 (N, 34) uint8, ok (N,) bool)."""
+    N = len(blk_types)
+    tsel = _MIX_TSEL_OF[np.asarray(blk_types, np.int64)]
+    assert (tsel >= 0).all(), "row type outside the fused variant table"
+    idx = np.where(np.asarray(blk_types) == P.TPSAP_T_SB1, 0,
+                   np.asarray(scramb_idx)).astype(np.int32)
+    bucket = max(1 << max(2, (N - 1).bit_length()), min_bucket)
+    if bucket != N:
+        pad = bucket - N
+        t5p = np.concatenate([t5p, np.zeros((pad, _T5_BYTES), np.uint8)])
+        idx = np.concatenate([idx, np.zeros(pad, np.int32)])
+        tsel = np.concatenate([tsel, np.full(pad, _MIX_BBK, np.int32)])
+    packed, ok = _decode_mixed_packed_jit(jnp.asarray(t5p), ks_table,
+                                          jnp.asarray(idx),
+                                          jnp.asarray(tsel))
+    return np.array(packed[:N]), np.array(ok[:N])
 
 
 def decode_block(type5: jnp.ndarray, blk_type: int,

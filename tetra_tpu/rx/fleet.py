@@ -37,7 +37,8 @@ _SO = os.path.join(_DIR, "libtetra_fleet.so")
 _lib = None
 _lock = threading.Lock()
 
-_T5_COLS, _T1_COLS, _META_COLS = 432, 268, 12
+_T5P_BYTES, _T1P_BYTES, _META_COLS = 54, 34, 12
+_KS_SLOTS = 16
 
 # display flag order (Disp.flags in fleet.cpp = BS_SERVICE_FLAGS minus the
 # reserved slot)
@@ -106,9 +107,8 @@ def load():
             lib.fleet_scramb_ptr.argtypes = [ctypes.c_void_p]
             lib.fleet_feed.restype = ctypes.c_int64
             lib.fleet_feed.argtypes = [
-                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
-                ctypes.c_int64]
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
             lib.fleet_dispatch.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -150,6 +150,13 @@ class FleetEngine:
             lib.fleet_chan_ptr(self.h, c)) for c in range(channels)]
         self._cap = 0
         self._t5 = self._meta = None
+        # device keystream table (rx/fec.decode_rows_mixed_packed): slot 0 =
+        # SCRAMB_INIT, other slots assigned cycle-locally
+        self._ks_host = np.zeros((_KS_SLOTS, 432), np.uint8)
+        self._ks_host[0] = rx_fec.keystream(P.SCRAMB_INIT, 432)
+        self._ks_slot_scramb = np.full(_KS_SLOTS, -1, np.int64)
+        self._ks_slot_scramb[0] = P.SCRAMB_INIT
+        self._ks_dev = None
 
     def __del__(self):
         try:
@@ -160,31 +167,81 @@ class FleetEngine:
     # -- per-cycle pipeline ------------------------------------------------
 
     def process(self, dibits: np.ndarray, valid: np.ndarray) -> int:
-        """One feed cycle: (C, T) dibits + valid mask -> burst sync ->
-        device FEC -> MAC dispatch.  Returns the number of blocks decoded."""
-        C, T = dibits.shape
+        """One feed cycle from separate dibit/valid arrays (packs on the
+        host; the receiver's device path delivers pre-packed bytes to
+        process_packed directly)."""
+        packed = ((np.asarray(dibits, np.uint8) & 3)
+                  | (np.asarray(valid, np.uint8) << 7))
+        return self.process_packed(packed)
+
+    def _ks_cycle_map(self, scrambs: np.ndarray):
+        """Cycle-local scrambling-code -> keystream-table-slot mapping.
+        Slot 0 is always SCRAMB_INIT; this cycle's other distinct codes get
+        slots 1..15.  Returns (idx array per row, ok) -- ok False when the
+        cycle somehow carries > 15 distinct non-init codes (the caller
+        falls back to the unpacked path)."""
+        uniq = [int(u) for u in np.unique(scrambs) if int(u) != P.SCRAMB_INIT]
+        if len(uniq) >= _KS_SLOTS:
+            return None, False
+        slot_of = {P.SCRAMB_INIT: 0}
+        dirty = False
+        for u in uniq:
+            slot = slot_of[u] = len(slot_of)
+            if self._ks_slot_scramb[slot] != u:
+                self._ks_host[slot] = rx_fec.keystream(u, 432)
+                self._ks_slot_scramb[slot] = u
+                dirty = True
+        if dirty or self._ks_dev is None:
+            import jax.numpy as jnp
+            self._ks_dev = jnp.asarray(self._ks_host)
+        lut = np.zeros(len(slot_of), np.int32)
+        keys = np.fromiter(slot_of.keys(), np.int64)
+        vals = np.fromiter(slot_of.values(), np.int32)
+        order = np.argsort(keys)
+        pos = np.searchsorted(keys[order], scrambs)
+        return vals[order][pos], True
+
+    def process_packed(self, packed: np.ndarray) -> int:
+        """One feed cycle: (C, T) packed symbol bytes (bit 7 = valid,
+        bits 1:0 = dibit) -> burst sync -> device FEC -> MAC dispatch.
+        Returns the number of blocks decoded."""
+        C, T = packed.shape
         assert C == self.channels
         cap = C * (T * 2 // P.BITS_PER_TS + 2) * 3
         if cap > self._cap:
             self._cap = cap
-            self._t5 = np.empty((cap, _T5_COLS), np.uint8)
+            self._t5 = np.empty((cap, _T5P_BYTES), np.uint8)
             self._meta = np.empty((cap, _META_COLS), np.int64)
-        dibits = np.ascontiguousarray(dibits, np.uint8)
-        valid = np.ascontiguousarray(valid, np.uint8)
-        n = self.lib.fleet_feed(self.h, dibits.ctypes.data,
-                                valid.ctypes.data, T,
+        packed = np.ascontiguousarray(packed, np.uint8)
+        n = self.lib.fleet_feed(self.h, packed.ctypes.data, T,
                                 self._t5.ctypes.data, self._meta.ctypes.data,
                                 self._cap)
         assert n <= self._cap, "fleet_feed capacity overflow"
         if n == 0:
             return 0
         meta = self._meta[:n]
-        t5 = self._t5[:n]
+        t5p = self._t5[:n]
         chans = meta[:, 0]
         blk_types = meta[:, 1]
         scrambs = self.scramb[chans]
-        type1, ok = rx_fec.decode_rows_mixed(t5, blk_types, scrambs,
-                                             min_bucket=self.pad_rows)
+
+        def decode(rows_t5p, rows_types, rows_scrambs):
+            idx, ok = self._ks_cycle_map(rows_scrambs)
+            if ok:
+                return rx_fec.decode_rows_mixed_packed(
+                    rows_t5p, rows_types, idx, self._ks_dev,
+                    min_bucket=self.pad_rows)
+            # >15 distinct cells in one cycle: unpacked fallback
+            t5u = np.unpackbits(rows_t5p, axis=1)[:, :432]
+            t1u, oku = rx_fec.decode_rows_mixed(t5u, rows_types,
+                                                rows_scrambs,
+                                                min_bucket=self.pad_rows)
+            t1pad = np.concatenate(
+                [t1u, np.zeros((len(t1u), _T1P_BYTES * 8 - t1u.shape[1]),
+                               np.uint8)], axis=1)
+            return np.packbits(t1pad, axis=1), oku
+
+        type1p, ok = decode(t5p, blk_types, scrambs)
 
         # adopt each channel's first good SYNC PDU scrambling code and
         # re-decode rows decoded under a stale code (exactly
@@ -192,34 +249,32 @@ class FleetEngine:
         sb1 = (blk_types == P.TPSAP_T_SB1) & ok
         if sb1.any():
             rows = np.nonzero(sb1)[0]
-            t1s = type1[rows]
+            t1s = np.unpackbits(type1p[rows], axis=1)
             mcc = t1s[:, 31:41] @ (1 << np.arange(9, -1, -1))
             mnc = t1s[:, 41:55] @ (1 << np.arange(13, -1, -1))
             cc = t1s[:, 4:10] @ (1 << np.arange(5, -1, -1))
             new_scr = ((cc | (mnc << 6) | (mcc << 20)) << 2) | P.SCRAMB_INIT
             redo = np.zeros(n, bool)
             adopted: dict[int, int] = {}
-            for r, s in zip(rows, new_scr):
+            for r, sc in zip(rows, new_scr):
                 c = int(chans[r])
                 if c not in adopted:
-                    adopted[c] = int(s)
-            for c, s in adopted.items():
-                if s != int(self.scramb[c]):
+                    adopted[c] = int(sc)
+            for c, sc in adopted.items():
+                if sc != int(self.scramb[c]):
                     redo |= (chans == c) & (blk_types != P.TPSAP_T_SB1)
-                    scrambs[chans == c] = s
+                    scrambs[chans == c] = sc
             if redo.any():
-                idx = np.nonzero(redo)[0]
-                t1r, okr = rx_fec.decode_rows_mixed(
-                    t5[idx], blk_types[idx], scrambs[idx],
-                    min_bucket=self.pad_rows)
-                type1[idx] = t1r
-                ok[idx] = okr
+                ridx = np.nonzero(redo)[0]
+                t1r, okr = decode(t5p[ridx], blk_types[ridx], scrambs[ridx])
+                type1p[ridx] = t1r
+                ok[ridx] = okr
 
         actions = np.empty(n, np.uint8)
         times = np.empty((n, 5), np.int64)
         okb = np.ascontiguousarray(ok, np.uint8)
-        type1 = np.ascontiguousarray(type1)
-        self.lib.fleet_dispatch(self.h, type1.ctypes.data, okb.ctypes.data,
+        type1p = np.ascontiguousarray(type1p)
+        self.lib.fleet_dispatch(self.h, type1p.ctypes.data, okb.ctypes.data,
                                 meta.ctypes.data, n,
                                 int(self.voice_cb is not None),
                                 int(getattr(self.voice_cb, "half", None)
@@ -230,8 +285,8 @@ class FleetEngine:
             for i in np.nonzero(actions)[0]:
                 c = int(chans[i])
                 t345 = int(meta[i, 10])
-                type4 = (t5[i, :t345]
-                         ^ rx_fec.keystream(int(self.scramb[c]), t345))
+                type5 = np.unpackbits(t5p[i])[:t345]
+                type4 = type5 ^ rx_fec.keystream(int(self.scramb[c]), t345)
                 # times[i] carries the restamped TDMA time (post-SB1-resync),
                 # exactly what the Python path hands its voice callbacks
                 t = TdmaTime(*(int(v) for v in times[i]))

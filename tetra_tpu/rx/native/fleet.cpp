@@ -54,8 +54,8 @@ constexpr int64_t NDB_BBK2_OFF = 266, NDB_BBK2_BITS_N = 16;
 constexpr int64_t NDB_BLK2_OFF = 282, NDB_BLK_BITS_N = 216;
 
 constexpr int64_t FLEET_BUFCAP = 1 << 16;   // bits (BurstSync.bufsize)
-constexpr int64_t T5_COLS = 432;            // padded type-5 row
-constexpr int64_t T1_COLS = 268;            // padded type-1 row
+constexpr int64_t T5P_BYTES = 54;           // bit-packed type-5 row (432/8)
+constexpr int64_t T1P_BYTES = 34;           // bit-packed type-1 row (272/8)
 constexpr int64_t META_COLS = 12;  // chan, blk_type, blk_num, slot_index,
                                    // tn, fn, mn, hn, sn, train_seq, t345, rsv
 
@@ -150,16 +150,18 @@ inline void chan_unlock(FleetChan* c) {
   c->scan_from = c->start_bitnum;
 }
 
-// emit one block row: zero-padded type-5 bits + meta
+// emit one block row: BIT-PACKED type-5 bits (MSB-first per byte; the
+// whole row crosses the host->device link, so packing cuts it 8x) + meta
 inline int64_t emit_block(const FleetChan* c, int64_t chan, int64_t blk_type,
                           int64_t blk_num, int64_t train_seq,
                           const uint8_t* bits, int64_t nbits,
                           uint8_t* t5, int64_t* meta, int64_t row,
                           int64_t cap) {
   if (row >= cap) return row + 1;  // overflow signalled to caller
-  uint8_t* dst = t5 + row * T5_COLS;
-  std::memcpy(dst, bits, (size_t)nbits);
-  if (nbits < T5_COLS) std::memset(dst + nbits, 0, (size_t)(T5_COLS - nbits));
+  uint8_t* dst = t5 + row * T5P_BYTES;
+  std::memset(dst, 0, (size_t)T5P_BYTES);
+  for (int64_t b = 0; b < nbits; b++)
+    dst[b >> 3] |= (uint8_t)((bits[b] & 1) << (7 - (b & 7)));
   int64_t* m = meta + row * META_COLS;
   m[0] = chan; m[1] = blk_type; m[2] = blk_num; m[3] = c->slot_count;
   m[4] = c->time.tn; m[5] = c->time.fn; m[6] = c->time.mn; m[7] = c->time.hn;
@@ -204,14 +206,17 @@ inline int64_t emit_burst(const FleetChan* c, int64_t chan, int64_t seq_id,
   return row;
 }
 
-// one channel's feed: exact BurstSync.feed (rx/burst_sync.py:144-273)
+// one channel's feed: exact BurstSync.feed (rx/burst_sync.py:144-273).
+// Input is the demod's PACKED output: bit 7 = valid, bits 1:0 = dibit
+// (one byte per symbol slot; the packed form is what crosses the
+// device->host link).
 int64_t chan_feed(const Fleet* f, FleetChan* c, int64_t chan,
-                  const uint8_t* dibits, const uint8_t* valid, int64_t T,
+                  const uint8_t* packed, int64_t T,
                   uint8_t* t5, int64_t* meta, int64_t row, int64_t cap) {
   // dibits -> bits, MSB first (rx/demod.dibits_to_bits), appended under the
   // bufsize cap (feed drops oldest bits first, like make_bitbuf_space)
   int64_t nbits = 0;
-  for (int64_t t = 0; t < T; t++) nbits += valid[t] ? 2 : 0;
+  for (int64_t t = 0; t < T; t++) nbits += (packed[t] & 0x80) ? 2 : 0;
   if (nbits == 0) return row;
   int64_t total = c->buf_len + nbits;
   if (total > FLEET_BUFCAP) {
@@ -223,8 +228,8 @@ int64_t chan_feed(const Fleet* f, FleetChan* c, int64_t chan,
   }
   uint8_t* w = c->buf + c->buf_len;
   for (int64_t t = 0; t < T; t++) {
-    if (!valid[t]) continue;
-    uint8_t d = dibits[t];
+    uint8_t d = packed[t];
+    if (!(d & 0x80)) continue;
     *w++ = (d >> 1) & 1;
     *w++ = d & 1;
   }
@@ -244,6 +249,15 @@ int64_t chan_feed(const Fleet* f, FleetChan* c, int64_t chan,
       }
       c->state = RX_KNOW_FSTART;
       c->next_frame = c->start_bitnum + offs + SYNC_TO_NEXT;
+      // (+) decode the ANCHOR burst itself (rx/burst_sync.py UNLOCKED
+      // branch): its 510-bit slot is already buffered when offs >= 214
+      int64_t a0 = offs - SYNC_TRAIN_OFFSET;
+      if (a0 >= 0 && a0 + BITS_PER_TS <= c->buf_len) {
+        add_tn(&c->time, 1);
+        c->slot_count++;
+        row = emit_burst(c, chan, TS_SYNC_ID, c->buf + a0, t5, meta, row,
+                         cap);
+      }
       progress = true;
     } else if (c->state == RX_KNOW_FSTART) {
       if (c->start_bitnum + c->buf_len < c->next_frame) break;
@@ -319,7 +333,13 @@ void chan_dispatch(FleetChan* c, int64_t* scramb, const uint8_t* type1,
   for (int64_t r = 0; r < nrows; r++) {
     int64_t i = rows[r];
     const int64_t* m = meta + i * META_COLS;
-    const uint8_t* b = type1 + i * T1_COLS;
+    // unpack the row's type-1 bits (the decode returns them bit-packed)
+    uint8_t b[T1P_BYTES * 8];
+    {
+      const uint8_t* pb = type1 + i * T1P_BYTES;
+      for (int64_t k = 0; k < T1P_BYTES * 8; k++)
+        b[k] = (pb[k >> 3] >> (7 - (k & 7))) & 1;
+    }
     int64_t bt = m[1], bnum = m[2], sidx = m[3];
     int64_t oki = ok[i];
     TTime t{m[7], m[6], m[5], m[4], m[8]};
@@ -453,12 +473,11 @@ void* fleet_scramb_ptr(Fleet* f) { return f->scramb; }
 // (C, T) dibits+valid -> type-5 rows + meta; returns row count (may exceed
 // cap: caller must check and re-call with a larger buffer -- never happens
 // with cap >= C * (T*2/510 + 2) * 3)
-int64_t fleet_feed(Fleet* f, const uint8_t* dibits, const uint8_t* valid,
-                   int64_t T, uint8_t* t5, int64_t* meta, int64_t cap) {
+int64_t fleet_feed(Fleet* f, const uint8_t* packed, int64_t T, uint8_t* t5,
+                   int64_t* meta, int64_t cap) {
   int64_t row = 0;
   for (int64_t c = 0; c < f->C; c++)
-    row = chan_feed(f, &f->ch[c], c, dibits + c * T, valid + c * T, T, t5,
-                    meta, row, cap);
+    row = chan_feed(f, &f->ch[c], c, packed + c * T, T, t5, meta, row, cap);
   return row;
 }
 

@@ -24,19 +24,37 @@ from .lower_mac import LowerMac, process_bursts_multi
 from .tdma import PhyState
 
 
-@partial(jax.jit, static_argnames=("n_ch", "t36", "n_chunks", "up", "upmm"))
+@partial(jax.jit, static_argnames=("n_ch", "t36", "n_chunks", "up", "upmm",
+                                   "pack", "i16"))
 def _wideband_step(dstate, wr, wi, hr, hi, n_ch: int, t36: int,
-                   n_chunks: int, up: bool, upmm: bool):
+                   n_chunks: int, up: bool, upmm: bool, pack: bool = False,
+                   i16: bool = False):
     """Fused wideband block: channelize (frame-major) -> streaming 18/25
     resample -> chunked demod, one device program (the bench_wideband
-    cascade as the production receiver path)."""
+    cascade as the production receiver path).
+
+    i16: wr/wi arrive as raw int16 (SDR-native cs16); converting on device
+    halves the host->device bytes -- the binding resource on tunneled
+    hosts, and a real PCIe saver in production.  pack: return the fleet
+    path transfer-lean outputs only -- one byte per symbol slot (bit 7 =
+    valid, bits 1:0 = dibit) + per-channel quality sums, instead of five
+    full (C, T) arrays."""
     from ..parallel import channelizer as CH
     from . import demod_fast
 
+    if i16:
+        wr = wr.astype(jnp.float32) * (1.0 / 32768.0)
+        wi = wi.astype(jnp.float32) * (1.0 / 32768.0)
     rr, ri, hr, hi = CH._front_end_block(wr, wi, hr, hi, n_ch, t36,
                                          CH._resolve_pallas(CH.USE_PALLAS))
     dstate, outs = demod_fast._demod_block_impl(dstate, rr.T, ri.T,
                                                 n_chunks, up, upmm)
+    if pack:
+        v = outs["valid"]
+        outs = dict(
+            packed=(outs["dibits"] | (v.astype(jnp.uint8) << 7)),
+            vcount=jnp.sum(v, axis=1).astype(jnp.float32),
+            dsum=jnp.sum(jnp.where(v, outs["dist"], 0.0), axis=1))
     return dstate, outs, hr, hi
 
 
@@ -194,23 +212,54 @@ class TetraReceiver:
         as ONE device program (see __init__ wideband)."""
         assert self.wideband, "construct with wideband=N"
         wb = self._wb
-        wb["buf"] = np.concatenate([wb["buf"],
-                                    np.asarray(raw, np.complex64)])
-        while len(wb["buf"]) >= wb["wide_len"]:
-            win = wb["buf"][:wb["wide_len"]]
-            wb["buf"] = wb["buf"][wb["advance"]:]
-            wr = jnp.asarray(np.ascontiguousarray(win.real, np.float32))
-            wi = jnp.asarray(np.ascontiguousarray(win.imag, np.float32))
+        raw = np.asarray(raw)
+        if raw.dtype == np.int16:
+            # SDR-native interleaved cs16: keep int16 end to end and convert
+            # ON DEVICE (_wideband_step i16=True) -- halves the upload bytes
+            if wb["buf"].dtype != np.int16:
+                assert len(wb["buf"]) == 0, "cannot mix cs16 and cf32 feeds"
+                wb["buf"] = np.zeros(0, np.int16)
+            assert len(raw) % 2 == 0, "cs16 feed must be whole I/Q pairs"
+            wb["buf"] = np.concatenate([wb["buf"], raw])
+            i16 = True
+        else:
+            wb["buf"] = np.concatenate([wb["buf"],
+                                        np.asarray(raw, np.complex64)])
+            i16 = False
+        stride = 2 if i16 else 1
+        while len(wb["buf"]) >= stride * wb["wide_len"]:
+            win = wb["buf"][:stride * wb["wide_len"]]
+            wb["buf"] = wb["buf"][stride * wb["advance"]:]
+            if i16:
+                wr = jnp.asarray(np.ascontiguousarray(win[0::2]))
+                wi = jnp.asarray(np.ascontiguousarray(win[1::2]))
+            else:
+                wr = jnp.asarray(np.ascontiguousarray(win.real, np.float32))
+                wi = jnp.asarray(np.ascontiguousarray(win.imag, np.float32))
             (self.state, outs, wb["hist_r"], wb["hist_i"]) = _wideband_step(
                 self.state, wr, wi, wb["hist_r"], wb["hist_i"],
                 self.wideband, wb["t36"], wb["n_chunks"],
                 self.demod._resolve_pallas(self.demod.USE_PALLAS),
-                self.demod._resolve_pallas(self.demod.USE_PALLAS_MM))
+                self.demod._resolve_pallas(self.demod.USE_PALLAS_MM),
+                pack=self.fleet is not None, i16=i16)
             self._post_demod(outs)
 
     def _post_demod(self, outs) -> None:
         """Shared bit pipeline: demod outputs -> burst sync -> batched
         FEC/MAC dispatch."""
+        if "packed" in outs:
+            # transfer-lean fleet path (_wideband_step pack=True): one
+            # packed byte per symbol slot + per-channel quality sums
+            packed = np.asarray(outs["packed"])
+            vcount = np.asarray(outs["vcount"])
+            dsum = np.asarray(outs["dsum"])
+            nz = vcount > 0
+            if nz.any():
+                self.sym_quality[nz] = (dsum[nz] / vcount[nz]
+                                        ).astype(np.float32)
+            self._const = None
+            self.fleet.process_packed(packed)
+            return
         dibits = np.asarray(outs["dibits"])
         valid = np.asarray(outs["valid"])
         dist = np.asarray(outs["dist"])
