@@ -65,6 +65,9 @@ def main():
     ap.add_argument("--sweep", action="store_true")
     ap.add_argument("--no-fleet", action="store_true",
                     help="python bit pipeline (round-1 baseline path)")
+    ap.add_argument("--k", type=int, default=4,
+                    help="wideband superblock depth (cycles per device "
+                         "dispatch+fetch)")
     ap.add_argument("--cs16", action="store_true",
                     help="feed SDR-native interleaved int16 (device-side "
                          "conversion; halves the host->device bytes)")
@@ -81,12 +84,12 @@ def main():
             inter[1::2] = np.round(wide.imag * sc)
             wide = inter
         rx = TetraReceiver(wideband=channels, t50=t50, fleet=fleet,
-                           events=False)
+                           events=False, wb_k=args.k)
         # warmup: compiles every program in the path AND covers the FLL
         # pull-in + scrambling acquisition (~1.5 s of air; the fused
         # wideband path has no per-channel coarse-CFO priming)
         stride = 2 if args.cs16 else 1
-        adv = stride * rx._wb["advance"]
+        adv = stride * rx._wb["advance"] * max(1, args.k)
         warm = stride * rx._wb["wide_len"] + adv
         rx.process_wideband(wide[:warm])
         used = warm
@@ -112,7 +115,7 @@ def main():
         # steady state must be CRC-clean-dominated (decode-level sanity)
         assert oks > 3 * fails, (oks, fails)
         return dict(channels=channels, t50=t50, fleet=fleet,
-                    cs16=bool(args.cs16),
+                    cs16=bool(args.cs16), k=args.k,
                     wideband_msps=round(msps, 1),
                     rt_multiplexes=round(rt, 2),
                     rt_channels=int(rt * channels),

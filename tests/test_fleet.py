@@ -169,3 +169,50 @@ def test_decode_rows_mixed_equals_decode_blocks_mixed():
     for j, (w_t1, w_ok) in enumerate(want):
         assert bool(got_ok[j]) == w_ok, j
         assert (got_t1[j, :len(w_t1)] == w_t1).all(), j
+
+
+def test_superblock_wideband_matches_per_cycle():
+    """wb_k>1 (K cycles per device dispatch) must equal the per-cycle path
+    in steady state: same locks, same display state, and CRC tallies equal
+    up to the cold-start batching effect (a bigger batch re-decodes a
+    channel's pre-SB1 rows under the adopted scrambling, exactly as feeding
+    the per-cycle path bigger chunks would)."""
+    from tetra_tpu.tx.wideband import synthesize_wideband
+
+    N = 8
+    streams = []
+    for i in range(2):
+        bits, _ = cell.downlink_bits(
+            cell.CellConfig(mcc=262, mnc=100 + i, cc=1 + i), 120,
+            start=TdmaTime(mn=2, fn=14, tn=1))
+        streams.append(bits)
+    L = min(len(s) for s in streams)
+    bitmat = np.stack([streams[c % 2][:L] for c in range(N)])
+    wide = synthesize_wideband(bitmat, N, cfo_hz=120.0, snr_db=25.0, seed=3)
+
+    def run(wb_k):
+        rx = TetraReceiver(wideband=N, fleet=True, events=False, wb_k=wb_k)
+        # trim to a whole number of 4-cycle superblocks so every wb_k
+        # processes the same span (a K-superblock holds the last < K
+        # cycles until more data arrives -- stream latency, not loss)
+        adv, wl = rx._wb["advance"], rx._wb["wide_len"]
+        M = ((len(wide) - (wl - adv)) // adv) // 4 * 4
+        data = wide[:(M - 1) * adv + wl]
+        CH = 120000
+        for i in range(0, len(data), CH):
+            rx.process_wideband(data[i:i + CH])
+        return rx
+
+    base = run(1)
+    for k in (2, 4):
+        rx = run(k)
+        for c in range(N):
+            assert rx.locked(c) == base.locked(c), (k, c)
+            assert rx.display(c).as_dict() == base.display(c).as_dict(), (
+                k, c)
+            ok_b, fail_b = base.crc_counts(c)
+            ok_k, fail_k = rx.crc_counts(c)
+            # cold-start batching can only ADD successes (earlier rows
+            # decoded under the adopted scrambling)
+            assert ok_k >= ok_b and fail_k <= fail_b, (k, c)
+            assert (ok_k - ok_b) + (fail_b - fail_k) <= 40, (k, c)

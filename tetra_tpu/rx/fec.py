@@ -356,7 +356,9 @@ def _decode_mixed_packed_jit(t5p: jnp.ndarray, ks_table: jnp.ndarray,
     weights = (jnp.uint8(1) << shifts).astype(jnp.uint8)
     packed = jnp.sum(t1b * weights[None, None, :], axis=-1,
                      dtype=jnp.uint8)
-    return packed, ok
+    # ONE fused output array: [packed type1 | ok] -- every extra
+    # device->host fetch costs a fixed round trip on remote backends
+    return jnp.concatenate([packed, ok[:, None].astype(jnp.uint8)], axis=1)
 
 
 def _decode_mixed_core(type4_in, ks, tsel):
@@ -411,10 +413,10 @@ def decode_rows_mixed_packed(t5p: np.ndarray, blk_types: np.ndarray,
         t5p = np.concatenate([t5p, np.zeros((pad, _T5_BYTES), np.uint8)])
         idx = np.concatenate([idx, np.zeros(pad, np.int32)])
         tsel = np.concatenate([tsel, np.full(pad, _MIX_BBK, np.int32)])
-    packed, ok = _decode_mixed_packed_jit(jnp.asarray(t5p), ks_table,
-                                          jnp.asarray(idx),
-                                          jnp.asarray(tsel))
-    return np.array(packed[:N]), np.array(ok[:N])
+    out = np.array(_decode_mixed_packed_jit(jnp.asarray(t5p), ks_table,
+                                            jnp.asarray(idx),
+                                            jnp.asarray(tsel))[:N])
+    return out[:, :_T1_BYTES], out[:, _T1_BYTES].astype(bool)
 
 
 def decode_block(type5: jnp.ndarray, blk_type: int,

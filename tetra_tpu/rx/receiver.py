@@ -58,12 +58,52 @@ def _wideband_step(dstate, wr, wi, hr, hi, n_ch: int, t36: int,
     return dstate, outs, hr, hi
 
 
+@partial(jax.jit, static_argnames=("n_ch", "t36", "n_chunks", "up", "upmm",
+                                   "i16", "kw"))
+def _wideband_step_scan(dstate, wrk, wik, hr, hi, n_ch: int, t36: int,
+                        n_chunks: int, up: bool, upmm: bool, i16: bool,
+                        kw: int):
+    """K-cycle superblock: kw overlapping windows (kw, wide_len) run the
+    fused front-end + demod under lax.scan and return ONE uint8 output
+    array [(C, kw*Tp) packed symbol bytes | bitcast vcount | bitcast dsum].
+    Motivation: on remote/tunneled hosts every device->host fetch pays a
+    fixed round trip; one dispatch + one fetch per kw cycles amortizes it
+    (and one PCIe transaction per superblock in production)."""
+    from ..parallel import channelizer as CH
+    from . import demod_fast
+
+    def body(carry, xs):
+        dstate, hr, hi = carry
+        wr, wi = xs
+        if i16:
+            wr = wr.astype(jnp.float32) * (1.0 / 32768.0)
+            wi = wi.astype(jnp.float32) * (1.0 / 32768.0)
+        rr, ri, hr, hi = CH._front_end_block(
+            wr, wi, hr, hi, n_ch, t36, CH._resolve_pallas(CH.USE_PALLAS))
+        dstate, outs = demod_fast._demod_block_impl(dstate, rr.T, ri.T,
+                                                    n_chunks, up, upmm)
+        v = outs["valid"]
+        packed = outs["dibits"] | (v.astype(jnp.uint8) << 7)
+        vcount = jnp.sum(v, axis=1).astype(jnp.float32)
+        dsum = jnp.sum(jnp.where(v, outs["dist"], 0.0), axis=1)
+        return (dstate, hr, hi), (packed, vcount, dsum)
+
+    (dstate, hr, hi), (packed_k, vcount_k, dsum_k) = jax.lax.scan(
+        body, (dstate, hr, hi), (wrk, wik))
+    C = packed_k.shape[1]
+    packed = jnp.moveaxis(packed_k, 0, 1).reshape(C, -1)
+    vb = jax.lax.bitcast_convert_type(vcount_k.sum(0), jnp.uint8)
+    db = jax.lax.bitcast_convert_type(dsum_k.sum(0), jnp.uint8)
+    out = jnp.concatenate([packed, vb, db], axis=1)
+    return dstate, out, hr, hi
+
+
 class TetraReceiver:
     def __init__(self, channels: int = 1, voice_cb=None, mode: str = "fast",
                  device_acquire: bool | None = None, mac_workers: int = 0,
                  voice: bool = False, keystore: str | None = None,
                  events: bool = True, wideband: int = 0, t50: int = 6400,
-                 fleet: bool = False):
+                 fleet: bool = False, wb_k: int = 1):
         """mode: "fast" = chunked-update production loops (demod_fast);
         "ff" = feedforward block receiver (demod_ff: estimate-then-apply,
         no feedback loops -- best quality floors and instant coarse-CFO
@@ -120,13 +160,15 @@ class TetraReceiver:
             # fixed FEC bucket: the typical steady-state row count for this
             # channel count at the default cycle length (one compiled
             # program per receiver lifetime; see FleetEngine.pad_rows)
-            pad_rows = 1 << max(5, (channels * 28 - 1).bit_length()) \
+            pad_rows = 1 << max(5, (channels * 28 * max(1, wb_k)
+                                    - 1).bit_length()) \
                 if channels >= 64 else 0
             self.fleet = FleetEngine(channels, voice_cb=voice_cb,
                                      pad_rows=pad_rows)
             self.mac = []
             self.sym_quality = np.zeros(channels, np.float32)
             self.wideband = wideband
+            self.wb_k = max(1, wb_k)
             if wideband:
                 self._init_wideband(mode, t50)
             else:
@@ -147,6 +189,7 @@ class TetraReceiver:
                     m.voice_cb = voice_cb
         self.sym_quality = np.zeros(channels, np.float32)
         self.wideband = wideband
+        self.wb_k = max(1, wb_k)
         if wideband:
             self._init_wideband(mode, t50)
 
@@ -227,6 +270,40 @@ class TetraReceiver:
                                         np.asarray(raw, np.complex64)])
             i16 = False
         stride = 2 if i16 else 1
+        K = self.wb_k
+        if K > 1 and self.fleet is not None:
+            # superblock path: one device dispatch + one fetch per K cycles
+            need = stride * ((K - 1) * wb["advance"] + wb["wide_len"])
+            while len(wb["buf"]) >= need:
+                if i16:
+                    wins = [wb["buf"][stride * j * wb["advance"]:
+                                      stride * (j * wb["advance"]
+                                                + wb["wide_len"])]
+                            for j in range(K)]
+                    wr = jnp.asarray(np.stack(
+                        [np.ascontiguousarray(w[0::2]) for w in wins]))
+                    wi = jnp.asarray(np.stack(
+                        [np.ascontiguousarray(w[1::2]) for w in wins]))
+                else:
+                    wins = [wb["buf"][j * wb["advance"]:
+                                      j * wb["advance"] + wb["wide_len"]]
+                            for j in range(K)]
+                    wr = jnp.asarray(np.stack(
+                        [np.ascontiguousarray(w.real, np.float32)
+                         for w in wins]))
+                    wi = jnp.asarray(np.stack(
+                        [np.ascontiguousarray(w.imag, np.float32)
+                         for w in wins]))
+                wb["buf"] = wb["buf"][stride * K * wb["advance"]:]
+                (self.state, fused, wb["hist_r"],
+                 wb["hist_i"]) = _wideband_step_scan(
+                    self.state, wr, wi, wb["hist_r"], wb["hist_i"],
+                    self.wideband, wb["t36"], wb["n_chunks"],
+                    self.demod._resolve_pallas(self.demod.USE_PALLAS),
+                    self.demod._resolve_pallas(self.demod.USE_PALLAS_MM),
+                    i16, K)
+                self._post_demod_fused(np.asarray(fused))
+            return
         while len(wb["buf"]) >= stride * wb["wide_len"]:
             win = wb["buf"][:stride * wb["wide_len"]]
             wb["buf"] = wb["buf"][stride * wb["advance"]:]
@@ -244,6 +321,22 @@ class TetraReceiver:
                 pack=self.fleet is not None, i16=i16)
             self._post_demod(outs)
 
+
+    def _apply_quality(self, vcount: np.ndarray, dsum: np.ndarray) -> None:
+        nz = vcount > 0
+        if nz.any():
+            self.sym_quality[nz] = (dsum[nz] / vcount[nz]).astype(np.float32)
+
+    def _post_demod_fused(self, fused: np.ndarray) -> None:
+        """Superblock output of _wideband_step_scan: (C, kw*Tp + 8) uint8 =
+        [packed symbol bytes | f32-bitcast vcount | f32-bitcast dsum]."""
+        packed = fused[:, :-8]
+        vcount = fused[:, -8:-4].copy().view(np.float32)[:, 0]
+        dsum = fused[:, -4:].copy().view(np.float32)[:, 0]
+        self._apply_quality(vcount, dsum)
+        self._const = None
+        self.fleet.process_packed(np.ascontiguousarray(packed))
+
     def _post_demod(self, outs) -> None:
         """Shared bit pipeline: demod outputs -> burst sync -> batched
         FEC/MAC dispatch."""
@@ -253,10 +346,7 @@ class TetraReceiver:
             packed = np.asarray(outs["packed"])
             vcount = np.asarray(outs["vcount"])
             dsum = np.asarray(outs["dsum"])
-            nz = vcount > 0
-            if nz.any():
-                self.sym_quality[nz] = (dsum[nz] / vcount[nz]
-                                        ).astype(np.float32)
+            self._apply_quality(vcount, dsum)
             self._const = None
             self.fleet.process_packed(packed)
             return

@@ -52,6 +52,12 @@ _TCH_TABLES = _trellis_tables(P.CONV_TCH_POLYS)
 
 _NEG = jnp.float32(-1e9)
 
+# lax.scan unroll factor for the ACS/traceback loops (read at trace time).
+# The mixed-FEC program's per-call latency is dominated by the 288
+# sequential trellis steps on the remote TPU backend; unrolling lets XLA
+# fuse/pipeline consecutive steps.  Tuned by scripts/probe_e2e_cost2.py.
+SCAN_UNROLL = 1
+
 
 @partial(jax.jit, static_argnames=("n_out", "use_tch", "truncate"))
 def _viterbi(soft: jnp.ndarray, n_out: int, use_tch: bool,
@@ -71,7 +77,8 @@ def _viterbi(soft: jnp.ndarray, n_out: int, use_tch: bool,
         return new, take1
 
     init = jnp.full((B, N_STATES), _NEG, jnp.float32).at[:, 0].set(0.0)
-    final, decisions = jax.lax.scan(acs, init, jnp.swapaxes(soft, 0, 1))
+    final, decisions = jax.lax.scan(acs, init, jnp.swapaxes(soft, 0, 1),
+                                    unroll=SCAN_UNROLL)
     # decisions: (T, B, 16) bool
 
     def trace(state, dec_t):
@@ -86,7 +93,8 @@ def _viterbi(soft: jnp.ndarray, n_out: int, use_tch: bool,
         start = jnp.argmax(final, axis=1).astype(jnp.int32)
     else:
         start = jnp.zeros((B,), jnp.int32)  # zero-terminated (4 tail bits)
-    _, bits_rev = jax.lax.scan(trace, start, decisions, reverse=True)
+    _, bits_rev = jax.lax.scan(trace, start, decisions, reverse=True,
+                               unroll=SCAN_UNROLL)
     return jnp.swapaxes(bits_rev, 0, 1)  # (B, T) -- scan(reverse) keeps order
 
 
