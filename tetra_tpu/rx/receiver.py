@@ -304,7 +304,7 @@ class TetraReceiver:
                     i16, K)
                 self._post_demod_fused(np.asarray(fused))
             return
-        while len(wb["buf"]) >= stride * wb["wide_len"]:
+        while len(wb["buf"]) >= stride * wb["wide_len"]:  # per-cycle path
             win = wb["buf"][:stride * wb["wide_len"]]
             wb["buf"] = wb["buf"][stride * wb["advance"]:]
             if i16:
@@ -321,6 +321,32 @@ class TetraReceiver:
                 pack=self.fleet is not None, i16=i16)
             self._post_demod(outs)
 
+    def process_wideband_staged(self, wr, wi) -> None:
+        """Superblock feed from PRE-STAGED device arrays: wr/wi are
+        (wb_k, wide_len) float32 (re, im) window stacks already resident in
+        device HBM.  This is the zero-copy ingest path for production
+        pipelines where the SDR front-end DMAs sample blocks straight into
+        device buffers (or an on-device ring holds them): the host never
+        touches the raw IQ, so the tunneled-host upload bottleneck that
+        bounds `process_wideband` on remote links disappears.  Windows must
+        overlap exactly as `process_wideband` frames them: window j covers
+        wide samples [j*advance, j*advance + wide_len) of the stream.
+
+        Equivalent decode semantics to process_wideband (same jitted
+        program); see scripts/bench_e2e.py --resident for the measured
+        device+host stack number this path sustains."""
+        assert self.wideband and self.wb_k > 1 and self.fleet is not None, \
+            "staged ingest needs wideband=N, wb_k>1, fleet=True"
+        wb = self._wb
+        assert wr.shape == (self.wb_k, wb["wide_len"]), wr.shape
+        (self.state, fused, wb["hist_r"],
+         wb["hist_i"]) = _wideband_step_scan(
+            self.state, wr, wi, wb["hist_r"], wb["hist_i"],
+            self.wideband, wb["t36"], wb["n_chunks"],
+            self.demod._resolve_pallas(self.demod.USE_PALLAS),
+            self.demod._resolve_pallas(self.demod.USE_PALLAS_MM),
+            False, self.wb_k)
+        self._post_demod_fused(np.asarray(fused))
 
     def _apply_quality(self, vcount: np.ndarray, dsum: np.ndarray) -> None:
         nz = vcount > 0
