@@ -81,6 +81,10 @@ def main():
                          "device+host stack with production (DMA/PCIe) "
                          "ingest, excluding this tunneled host's raw-IQ "
                          "upload bandwidth (reported separately)")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="with --resident: double-buffered superblocks "
+                         "(TetraReceiver(wb_pipeline=True)) so device "
+                         "compute overlaps the host bit->MAC stack")
     args = ap.parse_args()
 
     from tetra_tpu.rx.receiver import TetraReceiver
@@ -94,7 +98,8 @@ def main():
         import jax.numpy as jnp
         wide = build_wideband(channels, args.seconds + 1.5)
         rx = TetraReceiver(wideband=channels, t50=t50, fleet=True,
-                           events=False, wb_k=args.k)
+                           events=False, wb_k=args.k,
+                           wb_pipeline=args.pipeline)
         wb = rx._wb
         adv, wlen, K = wb["advance"], wb["wide_len"], args.k
         sb_adv = K * adv            # stream samples consumed per superblock
@@ -117,11 +122,13 @@ def main():
         warm_super = max(1, int(1.5 * fs / sb_adv) + 1)
         for s in range(warm_super):
             rx.process_wideband_staged(*staged[s])
+        rx.flush_wideband()
         ok0 = sum(rx.crc_counts(c)[0] for c in range(channels))
         fail0 = sum(rx.crc_counts(c)[1] for c in range(channels))
         t0 = time.perf_counter()
         for s in range(warm_super, n_super):
             rx.process_wideband_staged(*staged[s])
+        rx.flush_wideband()
         dt = time.perf_counter() - t0
         processed = (n_super - warm_super) * sb_adv
         n_locked = sum(rx.locked(c) for c in range(channels))
@@ -132,6 +139,7 @@ def main():
         assert n_locked > channels * 0.9, f"only {n_locked} locked"
         assert oks > 3 * fails, (oks, fails)
         return dict(channels=channels, t50=t50, resident=True, k=K,
+                    pipeline=bool(args.pipeline),
                     wideband_msps=round(msps, 1),
                     rt_multiplexes=round(rt, 2),
                     rt_channels=int(rt * channels),

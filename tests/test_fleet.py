@@ -216,3 +216,71 @@ def test_superblock_wideband_matches_per_cycle():
             # decoded under the adopted scrambling)
             assert ok_k >= ok_b and fail_k <= fail_b, (k, c)
             assert (ok_k - ok_b) + (fail_b - fail_k) <= 40, (k, c)
+
+
+def test_fleet_feed_giant_call_segmentation():
+    """One fleet_feed call larger than the per-channel bit ring
+    (FLEET_BUFCAP = 1<<16 bits) must equal feeding the same bytes in small
+    chunks: the C++ entry slices internally (a worst-case giant superblock
+    used to overrun the ring; segfault regression test)."""
+    from tetra_tpu.rx.fleet import FleetEngine
+
+    C = 2
+    bits, _ = cell.downlink_bits(cell.CellConfig(mcc=262, mnc=101, cc=3),
+                                 180, start=START)
+    dib = ((bits[0::2] << 1) | bits[1::2]).astype(np.uint8)
+    T = 40_000                       # symbols; 80k bits > FLEET_BUFCAP
+    assert len(dib) >= T, len(dib)
+    packed = np.broadcast_to(0x80 | dib[:T], (C, T)).copy()
+
+    f_one = FleetEngine(C)
+    f_chunk = FleetEngine(C)
+    f_one.process_packed(packed)
+    for i in range(0, T, 2048):
+        f_chunk.process_packed(packed[:, i:i + 2048])
+
+    for c in range(C):
+        a, b = f_one.chan(c), f_chunk.chan(c)
+        assert a.state == b.state == 2, c
+        assert (a.start_bitnum, a.buf_len) == (b.start_bitnum, b.buf_len), c
+        assert bytes(a.buf[:a.buf_len]) == bytes(b.buf[:b.buf_len]), c
+        assert f_one.crc_counts(c) == f_chunk.crc_counts(c), c
+        assert f_one.crc_counts(c)[0] > 0, c
+        assert f_one.display(c).as_dict() == f_chunk.display(c).as_dict(), c
+
+
+def test_pipelined_superblock_matches_sync_after_flush():
+    """wb_pipeline=True defers each superblock's host consumption by one
+    dispatch (device compute overlaps the bit->MAC stack); after
+    flush_wideband() every observable (lock, CRC tallies, display dict)
+    must equal the synchronous superblock path exactly."""
+    from tetra_tpu.tx.wideband import synthesize_wideband
+
+    N = 8
+    streams = []
+    for i in range(2):
+        bits, _ = cell.downlink_bits(
+            cell.CellConfig(mcc=262, mnc=100 + i, cc=1 + i), 120,
+            start=TdmaTime(mn=2, fn=14, tn=1))
+        streams.append(bits)
+    L = min(len(s) for s in streams)
+    bitmat = np.stack([streams[c % 2][:L] for c in range(N)])
+    wide = synthesize_wideband(bitmat, N, cfo_hz=120.0, snr_db=25.0, seed=3)
+
+    def run(pipelined):
+        rx = TetraReceiver(wideband=N, fleet=True, events=False, wb_k=2,
+                           wb_pipeline=pipelined)
+        adv, wl = rx._wb["advance"], rx._wb["wide_len"]
+        M = ((len(wide) - (wl - adv)) // adv) // 2 * 2
+        data = wide[:(M - 1) * adv + wl]
+        CH = 120000
+        for i in range(0, len(data), CH):
+            rx.process_wideband(data[i:i + CH])
+        rx.flush_wideband()
+        return rx
+
+    base, piped = run(False), run(True)
+    for c in range(N):
+        assert piped.locked(c) == base.locked(c), c
+        assert piped.crc_counts(c) == base.crc_counts(c), c
+        assert piped.display(c).as_dict() == base.display(c).as_dict(), c

@@ -207,7 +207,9 @@ class FleetEngine:
         Returns the number of blocks decoded."""
         C, T = packed.shape
         assert C == self.channels
-        cap = C * (T * 2 // P.BITS_PER_TS + 2) * 3
+        # worst case: the whole per-channel ring backlog (FLEET_BUFCAP =
+        # 1<<16 bits) drains in this call on top of the fed bits
+        cap = C * ((T * 2 + (1 << 16)) // P.BITS_PER_TS + 2) * 3
         if cap > self._cap:
             self._cap = cap
             self._t5 = np.empty((cap, _T5P_BYTES), np.uint8)

@@ -83,7 +83,7 @@ class LowerMac:
                 self.phy.time.fn = c.time.fn
                 self.phy.time.mn = c.time.mn
                 if lag > 0:
-                    self.phy.time.add_tn(lag)
+                    self.phy.time.add_tn_bulk(lag)
                 self._resync_base = (c.time.copy(), slot_index)
                 # the SYNC PDU carries the crypto context's network identity
                 # and colour code (the reference updates tcd from the same
@@ -151,7 +151,7 @@ class LowerMac:
                 base_time, base_idx = self._resync_base
                 if burst.slot_index > base_idx:
                     t = base_time.copy()
-                    t.add_tn(burst.slot_index - base_idx)
+                    t.add_tn_bulk(burst.slot_index - base_idx)
                     burst.time = t
             type1, ok = decoded[i]
             type4 = None
@@ -261,7 +261,7 @@ class LowerMac:
             self.phy.time.fn = c.time.fn
             self.phy.time.mn = c.time.mn
             if lag > 0:
-                self.phy.time.add_tn(lag)
+                self.phy.time.add_tn_bulk(lag)
         # deferred voice work (order preserved; the callbacks only consume
         # (time, type4) so running them after the batch is equivalent)
         if actions.any():

@@ -345,7 +345,7 @@ void chan_dispatch(FleetChan* c, int64_t* scramb, const uint8_t* type1,
     TTime t{m[7], m[6], m[5], m[4], m[8]};
     if (resync && sidx > base_idx) {
       t = base;
-      add_tn(&t, sidx - base_idx);
+      add_tn_serial(&t, sidx - base_idx);
     }
     int64_t* tout = times + i * 5;
     tout[0] = t.hn; tout[1] = t.mn; tout[2] = t.fn; tout[3] = t.tn;
@@ -382,7 +382,7 @@ void chan_dispatch(FleetChan* c, int64_t* scramb, const uint8_t* type1,
         c->time.tn = c->cell_time.tn;
         c->time.fn = c->cell_time.fn;
         c->time.mn = c->cell_time.mn;
-        if (lag > 0) add_tn(&c->time, lag);
+        if (lag > 0) add_tn_serial(&c->time, lag);
         base = TTime{c->cell_time.hn, c->cell_time.mn, c->cell_time.fn,
                      c->cell_time.tn, c->cell_time.sn};
         base_idx = sidx;
@@ -475,9 +475,20 @@ void* fleet_scramb_ptr(Fleet* f) { return f->scramb; }
 // with cap >= C * (T*2/510 + 2) * 3)
 int64_t fleet_feed(Fleet* f, const uint8_t* packed, int64_t T, uint8_t* t5,
                    int64_t* meta, int64_t cap) {
+  // Large superblocks (wb_k deep) can carry more bits per call than the
+  // per-channel ring holds (FLEET_BUFCAP); feed each channel in slices
+  // small enough that a slice always fits after the oldest-bit drop, and
+  // let the state machine consume between slices.  Equivalent to feeding
+  // smaller chunks (pinned by the superblock batching-equivalence test);
+  // without this a worst-case slice overran c->buf.
+  const int64_t TSEG = FLEET_BUFCAP / 4;  // 2 bits/slot worst case
   int64_t row = 0;
   for (int64_t c = 0; c < f->C; c++)
-    row = chan_feed(f, &f->ch[c], c, packed + c * T, T, t5, meta, row, cap);
+    for (int64_t t0 = 0; t0 < T; t0 += TSEG) {
+      int64_t seg = T - t0 < TSEG ? T - t0 : TSEG;
+      row = chan_feed(f, &f->ch[c], c, packed + c * T + t0, seg, t5, meta,
+                      row, cap);
+    }
   return row;
 }
 

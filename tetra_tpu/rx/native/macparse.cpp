@@ -367,6 +367,20 @@ void add_tn(TTime* t, int64_t n) {
   if (t->mn > 60) t->mn %= 60;
 }
 
+// Advance n timeslots exactly as n repeated add_tn(1) steps (the
+// reference's serial per-slot stepping).  add_tn's quirky normalization is
+// not additive across batch sizes (tn can even land on 0 for n > 1), so
+// batch-lag corrections and in-batch restamps -- which exist only because
+// we batch -- must use this batching-invariant form (TdmaTime.add_tn_bulk
+// is the Python twin).
+void add_tn_serial(TTime* t, int64_t n) {
+  int64_t tt = t->tn - 1 + n;
+  t->tn = tt % 4 + 1;
+  int64_t ff = t->fn - 1 + tt / 4;
+  t->fn = ff % 18 + 1;
+  t->mn = (t->mn - 1 + ff / 18) % 60 + 1;
+}
+
 // dout indices (mirrored as D_* in rx/native_mac.py)
 enum {
   D_CRC_OK = 0, D_CRC_FAIL, D_LAST_CRC_FAIL, D_SI_SEEN, D_HF_SEEN, D_HF_VAL,
@@ -433,7 +447,7 @@ uint64_t macparse_dispatch(MacState* st, const uint8_t* bits,
     TTime t{m[9], m[8], m[7], m[6], m[11]};
     if (resync && sidx > base_idx) {  // restamp bursts stamped pre-resync
       t = base;
-      add_tn(&t, sidx - base_idx);
+      add_tn_serial(&t, sidx - base_idx);
     }
     int64_t* tout = times + i * 5;
     tout[0] = t.hn; tout[1] = t.mn; tout[2] = t.fn; tout[3] = t.tn;

@@ -103,7 +103,8 @@ class TetraReceiver:
                  device_acquire: bool | None = None, mac_workers: int = 0,
                  voice: bool = False, keystore: str | None = None,
                  events: bool = True, wideband: int = 0, t50: int = 6400,
-                 fleet: bool = False, wb_k: int = 1):
+                 fleet: bool = False, wb_k: int = 1,
+                 wb_pipeline: bool = False):
         """mode: "fast" = chunked-update production loops (demod_fast);
         "ff" = feedforward block receiver (demod_ff: estimate-then-apply,
         no feedback loops -- best quality floors and instant coarse-CFO
@@ -169,6 +170,14 @@ class TetraReceiver:
             self.sym_quality = np.zeros(channels, np.float32)
             self.wideband = wideband
             self.wb_k = max(1, wb_k)
+            # double-buffered superblock pipelining (wb_pipeline=True):
+            # dispatch superblock s+1 before fetching s's outputs, so device
+            # compute overlaps the host bit->MAC stack (and the fetch round
+            # trip on remote hosts).  Decode state visible through
+            # display()/crc_counts() lags one superblock until
+            # flush_wideband().
+            self.wb_pipeline = bool(wb_pipeline) and self.wb_k > 1
+            self._wb_pending = None
             if wideband:
                 self._init_wideband(mode, t50)
             else:
@@ -190,6 +199,13 @@ class TetraReceiver:
         self.sym_quality = np.zeros(channels, np.float32)
         self.wideband = wideband
         self.wb_k = max(1, wb_k)
+        # double-buffered superblock pipelining (wb_pipeline=True): dispatch
+        # superblock s+1 before fetching s's outputs, so device compute
+        # overlaps the host bit->MAC stack (and the fetch round trip on
+        # remote hosts).  Decode state visible through display()/crc_counts()
+        # lags one superblock until flush_wideband().
+        self.wb_pipeline = bool(wb_pipeline) and self.wb_k > 1
+        self._wb_pending = None
         if wideband:
             self._init_wideband(mode, t50)
 
@@ -302,7 +318,7 @@ class TetraReceiver:
                     self.demod._resolve_pallas(self.demod.USE_PALLAS),
                     self.demod._resolve_pallas(self.demod.USE_PALLAS_MM),
                     i16, K)
-                self._post_demod_fused(np.asarray(fused))
+                self._consume_fused(fused)
             return
         while len(wb["buf"]) >= stride * wb["wide_len"]:  # per-cycle path
             win = wb["buf"][:stride * wb["wide_len"]]
@@ -346,7 +362,26 @@ class TetraReceiver:
             self.demod._resolve_pallas(self.demod.USE_PALLAS),
             self.demod._resolve_pallas(self.demod.USE_PALLAS_MM),
             False, self.wb_k)
-        self._post_demod_fused(np.asarray(fused))
+        self._consume_fused(fused)
+
+    def _consume_fused(self, fused) -> None:
+        """Hand a superblock's fused device output to the bit pipeline --
+        directly, or one superblock deferred when wb_pipeline is on (the
+        fetch of s then overlaps the device compute of s+1, which jax has
+        already dispatched asynchronously)."""
+        if not self.wb_pipeline:
+            self._post_demod_fused(np.asarray(fused))
+            return
+        prev, self._wb_pending = self._wb_pending, fused
+        if prev is not None:
+            self._post_demod_fused(np.asarray(prev))
+
+    def flush_wideband(self) -> None:
+        """Drain the deferred superblock of the pipelined path (call before
+        reading final state, or at end of stream)."""
+        if self._wb_pending is not None:
+            self._post_demod_fused(np.asarray(self._wb_pending))
+            self._wb_pending = None
 
     def _apply_quality(self, vcount: np.ndarray, dsum: np.ndarray) -> None:
         nz = vcount > 0

@@ -47,6 +47,19 @@ class TdmaTime:
         self.tn += n
         self._norm_tn()
 
+    def add_tn_bulk(self, n: int):
+        """Advance n timeslots exactly as n repeated add_tn(1) steps (the
+        reference's serial per-slot stepping).  add_tn(n) inherits
+        tetra_tdma.c's normalization quirks, which are NOT additive across
+        batch sizes (tn can even land on 0 for n > 1); batch-lag
+        corrections and restamps -- which exist only because we batch --
+        use this batching-invariant form (add_tn_serial is the C++ twin)."""
+        t = self.tn - 1 + n
+        self.tn = t % 4 + 1
+        f = self.fn - 1 + t // 4
+        self.fn = f % 18 + 1
+        self.mn = (self.mn - 1 + f // 18) % 60 + 1
+
     def add_fn(self, n: int):
         self.fn += n
         self._norm_fn()
