@@ -205,22 +205,43 @@ class FleetEngine:
         """One feed cycle: (C, T) packed symbol bytes (bit 7 = valid,
         bits 1:0 = dibit) -> burst sync -> device FEC -> MAC dispatch.
         Returns the number of blocks decoded."""
-        C, T = packed.shape
+        return self.process_packed_cycles(packed[None])
+
+    def process_packed_cycles(self, packed_k: np.ndarray) -> int:
+        """K feed cycles at once: (K, C, T) packed symbol bytes in the
+        demod superblock's scan-native layout (cycle major -- transposing
+        to (C, K*T) on the device was a measured ~20x penalty).  Runs K
+        native burst-sync feeds back to back, then ONE batched device FEC
+        decode and ONE native MAC dispatch over all emitted rows; dispatch
+        semantics equal feeding the cycles one by one (rows stay in
+        chronological order per channel)."""
+        K, C, T = packed_k.shape
         assert C == self.channels
         # worst case: the whole per-channel ring backlog (FLEET_BUFCAP =
-        # 1<<16 bits) drains in this call on top of the fed bits
-        cap = C * ((T * 2 + (1 << 16)) // P.BITS_PER_TS + 2) * 3
+        # 1<<16 bits) drains in one call on top of the fed bits
+        cap = C * ((K * T * 2 + (1 << 16)) // P.BITS_PER_TS + 2 * K) * 3
         if cap > self._cap:
             self._cap = cap
             self._t5 = np.empty((cap, _T5P_BYTES), np.uint8)
             self._meta = np.empty((cap, _META_COLS), np.int64)
-        packed = np.ascontiguousarray(packed, np.uint8)
-        n = self.lib.fleet_feed(self.h, packed.ctypes.data, T,
-                                self._t5.ctypes.data, self._meta.ctypes.data,
-                                self._cap)
-        assert n <= self._cap, "fleet_feed capacity overflow"
+        n = 0
+        for j in range(K):
+            pj = np.ascontiguousarray(packed_k[j], np.uint8)
+            n += self.lib.fleet_feed(
+                self.h, pj.ctypes.data, T,
+                self._t5[n:].ctypes.data, self._meta[n:].ctypes.data,
+                self._cap - n)
+            assert n <= self._cap, "fleet_feed capacity overflow"
         if n == 0:
             return 0
+        if K > 1:
+            # restore channel-major row order (one dispatch run per channel,
+            # so the SYNC-resync restamp spans the whole superblock exactly
+            # as the single-call feed did); stable sort keeps each channel's
+            # rows chronological
+            order = np.argsort(self._meta[:n, 0], kind="stable")
+            self._t5[:n] = self._t5[:n][order]
+            self._meta[:n] = self._meta[:n][order]
         meta = self._meta[:n]
         t5p = self._t5[:n]
         chans = meta[:, 0]

@@ -73,7 +73,7 @@ def _wideband_step_scan(dstate, wrk, wik, hr, hi, n_ch: int, t36: int,
     from . import demod_fast
 
     def body(carry, xs):
-        dstate, hr, hi = carry
+        dstate, hr, hi, vacc, dacc = carry
         wr, wi = xs
         if i16:
             wr = wr.astype(jnp.float32) * (1.0 / 32768.0)
@@ -84,17 +84,27 @@ def _wideband_step_scan(dstate, wrk, wik, hr, hi, n_ch: int, t36: int,
                                                     n_chunks, up, upmm)
         v = outs["valid"]
         packed = outs["dibits"] | (v.astype(jnp.uint8) << 7)
-        vcount = jnp.sum(v, axis=1).astype(jnp.float32)
-        dsum = jnp.sum(jnp.where(v, outs["dist"], 0.0), axis=1)
-        return (dstate, hr, hi), (packed, vcount, dsum)
+        vacc = vacc + jnp.sum(v, axis=1).astype(jnp.float32)
+        dacc = dacc + jnp.sum(jnp.where(v, outs["dist"], 0.0), axis=1)
+        return (dstate, hr, hi, vacc, dacc), packed
 
-    (dstate, hr, hi), (packed_k, vcount_k, dsum_k) = jax.lax.scan(
-        body, (dstate, hr, hi), (wrk, wik))
-    C = packed_k.shape[1]
-    packed = jnp.moveaxis(packed_k, 0, 1).reshape(C, -1)
-    vb = jax.lax.bitcast_convert_type(vcount_k.sum(0), jnp.uint8)
-    db = jax.lax.bitcast_convert_type(dsum_k.sum(0), jnp.uint8)
-    out = jnp.concatenate([packed, vb, db], axis=1)
+    zero = jnp.zeros((n_ch,), jnp.float32)
+    (dstate, hr, hi, vacc, dacc), packed_k = jax.lax.scan(
+        body, (dstate, hr, hi, zero, zero), (wrk, wik))
+    # Output stays in the scan-native (K, C, Tp) layout: transposing to
+    # (C, K*Tp) ON DEVICE lowered to a gather-class op on this backend and
+    # cost ~20x the whole front-end+demod compute (measured: 19 vs 377
+    # Msps at (256, 6400, K=16)).  The host feeds per-cycle slices instead
+    # (FleetEngine.process_packed_cycles).  The per-channel quality sums
+    # ride as one extra padded "cycle": row [-1, :, :4] = bitcast vcount,
+    # [-1, :, 4:8] = bitcast dsum.
+    Tp = packed_k.shape[-1]
+    vb = jax.lax.bitcast_convert_type(vacc, jnp.uint8)
+    db = jax.lax.bitcast_convert_type(dacc, jnp.uint8)
+    stats = jnp.zeros((1, n_ch, Tp), jnp.uint8)
+    stats = jax.lax.dynamic_update_slice(
+        stats, jnp.concatenate([vb, db], axis=1)[None], (0, 0, 0))
+    out = jnp.concatenate([packed_k, stats], axis=0)
     return dstate, out, hr, hi
 
 
@@ -389,14 +399,16 @@ class TetraReceiver:
             self.sym_quality[nz] = (dsum[nz] / vcount[nz]).astype(np.float32)
 
     def _post_demod_fused(self, fused: np.ndarray) -> None:
-        """Superblock output of _wideband_step_scan: (C, kw*Tp + 8) uint8 =
-        [packed symbol bytes | f32-bitcast vcount | f32-bitcast dsum]."""
-        packed = fused[:, :-8]
-        vcount = fused[:, -8:-4].copy().view(np.float32)[:, 0]
-        dsum = fused[:, -4:].copy().view(np.float32)[:, 0]
+        """Superblock output of _wideband_step_scan: (K+1, C, Tp) uint8 in
+        the scan-native layout (one packed byte per symbol slot, cycle
+        major); the last "cycle" carries the f32-bitcast per-channel
+        vcount/dsum quality sums in its first 8 columns."""
+        stats = fused[-1]
+        vcount = stats[:, 0:4].copy().view(np.float32)[:, 0]
+        dsum = stats[:, 4:8].copy().view(np.float32)[:, 0]
         self._apply_quality(vcount, dsum)
         self._const = None
-        self.fleet.process_packed(np.ascontiguousarray(packed))
+        self.fleet.process_packed_cycles(fused[:-1])
 
     def _post_demod(self, outs) -> None:
         """Shared bit pipeline: demod outputs -> burst sync -> batched
