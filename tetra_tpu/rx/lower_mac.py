@@ -69,8 +69,13 @@ class LowerMac:
                 c = self.cell
                 c.colour_code = bits_to_uint(type1, 4, 6)
                 c.time.tn = bits_to_uint(type1, 10, 2) + 1
-                c.time.fn = bits_to_uint(type1, 12, 5)
-                c.time.mn = bits_to_uint(type1, 17, 6)
+                # normalize the OTA 5/6-bit fields into their valid ranges
+                # (fn 1..18, mn 1..60): a noise-corrupted CRC-passing SYNC
+                # could otherwise store denormalized values on which the
+                # add_tn twins (Python floor-mod vs C++) disagreed (ADVICE
+                # r2); norm_field in macparse.cpp is the native twin
+                c.time.fn = (bits_to_uint(type1, 12, 5) - 1) % 18 + 1
+                c.time.mn = (bits_to_uint(type1, 17, 6) - 1) % 60 + 1
                 c.mcc = bits_to_uint(type1, 31, 10)
                 c.mnc = bits_to_uint(type1, 41, 14)
                 c.scramb_init = P.scramb_get_init(c.mcc, c.mnc, c.colour_code)

@@ -370,8 +370,8 @@ void chan_dispatch(FleetChan* c, int64_t* scramb, const uint8_t* type1,
       if (oki) {
         c->cell_cc = d->cc;
         c->cell_time.tn = (int64_t)peek(b, nb, 10, 2) + 1;
-        c->cell_time.fn = (int64_t)peek(b, nb, 12, 5);
-        c->cell_time.mn = (int64_t)peek(b, nb, 17, 6);
+        c->cell_time.fn = norm_field((int64_t)peek(b, nb, 12, 5), 18);
+        c->cell_time.mn = norm_field((int64_t)peek(b, nb, 17, 6), 60);
         c->cell_mcc = d->mcc;
         c->cell_mnc = d->mnc;
         *scramb = ((((c->cell_cc & 0x3F) | ((c->cell_mnc & 0x3FFF) << 6)
@@ -471,8 +471,10 @@ void* fleet_chan_ptr(Fleet* f, int64_t c) { return &f->ch[c]; }
 void* fleet_scramb_ptr(Fleet* f) { return f->scramb; }
 
 // (C, T) dibits+valid -> type-5 rows + meta; returns row count (may exceed
-// cap: caller must check and re-call with a larger buffer -- never happens
-// with cap >= C * (T*2/510 + 2) * 3)
+// cap: caller must check and re-call with a larger buffer).  Sizing: a call
+// can drain a full FLEET_BUFCAP ring backlog per channel ON TOP of the fed
+// bits, so cap must be >= C * ((T*2 + FLEET_BUFCAP)/510 + 2) * 3 -- the
+// backlog-inclusive formula FleetEngine.process_packed_cycles uses.
 int64_t fleet_feed(Fleet* f, const uint8_t* packed, int64_t T, uint8_t* t5,
                    int64_t* meta, int64_t cap) {
   // Large superblocks (wb_k deep) can carry more bits per call than the

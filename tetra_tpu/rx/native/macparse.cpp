@@ -367,6 +367,16 @@ void add_tn(TTime* t, int64_t n) {
   if (t->mn > 60) t->mn %= 60;
 }
 
+// Floor division/modulo (Python semantics): C++ '/'/'%' truncate toward
+// zero, which diverges from TdmaTime.add_tn_bulk on denormalized inputs
+// (e.g. an OTA-corrupted mn=0 gave 0 here but 60 in Python).  Explicit
+// floor-mod keeps the twins equal on ALL inputs, not just in-range ones.
+inline int64_t floordiv(int64_t a, int64_t b) {
+  int64_t q = a / b;
+  return (a % b != 0 && ((a < 0) != (b < 0))) ? q - 1 : q;
+}
+inline int64_t floormod(int64_t a, int64_t b) { return a - floordiv(a, b) * b; }
+
 // Advance n timeslots exactly as n repeated add_tn(1) steps (the
 // reference's serial per-slot stepping).  add_tn's quirky normalization is
 // not additive across batch sizes (tn can even land on 0 for n > 1), so
@@ -375,10 +385,18 @@ void add_tn(TTime* t, int64_t n) {
 // is the Python twin).
 void add_tn_serial(TTime* t, int64_t n) {
   int64_t tt = t->tn - 1 + n;
-  t->tn = tt % 4 + 1;
-  int64_t ff = t->fn - 1 + tt / 4;
-  t->fn = ff % 18 + 1;
-  t->mn = (t->mn - 1 + ff / 18) % 60 + 1;
+  t->tn = floormod(tt, 4) + 1;
+  int64_t ff = t->fn - 1 + floordiv(tt, 4);
+  t->fn = floormod(ff, 18) + 1;
+  t->mn = floormod(t->mn - 1 + floordiv(ff, 18), 60) + 1;
+}
+
+// Normalize OTA SYNC PDU frame/multiframe fields into their valid ranges
+// (fn: 5 bits OTA but 1..18 valid; mn: 6 bits OTA but 1..60 valid).  A
+// noise-corrupted CRC-passing SYNC could otherwise store a denormalized
+// value that the add_tn twins then disagree on (ADVICE r2).
+inline int64_t norm_field(int64_t v, int64_t m) {
+  return floormod(v - 1, m) + 1;
 }
 
 // dout indices (mirrored as D_* in rx/native_mac.py)
@@ -474,8 +492,8 @@ uint64_t macparse_dispatch(MacState* st, const uint8_t* bits,
         dout[D_CELL_MNC] = dout[D_MNC];
         dout[D_CELL_CC] = dout[D_CC];
         dout[D_CELL_TN] = (int64_t)peek(b, nb, 10, 2) + 1;
-        dout[D_CELL_FN] = (int64_t)peek(b, nb, 12, 5);
-        dout[D_CELL_MN] = (int64_t)peek(b, nb, 17, 6);
+        dout[D_CELL_FN] = norm_field((int64_t)peek(b, nb, 12, 5), 18);
+        dout[D_CELL_MN] = norm_field((int64_t)peek(b, nb, 17, 6), 60);
         dout[D_CELL_SIDX] = sidx;
         base = TTime{base_hn, dout[D_CELL_MN], dout[D_CELL_FN],
                      dout[D_CELL_TN], base_sn};
