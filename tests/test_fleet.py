@@ -249,6 +249,58 @@ def test_fleet_feed_giant_call_segmentation():
         assert f_one.display(c).as_dict() == f_chunk.display(c).as_dict(), c
 
 
+def test_packed32_feed_matches_byte_feed():
+    """The time-major nibble-stream entry (fleet_feed_tc, the superblock
+    device layout) must be exactly equivalent to K channel-major byte
+    feeds of the same dibit/valid stream -- including invalid slots and
+    ring/backlog behavior."""
+    from tetra_tpu.rx.fleet import FleetEngine
+
+    C, K, T = 3, 4, 2400                   # T % 8 == 0
+    rng = np.random.default_rng(21)
+    bits, _ = cell.downlink_bits(cell.CellConfig(mcc=262, mnc=77, cc=5),
+                                 140, start=START)
+    dib = ((bits[0::2] << 1) | bits[1::2]).astype(np.uint8)
+    need = K * T
+    assert len(dib) >= need + 64
+    dibm = np.stack([dib[c * 17:c * 17 + need] for c in range(C)])
+    valid = rng.random((C, need)) > 0.02   # sprinkle invalid slots
+    packed = ((dibm & 3) | (valid.astype(np.uint8) << 7))
+
+    # identical warmup on both engines (byte path) so scrambling is
+    # adopted before the compared span: in steady state the batched
+    # decode+dispatch of packed32 is exactly K per-cycle dispatches
+    f_byte, f_tc = FleetEngine(C), FleetEngine(C)
+    warm = packed[:, :2 * T]
+    for f in (f_byte, f_tc):
+        f.process_packed(warm[:, :T])
+        f.process_packed(warm[:, T:])
+    rest_p = packed[:, 2 * T:]
+    Kr = K - 2
+    for j in range(Kr):
+        f_byte.process_packed(rest_p[:, j * T:(j + 1) * T])
+
+    # build the (Kr*T/8, C) int32 nibble words (bit 2 = valid, bits 1:0 =
+    # dibit, lowest nibble first) exactly as _wideband_step_scan packs them
+    field = (dibm[:, 2 * T:] & 3) | (valid[:, 2 * T:].astype(np.int64) << 2)
+    w = field.T.reshape(Kr * T // 8, 8, C)
+    words = (w << (4 * np.arange(8))[None, :, None]).sum(axis=1) \
+        .astype(np.int32)
+    f_tc.process_packed32(words, Kr)
+
+    for c in range(C):
+        a, b = f_byte.chan(c), f_tc.chan(c)
+        assert a.state == b.state, c
+        assert (a.start_bitnum, a.buf_len) == (b.start_bitnum, b.buf_len), c
+        assert bytes(a.buf[:a.buf_len]) == bytes(b.buf[:b.buf_len]), c
+        assert f_byte.crc_counts(c) == f_tc.crc_counts(c), c
+        assert f_byte.display(c).as_dict() == f_tc.display(c).as_dict(), c
+        t, u = a.time, b.time
+        assert (t.hn, t.mn, t.fn, t.tn, t.sn) == (
+            u.hn, u.mn, u.fn, u.tn, u.sn), c
+    assert sum(f_byte.crc_counts(c)[0] for c in range(C)) > 0
+
+
 def test_pipelined_superblock_matches_sync_after_flush():
     """wb_pipeline=True defers each superblock's host consumption by one
     dispatch (device compute overlaps the bit->MAC stack); after

@@ -479,9 +479,19 @@ def _mm_costas_chunked(yr, yi, tail_re, tail_im, pos, omega,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("n_chunks", "use_pallas", "use_pallas_mm"))
+@partial(jax.jit, static_argnames=("n_chunks", "use_pallas", "use_pallas_mm",
+                                   "tc_out"))
 def _demod_block_impl(state: FastDemodState, xr, xi, n_chunks: int,
-                      use_pallas: bool = False, use_pallas_mm: bool = False):
+                      use_pallas: bool = False, use_pallas_mm: bool = False,
+                      tc_out: bool = False):
+    """tc_out: additionally expose dibits/valid/dist in the TIME-MAJOR
+    (T, C) layout the stage-2 kernel produces natively (keys *_tc).  The
+    superblock wideband path consumes ONLY these: on the TPU backend the
+    (T, C) -> (C, T) uint8/byte transposes of the channel-major outputs
+    lower to gather-class relayouts that cost more than the whole demod
+    compute (BENCH_DETAIL.md round-3 attribution), so its packing stays in
+    kernel layout end to end.  The channel-major keys remain for all other
+    consumers (dead-code-eliminated when unused inside an outer jit)."""
     rrc, be, _ = _tables()
     if use_pallas:
         # fused stage-1 + stage-2 kernels (ops/demod_pallas + ops/mm_pallas):
@@ -516,6 +526,8 @@ def _demod_block_impl(state: FastDemodState, xr, xi, n_chunks: int,
                 prev_sym=prev_sym)
             outs["fll_freq"] = ffreq
             outs["agc_gain"] = gain
+            if tc_out:
+                _add_tc_from_cm(outs)
             return new_state, outs
 
         mfr_ext = jnp.concatenate(
@@ -545,6 +557,11 @@ def _demod_block_impl(state: FastDemodState, xr, xi, n_chunks: int,
             valid=jnp.swapaxes(val_t, 0, 1).astype(bool),
             dist=jnp.swapaxes(dist_t, 0, 1),
             fll_freq=ffreq, agc_gain=gain)
+        if tc_out:
+            # kernel-native layout, zero relayout work
+            outs["dibits_tc"] = dib_t
+            outs["valid_tc"] = val_t
+            outs["dist_tc"] = dist_t
         return new_state, outs
     else:
         rotr, roti, gain, fphase, ffreq, fhre, fhim = _agc_fll_chunked(
@@ -564,7 +581,18 @@ def _demod_block_impl(state: FastDemodState, xr, xi, n_chunks: int,
         cos_phase=cphase, cos_freq=cfreq, cos_ph2=ph2, prev_sym=prev_sym)
     outs["fll_freq"] = ffreq
     outs["agc_gain"] = gain
+    if tc_out:
+        _add_tc_from_cm(outs)
     return new_state, outs
+
+
+def _add_tc_from_cm(outs: dict) -> None:
+    """Derive the time-major *_tc keys from channel-major outputs (XLA
+    paths; a cheap transpose on CPU -- the TPU production path gets them
+    natively from the stage-2 kernel)."""
+    outs["dibits_tc"] = jnp.swapaxes(outs["dibits"], 0, 1).astype(jnp.int32)
+    outs["valid_tc"] = jnp.swapaxes(outs["valid"], 0, 1).astype(jnp.int32)
+    outs["dist_tc"] = jnp.swapaxes(outs["dist"], 0, 1)
 
 
 # Pallas kernel selection: None = auto (fused kernels on TPU backends, XLA

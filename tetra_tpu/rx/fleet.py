@@ -109,6 +109,11 @@ def load():
             lib.fleet_feed.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+            lib.fleet_feed_tc.restype = ctypes.c_int64
+            lib.fleet_feed_tc.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64]
             lib.fleet_dispatch.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -207,23 +212,26 @@ class FleetEngine:
         Returns the number of blocks decoded."""
         return self.process_packed_cycles(packed[None])
 
-    def process_packed_cycles(self, packed_k: np.ndarray) -> int:
-        """K feed cycles at once: (K, C, T) packed symbol bytes in the
-        demod superblock's scan-native layout (cycle major -- transposing
-        to (C, K*T) on the device was a measured ~20x penalty).  Runs K
-        native burst-sync feeds back to back, then ONE batched device FEC
-        decode and ONE native MAC dispatch over all emitted rows; dispatch
-        semantics equal feeding the cycles one by one (rows stay in
-        chronological order per channel)."""
-        K, C, T = packed_k.shape
-        assert C == self.channels
+    def _ensure_rowbufs(self, K: int, T: int) -> None:
         # worst case: the whole per-channel ring backlog (FLEET_BUFCAP =
         # 1<<16 bits) drains in one call on top of the fed bits
-        cap = C * ((K * T * 2 + (1 << 16)) // P.BITS_PER_TS + 2 * K) * 3
+        cap = self.channels * (
+            (K * T * 2 + (1 << 16)) // P.BITS_PER_TS + 2 * K) * 3
         if cap > self._cap:
             self._cap = cap
             self._t5 = np.empty((cap, _T5P_BYTES), np.uint8)
             self._meta = np.empty((cap, _META_COLS), np.int64)
+
+    def process_packed_cycles(self, packed_k: np.ndarray) -> int:
+        """K feed cycles at once: (K, C, T) packed symbol bytes in the
+        channel-major per-cycle layout.  Runs K native burst-sync feeds
+        back to back, then ONE batched device FEC decode and ONE native MAC
+        dispatch over all emitted rows; dispatch semantics equal feeding
+        the cycles one by one (rows stay in chronological order per
+        channel)."""
+        K, C, T = packed_k.shape
+        assert C == self.channels
+        self._ensure_rowbufs(K, T)
         n = 0
         for j in range(K):
             pj = np.ascontiguousarray(packed_k[j], np.uint8)
@@ -232,6 +240,31 @@ class FleetEngine:
                 self._t5[n:].ctypes.data, self._meta[n:].ctypes.data,
                 self._cap - n)
             assert n <= self._cap, "fleet_feed capacity overflow"
+        return self._decode_dispatch(n, K)
+
+    def process_packed32(self, words: np.ndarray, K: int) -> int:
+        """K feed cycles from the superblock's TIME-MAJOR nibble-packed
+        device output (rx/receiver._wideband_step_scan): words (K*G, C)
+        int32, cycle-major rows; each int32 packs 8 consecutive symbol
+        slots of one channel as 4-bit fields (bit 2 = valid, bits 1:0 =
+        dibit, lowest nibble first).  The C++ engine reads the nibble
+        stream directly (fleet_feed_tc) -- no host-side transpose or
+        unpack.  Semantics equal K process_packed calls on the unpacked
+        channel-major bytes (tests/test_fleet.py)."""
+        R, C = words.shape
+        assert C == self.channels and R % K == 0
+        G = R // K
+        self._ensure_rowbufs(K, G * 8)
+        words = np.ascontiguousarray(words, np.int32)
+        n = int(self.lib.fleet_feed_tc(
+            self.h, words.ctypes.data, K, G,
+            self._t5.ctypes.data, self._meta.ctypes.data, self._cap))
+        assert n <= self._cap, "fleet_feed_tc capacity overflow"
+        return self._decode_dispatch(n, K)
+
+    def _decode_dispatch(self, n: int, K: int) -> int:
+        """Shared back half: (already-emitted) type-5 rows -> one device
+        FEC call -> native MAC dispatch -> deferred voice callbacks."""
         if n == 0:
             return 0
         if K > 1:

@@ -206,18 +206,8 @@ inline int64_t emit_burst(const FleetChan* c, int64_t chan, int64_t seq_id,
   return row;
 }
 
-// one channel's feed: exact BurstSync.feed (rx/burst_sync.py:144-273).
-// Input is the demod's PACKED output: bit 7 = valid, bits 1:0 = dibit
-// (one byte per symbol slot; the packed form is what crosses the
-// device->host link).
-int64_t chan_feed(const Fleet* f, FleetChan* c, int64_t chan,
-                  const uint8_t* packed, int64_t T,
-                  uint8_t* t5, int64_t* meta, int64_t row, int64_t cap) {
-  // dibits -> bits, MSB first (rx/demod.dibits_to_bits), appended under the
-  // bufsize cap (feed drops oldest bits first, like make_bitbuf_space)
-  int64_t nbits = 0;
-  for (int64_t t = 0; t < T; t++) nbits += (packed[t] & 0x80) ? 2 : 0;
-  if (nbits == 0) return row;
+// drop oldest ring bits so nbits more fit (make_bitbuf_space semantics)
+inline void chan_make_space(FleetChan* c, int64_t nbits) {
   int64_t total = c->buf_len + nbits;
   if (total > FLEET_BUFCAP) {
     int64_t drop = total - FLEET_BUFCAP;
@@ -226,15 +216,12 @@ int64_t chan_feed(const Fleet* f, FleetChan* c, int64_t chan,
     c->buf_len -= drop;
     c->start_bitnum += drop;
   }
-  uint8_t* w = c->buf + c->buf_len;
-  for (int64_t t = 0; t < T; t++) {
-    uint8_t d = packed[t];
-    if (!(d & 0x80)) continue;
-    *w++ = (d >> 1) & 1;
-    *w++ = d & 1;
-  }
-  c->buf_len += nbits;
+}
 
+// run the burst-sync state machine over whatever is buffered: exact
+// BurstSync.feed consume loop (rx/burst_sync.py:144-273)
+int64_t chan_consume(const Fleet* f, FleetChan* c, int64_t chan,
+                     uint8_t* t5, int64_t* meta, int64_t row, int64_t cap) {
   bool progress = true;
   while (progress) {
     progress = false;
@@ -316,6 +303,60 @@ int64_t chan_feed(const Fleet* f, FleetChan* c, int64_t chan,
     }
   }
   return row;
+}
+
+// one channel's feed: exact BurstSync.feed (rx/burst_sync.py:144-273).
+// Input is the demod's PACKED BYTE output: bit 7 = valid, bits 1:0 = dibit
+// (one byte per symbol slot).
+int64_t chan_feed(const Fleet* f, FleetChan* c, int64_t chan,
+                  const uint8_t* packed, int64_t T,
+                  uint8_t* t5, int64_t* meta, int64_t row, int64_t cap) {
+  // dibits -> bits, MSB first (rx/demod.dibits_to_bits), appended under the
+  // bufsize cap (feed drops oldest bits first, like make_bitbuf_space)
+  int64_t nbits = 0;
+  for (int64_t t = 0; t < T; t++) nbits += (packed[t] & 0x80) ? 2 : 0;
+  if (nbits == 0) return row;
+  chan_make_space(c, nbits);
+  uint8_t* w = c->buf + c->buf_len;
+  for (int64_t t = 0; t < T; t++) {
+    uint8_t d = packed[t];
+    if (!(d & 0x80)) continue;
+    *w++ = (d >> 1) & 1;
+    *w++ = d & 1;
+  }
+  c->buf_len += nbits;
+  return chan_consume(f, c, chan, t5, meta, row, cap);
+}
+
+// one channel's feed from the superblock's TIME-MAJOR nibble stream: G
+// int32 words at stride `strideC` (words of one channel within a (G, C)
+// row-major block); each word packs 8 symbol slots as 4-bit fields
+// (bit 2 = valid, bits 1:0 = dibit, lowest nibble first) -- the device
+// output of rx/receiver._wideband_step_scan, consumed with no host-side
+// transpose or unpack.
+int64_t chan_feed_tc(const Fleet* f, FleetChan* c, int64_t chan,
+                     const int32_t* words, int64_t G, int64_t strideC,
+                     uint8_t* t5, int64_t* meta, int64_t row, int64_t cap) {
+  int64_t nbits = 0;
+  for (int64_t g = 0; g < G; g++) {
+    uint32_t wd = (uint32_t)words[g * strideC];
+    // count valid fields: sum of bit 2 per nibble
+    wd = (wd >> 2) & 0x11111111u;
+    nbits += 2 * (int64_t)((wd * 0x11111111u) >> 28);
+  }
+  if (nbits == 0) return row;
+  chan_make_space(c, nbits);
+  uint8_t* w = c->buf + c->buf_len;
+  for (int64_t g = 0; g < G; g++) {
+    uint32_t wd = (uint32_t)words[g * strideC];
+    for (int64_t j = 0; j < 8; j++, wd >>= 4) {
+      if (!(wd & 4)) continue;
+      *w++ = (uint8_t)((wd >> 1) & 1);
+      *w++ = (uint8_t)(wd & 1);
+    }
+  }
+  c->buf_len += nbits;
+  return chan_consume(f, c, chan, t5, meta, row, cap);
 }
 
 // per-channel dispatch of decoded blocks: the macparse_dispatch logic with
@@ -491,6 +532,27 @@ int64_t fleet_feed(Fleet* f, const uint8_t* packed, int64_t T, uint8_t* t5,
       row = chan_feed(f, &f->ch[c], c, packed + c * T + t0, seg, t5, meta,
                       row, cap);
     }
+  return row;
+}
+
+// TIME-MAJOR superblock feed: w is (K*G, C) int32, cycle-major (cycle j's
+// rows are [j*G, (j+1)*G)); each int32 packs 8 symbol slots of one channel
+// as 4-bit fields (bit 2 = valid, bits 1:0 = dibit).  Equivalent to K
+// fleet_feed calls on the unpacked channel-major bytes; rows come out in
+// (cycle, channel) order -- the Python caller re-sorts channel-major as it
+// does for process_packed_cycles.  Same cap rule as fleet_feed.
+int64_t fleet_feed_tc(Fleet* f, const int32_t* w, int64_t K, int64_t G,
+                      uint8_t* t5, int64_t* meta, int64_t cap) {
+  // segment so one slice never exceeds the ring (16 bits/word worst case)
+  const int64_t GSEG = FLEET_BUFCAP / 64;
+  int64_t row = 0;
+  for (int64_t j = 0; j < K; j++)
+    for (int64_t c = 0; c < f->C; c++)
+      for (int64_t g0 = 0; g0 < G; g0 += GSEG) {
+        int64_t seg = G - g0 < GSEG ? G - g0 : GSEG;
+        row = chan_feed_tc(f, &f->ch[c], c, w + (j * G + g0) * f->C + c,
+                           seg, f->C, t5, meta, row, cap);
+      }
   return row;
 }
 

@@ -64,11 +64,25 @@ def _wideband_step_scan(dstate, wrk, wik, hr, hi, n_ch: int, t36: int,
                         n_chunks: int, up: bool, upmm: bool, i16: bool,
                         kw: int):
     """K-cycle superblock: kw overlapping windows (kw, wide_len) run the
-    fused front-end + demod under lax.scan and return ONE uint8 output
-    array [(C, kw*Tp) packed symbol bytes | bitcast vcount | bitcast dsum].
+    fused front-end + demod under lax.scan and return ONE int32 output
+    array of shape (kw*Tp/8 + 2, C), TIME-MAJOR and nibble-packed:
+
+      * rows [j*Tp/8, (j+1)*Tp/8) hold cycle j; each int32 packs 8
+        consecutive symbol slots of one channel as 4-bit fields
+        (bit 2 = valid, bits 1:0 = dibit, lowest nibble first);
+      * row [-2] / [-1] carry the f32-bitcast per-channel vcount / dsum
+        quality sums.
+
     Motivation: on remote/tunneled hosts every device->host fetch pays a
     fixed round trip; one dispatch + one fetch per kw cycles amortizes it
-    (and one PCIe transaction per superblock in production)."""
+    (and one PCIe transaction per superblock in production).  The layout is
+    the stage-2 kernel's NATIVE (T, C) orientation: the previous
+    channel-major uint8 form paid per-cycle (T, C) -> (C, T) byte
+    transposes (gather-class relayouts on this backend, the bulk of the
+    round-2 9x superblock-vs-bench_wideband device gap), and 8 bits per
+    symbol slot where 4 suffice -- nibble packing also halves the
+    device->host bytes.  FleetEngine.process_packed32 consumes this form
+    directly (fleet_feed_tc reads the nibble stream in C++)."""
     from ..parallel import channelizer as CH
     from . import demod_fast
 
@@ -80,31 +94,28 @@ def _wideband_step_scan(dstate, wrk, wik, hr, hi, n_ch: int, t36: int,
             wi = wi.astype(jnp.float32) * (1.0 / 32768.0)
         rr, ri, hr, hi = CH._front_end_block(
             wr, wi, hr, hi, n_ch, t36, CH._resolve_pallas(CH.USE_PALLAS))
-        dstate, outs = demod_fast._demod_block_impl(dstate, rr.T, ri.T,
-                                                    n_chunks, up, upmm)
-        v = outs["valid"]
-        packed = outs["dibits"] | (v.astype(jnp.uint8) << 7)
-        vacc = vacc + jnp.sum(v, axis=1).astype(jnp.float32)
-        dacc = dacc + jnp.sum(jnp.where(v, outs["dist"], 0.0), axis=1)
+        dstate, outs = demod_fast._demod_block_impl(
+            dstate, rr.T, ri.T, n_chunks, up, upmm, tc_out=True)
+        dib = outs["dibits_tc"] & 3                       # (Tp, C) int32
+        v32 = outs["valid_tc"]                            # (Tp, C) int32 0/1
+        field = dib | (v32 << 2)
+        Tp = field.shape[0]
+        w = field.reshape(Tp // 8, 8, n_ch)
+        sh = (jnp.arange(8, dtype=jnp.int32) * 4)[None, :, None]
+        packed = jnp.sum(w << sh, axis=1, dtype=jnp.int32)  # (Tp/8, C)
+        vacc = vacc + jnp.sum(v32, axis=0).astype(jnp.float32)
+        dacc = dacc + jnp.sum(
+            jnp.where(v32.astype(bool), outs["dist_tc"], 0.0), axis=0)
         return (dstate, hr, hi, vacc, dacc), packed
 
     zero = jnp.zeros((n_ch,), jnp.float32)
     (dstate, hr, hi, vacc, dacc), packed_k = jax.lax.scan(
         body, (dstate, hr, hi, zero, zero), (wrk, wik))
-    # Output stays in the scan-native (K, C, Tp) layout: transposing to
-    # (C, K*Tp) ON DEVICE lowered to a gather-class op on this backend and
-    # cost ~20x the whole front-end+demod compute (measured: 19 vs 377
-    # Msps at (256, 6400, K=16)).  The host feeds per-cycle slices instead
-    # (FleetEngine.process_packed_cycles).  The per-channel quality sums
-    # ride as one extra padded "cycle": row [-1, :, :4] = bitcast vcount,
-    # [-1, :, 4:8] = bitcast dsum.
-    Tp = packed_k.shape[-1]
-    vb = jax.lax.bitcast_convert_type(vacc, jnp.uint8)
-    db = jax.lax.bitcast_convert_type(dacc, jnp.uint8)
-    stats = jnp.zeros((1, n_ch, Tp), jnp.uint8)
-    stats = jax.lax.dynamic_update_slice(
-        stats, jnp.concatenate([vb, db], axis=1)[None], (0, 0, 0))
-    out = jnp.concatenate([packed_k, stats], axis=0)
+    G = packed_k.shape[1]
+    out = jnp.concatenate([
+        packed_k.reshape(kw * G, n_ch),
+        jax.lax.bitcast_convert_type(vacc, jnp.int32)[None],
+        jax.lax.bitcast_convert_type(dacc, jnp.int32)[None]], axis=0)
     return dstate, out, hr, hi
 
 
@@ -399,16 +410,14 @@ class TetraReceiver:
             self.sym_quality[nz] = (dsum[nz] / vcount[nz]).astype(np.float32)
 
     def _post_demod_fused(self, fused: np.ndarray) -> None:
-        """Superblock output of _wideband_step_scan: (K+1, C, Tp) uint8 in
-        the scan-native layout (one packed byte per symbol slot, cycle
-        major); the last "cycle" carries the f32-bitcast per-channel
-        vcount/dsum quality sums in its first 8 columns."""
-        stats = fused[-1]
-        vcount = stats[:, 0:4].copy().view(np.float32)[:, 0]
-        dsum = stats[:, 4:8].copy().view(np.float32)[:, 0]
+        """Superblock output of _wideband_step_scan: (K*Tp/8 + 2, C) int32,
+        time-major nibble-packed (see its docstring); the last two rows
+        carry the f32-bitcast per-channel vcount/dsum quality sums."""
+        vcount = fused[-2].copy().view(np.float32)
+        dsum = fused[-1].copy().view(np.float32)
         self._apply_quality(vcount, dsum)
         self._const = None
-        self.fleet.process_packed_cycles(fused[:-1])
+        self.fleet.process_packed32(fused[:-2], self.wb_k)
 
     def _post_demod(self, outs) -> None:
         """Shared bit pipeline: demod outputs -> burst sync -> batched
