@@ -171,6 +171,40 @@ def test_decode_rows_mixed_equals_decode_blocks_mixed():
         assert (got_t1[j, :len(w_t1)] == w_t1).all(), j
 
 
+def test_decode_rows_split_packed_matches_mixed():
+    """The split per-kind FEC programs (CCH Viterbi+CRC, BBK RM3014) must
+    be bit-exact vs the single mixed program -- including when the batch
+    overflows a bucket and chunks over repeated calls."""
+    from tetra_tpu.rx import fec as rx_fec
+
+    rng = np.random.default_rng(9)
+    scr = P.scramb_get_init(262, 1234, 7)
+    ks_host = np.zeros((16, 432), np.uint8)
+    ks_host[0] = rx_fec.keystream(P.SCRAMB_INIT, 432)
+    ks_host[1] = rx_fec.keystream(scr, 432)
+    ks_dev = jnp.asarray(ks_host)
+    t5m, types, idx = [], [], []
+    for bt, t345 in ((P.TPSAP_T_SB1, 120), (P.TPSAP_T_BBK, 30),
+                     (P.TPSAP_T_SB2, 216), (P.TPSAP_T_NDB, 216),
+                     (P.TPSAP_T_SCH_F, 432)) * 5:
+        bits = rng.integers(0, 2, t345).astype(np.uint8)
+        pad = np.zeros(432, np.uint8)
+        pad[:t345] = bits
+        t5m.append(np.packbits(pad))
+        types.append(bt)
+        idx.append(0 if bt == P.TPSAP_T_SB1 else 1)
+    t5p = np.stack(t5m)
+    types = np.asarray(types)
+    idx = np.asarray(idx, np.int32)
+    want_t1, want_ok = rx_fec.decode_rows_mixed_packed(
+        t5p, types, idx, ks_dev)
+    for cchb, bbkb in ((0, 0), (8, 4)):     # dynamic + forced chunking
+        got_t1, got_ok = rx_fec.decode_rows_split_packed(
+            t5p, types, idx, ks_dev, cch_bucket=cchb, bbk_bucket=bbkb)
+        assert (got_ok == want_ok).all(), (cchb, bbkb)
+        assert (got_t1 == want_t1).all(), (cchb, bbkb)
+
+
 def test_superblock_wideband_matches_per_cycle():
     """wb_k>1 (K cycles per device dispatch) must equal the per-cycle path
     in steady state: same locks, same display state, and CRC tallies equal

@@ -344,27 +344,17 @@ def _decode_mixed_packed_jit(t5p: jnp.ndarray, ks_table: jnp.ndarray,
     tunneled backend the per-cycle host->device upload of unpacked rows
     (~7 MB at 256 channels) dominated the whole FEC step; packing cuts the
     link bytes ~14x each way."""
-    B = t5p.shape[0]
-    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
-    bits = (t5p[:, :, None] >> shifts[None, None, :]) & 1      # (B, 54, 8)
-    type5 = bits.reshape(B, _MIX_T345)
-    onehot = (scramb_idx[:, None] ==
-              jnp.arange(_KS_SLOTS)[None, :]).astype(jnp.float32)
-    ks = (onehot @ ks_table.astype(jnp.float32)).astype(jnp.uint8)
+    type5 = _unpack_rows(t5p, _MIX_T345)
+    ks = _ks_from_table(ks_table, scramb_idx)
     type1, ok = _decode_mixed_core(type5, ks, tsel)
-    t1b = type1.reshape(B, _T1_BYTES, 8)
-    weights = (jnp.uint8(1) << shifts).astype(jnp.uint8)
-    packed = jnp.sum(t1b * weights[None, None, :], axis=-1,
-                     dtype=jnp.uint8)
-    # ONE fused output array: [packed type1 | ok] -- every extra
-    # device->host fetch costs a fixed round trip on remote backends
-    return jnp.concatenate([packed, ok[:, None].astype(jnp.uint8)], axis=1)
+    return _pack_t1(type1, ok)
 
 
-def _decode_mixed_core(type4_in, ks, tsel):
-    """Shared body of the mixed decode (see _decode_mixed_jit)."""
-    B = type4_in.shape[0]
-    type4 = type4_in ^ ks
+def _decode_cch_core(type4, tsel):
+    """Convolutional-coded (SB1/NDB/SCH-F) half of the mixed decode:
+    depuncture every variant, select by tsel, ONE batched Viterbi + CRC.
+    Returns ((B, 268) uint8 type-1 rows, (B,) ok)."""
+    B = type4.shape[0]
     softs = []
     for t345, t2, t1, ia in _MIX_VARIANTS:
         t3 = type4[:, :t345][:, jnp.asarray(_deinterleave_idx(t345, ia))]
@@ -381,8 +371,15 @@ def _decode_mixed_core(type4_in, ks, tsel):
            for _, _, t1, _ in _MIX_VARIANTS]
     ok = jnp.where(tsel == _MIX_SB1, oks[0],
                    jnp.where(tsel == _MIX_NDB, oks[1], oks[2]))
+    return type2[:, :_MIX_T1].astype(jnp.uint8), ok
+
+
+def _decode_mixed_core(type4_in, ks, tsel):
+    """Shared body of the mixed decode (see _decode_mixed_jit)."""
+    B = type4_in.shape[0]
+    type4 = type4_in ^ ks
+    type1, ok = _decode_cch_core(type4, tsel)
     info14, ok_bbk = rm3014_decode(type4[:, :30])
-    type1 = type2[:, :_MIX_T1].astype(jnp.uint8)
     bbk_row = jnp.concatenate(
         [info14, jnp.zeros((B, _MIX_T1 - 14), info14.dtype)], axis=1)
     is_bbk = tsel == _MIX_BBK
@@ -392,6 +389,121 @@ def _decode_mixed_core(type4_in, ks, tsel):
     return jnp.concatenate(
         [type1, jnp.zeros((B, _T1_BYTES * 8 - _MIX_T1), jnp.uint8)],
         axis=1), ok
+
+
+def _unpack_rows(t5p: jnp.ndarray, nbits: int) -> jnp.ndarray:
+    """(B, nbits//8) uint8 MSB-first packed rows -> (B, nbits) uint8 bits."""
+    B = t5p.shape[0]
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    return ((t5p[:, :, None] >> shifts[None, None, :]) & 1).reshape(B, nbits)
+
+
+def _ks_from_table(ks_table: jnp.ndarray, scramb_idx: jnp.ndarray
+                   ) -> jnp.ndarray:
+    """Row-index -> keystream via one-hot matmul (0/1 operands sum exactly
+    even at bf16-class matmul precision)."""
+    onehot = (scramb_idx[:, None] ==
+              jnp.arange(_KS_SLOTS)[None, :]).astype(jnp.float32)
+    return (onehot @ ks_table.astype(jnp.float32)).astype(jnp.uint8)
+
+
+def _pack_t1(type1pad: jnp.ndarray, ok: jnp.ndarray) -> jnp.ndarray:
+    """(B, 272) bits + (B,) ok -> ONE (B, 35) uint8 output array
+    [packed type1 | ok] (every extra device->host fetch costs a fixed
+    round trip on remote backends)."""
+    B = type1pad.shape[0]
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    t1b = type1pad.reshape(B, _T1_BYTES, 8)
+    weights = (jnp.uint8(1) << shifts).astype(jnp.uint8)
+    packed = jnp.sum(t1b * weights[None, None, :], axis=-1, dtype=jnp.uint8)
+    return jnp.concatenate([packed, ok[:, None].astype(jnp.uint8)], axis=1)
+
+
+@jax.jit
+def _decode_cch_packed_jit(t5p: jnp.ndarray, ks_table: jnp.ndarray,
+                           scramb_idx: jnp.ndarray, tsel: jnp.ndarray):
+    """Split-program CCH decode (SB1/NDB/SCH-F rows only): the Viterbi is
+    the mixed program's dominant cost and scales with the padded batch, so
+    excluding the ~half of each cycle's rows that are BBK (and skipping the
+    RM(30,14) correlation here) roughly halves it.  Same packed-transfer
+    ABI as _decode_mixed_packed_jit."""
+    type4 = _unpack_rows(t5p, _MIX_T345) ^ _ks_from_table(ks_table,
+                                                          scramb_idx)
+    type1, ok = _decode_cch_core(type4, tsel)
+    pad = jnp.zeros((type1.shape[0], _T1_BYTES * 8 - _MIX_T1), jnp.uint8)
+    return _pack_t1(jnp.concatenate([type1, pad], axis=1), ok)
+
+
+@jax.jit
+def _decode_bbk_packed_jit(t5p4: jnp.ndarray, ks_table: jnp.ndarray,
+                           scramb_idx: jnp.ndarray):
+    """Split-program BBK decode: RM(30,14) only, no trellis.  t5p4 is the
+    first 4 packed bytes of each row (the 30 AACH bits); output ABI matches
+    the other packed programs ((B, 35) = packed type1 | ok)."""
+    bits32 = _unpack_rows(t5p4, 32)
+    ks = _ks_from_table(ks_table[:, :30], scramb_idx)
+    info14, ok = rm3014_decode(bits32[:, :30] ^ ks)
+    B = info14.shape[0]
+    pad = jnp.zeros((B, _T1_BYTES * 8 - 14), jnp.uint8)
+    return _pack_t1(jnp.concatenate([info14, pad], axis=1), ok)
+
+
+def _round_up(n: int, q: int) -> int:
+    return -(-n // q) * q
+
+
+def decode_rows_split_packed(t5p: np.ndarray, blk_types: np.ndarray,
+                             scramb_idx: np.ndarray, ks_table: jnp.ndarray,
+                             cch_bucket: int = 0, bbk_bucket: int = 0
+                             ) -> tuple[np.ndarray, np.ndarray]:
+    """Packed-transfer decode via the SPLIT per-kind programs: CCH rows
+    (Viterbi+CRC) and BBK rows (RM3014) each go to a fixed-size bucketed
+    program; batches larger than a bucket are CHUNKED over repeated calls
+    of the same compiled program instead of growing the shape (a distinct
+    shape costs minutes of remote compile on this backend, so overflow --
+    e.g. a post-acquisition ring-backlog drain -- must never recompile).
+    Buckets can therefore be sized at the measured steady-state row rate
+    rather than the worst case: the previous single-program path padded
+    every superblock to a 131072-row bucket of which ~2/3 was dead work
+    (VERDICT r2).  Returns (packed type1 (N, 34) uint8, ok (N,) bool) in
+    input row order; results are bit-exact vs decode_rows_mixed_packed
+    (tests/test_fleet.py)."""
+    N = len(blk_types)
+    tsel = _MIX_TSEL_OF[np.asarray(blk_types, np.int64)]
+    assert (tsel >= 0).all(), "row type outside the fused variant table"
+    idx = np.where(np.asarray(blk_types) == P.TPSAP_T_SB1, 0,
+                   np.asarray(scramb_idx)).astype(np.int32)
+    out = np.empty((N, _T1_BYTES + 1), np.uint8)
+    is_bbk = tsel == _MIX_BBK
+    ci = np.nonzero(~is_bbk)[0]
+    bi = np.nonzero(is_bbk)[0]
+    if len(ci):
+        bucket = cch_bucket or _round_up(len(ci), 256)
+        for s in range(0, len(ci), bucket):
+            rows = ci[s:s + bucket]
+            pad = bucket - len(rows)
+            tc = np.concatenate([t5p[rows],
+                                 np.zeros((pad, _T5_BYTES), np.uint8)])
+            ic = np.concatenate([idx[rows], np.zeros(pad, np.int32)])
+            sc = np.concatenate([tsel[rows],
+                                 np.full(pad, _MIX_SB1, np.int32)])
+            r = np.asarray(_decode_cch_packed_jit(
+                jnp.asarray(tc), ks_table, jnp.asarray(ic),
+                jnp.asarray(sc)))
+            out[rows] = r[:len(rows)]
+    if len(bi):
+        bucket = bbk_bucket or _round_up(len(bi), 256)
+        for s in range(0, len(bi), bucket):
+            rows = bi[s:s + bucket]
+            pad = bucket - len(rows)
+            tb = np.concatenate([
+                np.ascontiguousarray(t5p[rows, :4]),
+                np.zeros((pad, 4), np.uint8)])
+            ib = np.concatenate([idx[rows], np.zeros(pad, np.int32)])
+            r = np.asarray(_decode_bbk_packed_jit(
+                jnp.asarray(tb), ks_table, jnp.asarray(ib)))
+            out[rows] = r[:len(rows)]
+    return out[:, :_T1_BYTES], out[:, _T1_BYTES].astype(bool)
 
 
 def decode_rows_mixed_packed(t5p: np.ndarray, blk_types: np.ndarray,

@@ -130,7 +130,9 @@ def load():
 class FleetEngine:
     """Owns the native per-channel state for `channels` channels."""
 
-    def __init__(self, channels: int, voice_cb=None, pad_rows: int = 0):
+    def __init__(self, channels: int, voice_cb=None, pad_rows: int = 0,
+                 cch_bucket: int = 0, bbk_bucket: int = 0,
+                 split_fec: bool = True):
         lib = load()
         if lib is None:
             raise RuntimeError("native fleet engine unavailable "
@@ -142,6 +144,14 @@ class FleetEngine:
         # receiver then compiles exactly one mixed-decode program (remote
         # compiles are minutes per distinct shape; rx/fec.decode_rows_mixed)
         self.pad_rows = pad_rows
+        # split per-kind programs (rx/fec.decode_rows_split_packed): CCH
+        # rows pay the Viterbi, BBK rows only the RM3014 correlation, and
+        # oversize batches chunk over the same compiled programs instead of
+        # recompiling -- so the buckets are sized at the steady-state row
+        # rate, not the worst case
+        self.split_fec = split_fec
+        self.cch_bucket = cch_bucket
+        self.bbk_bucket = bbk_bucket
         y = np.ascontiguousarray(P.TRAIN_Y, np.uint8)
         n = np.ascontiguousarray(P.TRAIN_N, np.uint8)
         p = np.ascontiguousarray(P.TRAIN_P, np.uint8)
@@ -284,6 +294,11 @@ class FleetEngine:
         def decode(rows_t5p, rows_types, rows_scrambs):
             idx, ok = self._ks_cycle_map(rows_scrambs)
             if ok:
+                if self.split_fec:
+                    return rx_fec.decode_rows_split_packed(
+                        rows_t5p, rows_types, idx, self._ks_dev,
+                        cch_bucket=self.cch_bucket,
+                        bbk_bucket=self.bbk_bucket)
                 return rx_fec.decode_rows_mixed_packed(
                     rows_t5p, rows_types, idx, self._ks_dev,
                     min_bucket=self.pad_rows)

@@ -179,14 +179,34 @@ class TetraReceiver:
             from .fleet import FleetEngine
             assert not mac_workers and keystore is None, \
                 "fleet mode replaces mac_workers; crypto needs the Python path"
-            # fixed FEC bucket: the typical steady-state row count for this
-            # channel count at the default cycle length (one compiled
-            # program per receiver lifetime; see FleetEngine.pad_rows)
-            pad_rows = 1 << max(5, (channels * 28 * max(1, wb_k)
-                                    - 1).bit_length()) \
-                if channels >= 64 else 0
-            self.fleet = FleetEngine(channels, voice_cb=voice_cb,
-                                     pad_rows=pad_rows)
+            # FEC bucket sizing.  Wideband superblock receivers know their
+            # exact cycle geometry, so the split per-kind programs
+            # (rx/fec.decode_rows_split_packed) get buckets at the
+            # steady-state row rate: slots/cycle = t36 bits / 510, ~1.2 CCH
+            # rows and ~1.0 BBK row per slot; 33%/25% headroom, and rare
+            # overflow (ring-backlog drains) CHUNKS over the same compiled
+            # program instead of recompiling.  The previous single mixed
+            # program padded every superblock to a power-of-two worst case
+            # (131072 rows at (256, k=16)) -- ~2/3 dead Viterbi work.
+            if wideband and channels >= 64:
+                slots = (t50 * 18 // 25) / 510.0
+                K = max(1, wb_k)
+                cch_bucket = -(-int(channels * K * slots * 1.6) // 1024) \
+                    * 1024
+                bbk_bucket = -(-int(channels * K * slots * 1.25) // 1024) \
+                    * 1024
+                self.fleet = FleetEngine(channels, voice_cb=voice_cb,
+                                         cch_bucket=cch_bucket,
+                                         bbk_bucket=bbk_bucket)
+            else:
+                # narrowband fleet feeds have caller-defined block lengths:
+                # keep the one-program fixed-bucket mixed path there
+                pad_rows = 1 << max(5, (channels * 28 * max(1, wb_k)
+                                        - 1).bit_length()) \
+                    if channels >= 64 else 0
+                self.fleet = FleetEngine(channels, voice_cb=voice_cb,
+                                         pad_rows=pad_rows,
+                                         split_fec=channels < 64)
             self.mac = []
             self.sym_quality = np.zeros(channels, np.float32)
             self.wideband = wideband

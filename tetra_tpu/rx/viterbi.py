@@ -13,7 +13,7 @@ Soft-bit convention (matches viterbi.c:6-25): +1 ~ transmitted bit 0,
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -55,36 +55,69 @@ _NEG = jnp.float32(-1e9)
 # lax.scan unroll factor for the ACS/traceback loops (read at trace time).
 # The mixed-FEC program's per-call latency is dominated by the 288
 # sequential trellis steps on the remote TPU backend; unrolling lets XLA
-# fuse/pipeline consecutive steps.  Tuned by scripts/probe_e2e_cost2.py.
-SCAN_UNROLL = 1
+# fuse/pipeline consecutive steps.  Override with TETRA_VIT_UNROLL.
+import os as _os
+
+SCAN_UNROLL = int(_os.environ.get("TETRA_VIT_UNROLL", "4"))
+
+
+@lru_cache(maxsize=4)
+def _acs_tables(use_tch: bool):
+    """Gather-free ACS operand tables.
+
+    The reference-shaped formulation indexed bm[:, prev, b_of] and
+    metrics[:, prev] with fancy indices -- gather-class ops that this TPU
+    backend executes at ~6 ns/element, dominating the 288-step trellis
+    scan.  Because prev0[ns] = ns>>1 enumerates [0,0,1,1,..,7,7] (and
+    prev1 the same + 8), metrics[:, prev] is exactly a repeat() of each
+    half (a free broadcast/reshape), and the branch-metric selection
+    collapses into two precomputed (16, n) expected-sign tables
+    E0[ns] = E[prev0[ns], b_of[ns]], E1[ns] = E[prev1[ns], b_of[ns]]:
+    cand_k = repeat(metrics_half_k) + y @ Ek^T.  All operands are exact in
+    bf16 (+-1 signs, soft values in {-1,0,+1} and the pad amplitude), so
+    the MXU dot is exact and results are bit-identical to the fancy-index
+    form."""
+    E, prev0, prev1, b_of = (_TCH_TABLES if use_tch else _CCH_TABLES)
+    E_n = np.asarray(E)
+    p0, p1, bo = (np.asarray(prev0), np.asarray(prev1), np.asarray(b_of))
+    E0 = E_n[p0, bo]        # (16, n)
+    E1 = E_n[p1, bo]
+    # numpy results: the cache must never hold arrays materialized inside a
+    # jit trace (they would leak tracers into later traces)
+    return np.ascontiguousarray(E0.T), np.ascontiguousarray(E1.T)
 
 
 @partial(jax.jit, static_argnames=("n_out", "use_tch", "truncate"))
 def _viterbi(soft: jnp.ndarray, n_out: int, use_tch: bool,
              truncate: bool) -> jnp.ndarray:
-    E, prev0, prev1, b_of = _TCH_TABLES if use_tch else _CCH_TABLES
+    E0t, E1t = (jnp.asarray(t) for t in _acs_tables(use_tch))
     B, T, _ = soft.shape
+    bitw = (jnp.int32(1) << jnp.arange(N_STATES, dtype=jnp.int32))[None, :]
 
     def acs(metrics, y):
-        # y: (B, n_out); branch metric bm[B, s, b] = sum_n y_n * E[s,b,n]
-        bm = jnp.einsum("bn,sen->bse", y, E,
-                        preferred_element_type=jnp.float32)
-        cand0 = metrics[:, prev0] + bm[:, prev0, b_of]   # (B, 16)
-        cand1 = metrics[:, prev1] + bm[:, prev1, b_of]
+        # y: (B, n_out); cand_k[b, ns] = metrics[b, prev_k] + y @ Ek
+        cand0 = jnp.repeat(metrics[:, :8], 2, axis=1) + jnp.dot(
+            y, E0t, preferred_element_type=jnp.float32)
+        cand1 = jnp.repeat(metrics[:, 8:], 2, axis=1) + jnp.dot(
+            y, E1t, preferred_element_type=jnp.float32)
         take1 = cand1 > cand0
         new = jnp.where(take1, cand1, cand0)
         new = new - jnp.max(new, axis=1, keepdims=True)  # normalize
-        return new, take1
+        # decisions bit-packed per row: 16 bool lanes -> one int32 word
+        # (8x less HBM store/load traffic than a (B, 16) bool slab, and the
+        # traceback reads it with a vector shift instead of a gather)
+        mask = jnp.sum(jnp.where(take1, bitw, 0), axis=1, dtype=jnp.int32)
+        return new, mask
 
     init = jnp.full((B, N_STATES), _NEG, jnp.float32).at[:, 0].set(0.0)
     final, decisions = jax.lax.scan(acs, init, jnp.swapaxes(soft, 0, 1),
                                     unroll=SCAN_UNROLL)
-    # decisions: (T, B, 16) bool
+    # decisions: (T, B) int32 bitmask of take1 per state
 
     def trace(state, dec_t):
         # state: (B,) current state AFTER transition t; its LSB is bit_t
         bit = (state & 1).astype(jnp.uint8)
-        took1 = jnp.take_along_axis(dec_t, state[:, None], axis=1)[:, 0]
+        took1 = ((dec_t >> state) & 1) == 1
         prev = jnp.where(took1, (state >> 1) + 8, state >> 1)
         return prev, bit
 
