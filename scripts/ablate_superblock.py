@@ -19,9 +19,13 @@ append to /tmp/ablate_superblock.jsonl and print as JSON lines.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT = "/tmp/ablate_superblock.jsonl"
 

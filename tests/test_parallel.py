@@ -197,6 +197,109 @@ def test_multihost_2d_mesh_wideband_demod():
             assert syncs[h * N + k].state != RX_LOCKED, (h, k)
 
 
+def test_sharded_superblock_and_fleet_feed_matches_1x1():
+    """VERDICT r2 item 4 (production back half under sharding): the
+    K-cycle superblock program — channelize -> resample -> demod -> nibble
+    packing — on a 2x4 (host, chip) mesh must produce BIT-IDENTICAL
+    fleet-feed arrays to the same program on a 1x1 mesh (per-channel math
+    is device-count invariant), and the packed device output must drive the
+    native fleet engine (host-side fleet feed) to locked, decoded
+    channels."""
+    import jax.numpy as jnp2
+    from tetra_tpu.rx.fleet import FleetEngine, load as fleet_load
+    from tetra_tpu.rx.tdma import TdmaTime
+    from tetra_tpu.tx import cell
+    from tetra_tpu.tx.modulator import modulate
+    from tetra_tpu.tx.wideband import assemble_wideband
+
+    N, KW = 8, 2
+    start = TdmaTime(mn=1, fn=17, tn=4)
+    occupied = {0: [1, 5], 1: [2, 6]}
+    feeds = []
+    for h, ks in occupied.items():
+        chans = {}
+        for k in ks:
+            cfg = cell.CellConfig(mcc=310 + h, mnc=50 * h + k + 1, cc=k + 1)
+            bits, _ = cell.downlink_bits(cfg, 120, start=start.copy())
+            chans[k] = np.asarray(modulate(jnp2.asarray(bits[None, :])))[0]
+        feeds.append(assemble_wideband(chans, N, amplitude=0.5))
+
+    mesh2 = pmesh.make_mesh_2d(2, 4)
+    step2, wide_len, advance = pmesh.sharded_wideband_superblock_step(
+        mesh2, N, t50_new=1600, kw=KW)
+    state2 = pmesh.sharded_wideband_demod_init(mesh2, N)
+    mesh1 = pmesh.make_mesh_2d(1, 1)
+    step1, _, _ = pmesh.sharded_wideband_superblock_step(
+        mesh1, N, t50_new=1600, kw=KW)
+    state1 = pmesh.sharded_wideband_demod_init(mesh1, N)
+
+    T = min(len(f) for f in feeds)
+    wide = np.stack([f[:T] for f in feeds])
+    fleet = FleetEngine(2 * N) if fleet_load() is not None else None
+    sb_adv = KW * advance
+    n_super = (T - wide_len) // sb_adv
+    assert n_super >= 3
+    for s in range(n_super):
+        base = s * sb_adv
+        wr = np.stack([wide[:, base + j * advance:
+                            base + j * advance + wide_len].real
+                       for j in range(KW)], axis=1).astype(np.float32)
+        wi = np.stack([wide[:, base + j * advance:
+                            base + j * advance + wide_len].imag
+                       for j in range(KW)], axis=1).astype(np.float32)
+        state2, out2, health = step2(state2, jnp2.asarray(wr),
+                                     jnp2.asarray(wi))
+        state1, out1, _ = step1(state1, jnp2.asarray(wr[:1]),
+                                jnp2.asarray(wi[:1]))
+        # sharding invariance: host 0's global columns equal the 1x1 run
+        # (packed symbol rows bit-exact; the f32 dist-sum stats row may
+        # differ in the last ulp from XLA reduction tiling at different
+        # shard widths)
+        a2, a1 = np.asarray(out2)[:, :N], np.asarray(out1)
+        np.testing.assert_array_equal(a2[:-1], a1[:-1])
+        d2 = a2[-1].copy().view(np.float32)
+        d1 = a1[-1].copy().view(np.float32)
+        np.testing.assert_allclose(d2, d1, rtol=1e-4)
+        h = np.asarray(health)
+        assert h.shape == (2,) and np.isfinite(h).all()
+        if fleet is not None:
+            fleet.process_packed32(np.asarray(out2)[:-2], KW)
+    if fleet is not None:
+        for h, ks in occupied.items():
+            for k in ks:
+                assert fleet.locked(h * N + k), (h, k)
+                assert fleet.crc_counts(h * N + k)[0] > 0, (h, k)
+
+
+def test_sharded_fec_matches_single_device():
+    """Row-sharded mixed-FEC decode == the single-device packed program,
+    bit for bit, with the psum'd crc-ok health scalar correct."""
+    from tetra_tpu import params as P
+    from tetra_tpu.rx import fec as rx_fec
+
+    rng = np.random.default_rng(17)
+    ks_host = np.zeros((16, 432), np.uint8)
+    ks_host[0] = rx_fec.keystream(P.SCRAMB_INIT, 432)
+    ks_host[1] = rx_fec.keystream(P.scramb_get_init(262, 77, 3), 432)
+    ks_dev = jnp.asarray(ks_host)
+    Nrows = 64
+    t5p = rng.integers(0, 256, (Nrows, 54)).astype(np.uint8)
+    tsel = rng.integers(0, 4, Nrows).astype(np.int32)
+    idx = rng.integers(0, 2, Nrows).astype(np.int32)
+
+    want = np.asarray(rx_fec._decode_mixed_packed_jit(
+        jnp.asarray(t5p), ks_dev, jnp.asarray(idx), jnp.asarray(tsel)))
+
+    mesh = pmesh.make_mesh(8, "ch")
+    dec = pmesh.sharded_fec_decode(mesh)
+    sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("ch"))
+    got, ok_total = dec(jax.device_put(jnp.asarray(t5p), sh), ks_dev,
+                        jax.device_put(jnp.asarray(idx), sh),
+                        jax.device_put(jnp.asarray(tsel), sh))
+    np.testing.assert_array_equal(np.asarray(got), want)
+    assert int(ok_total) == int(want[:, -1].astype(np.int64).sum())
+
+
 def test_sharded_demod_pallas_interpret_matches_xla():
     """VERDICT r1 item 5: the PRODUCTION Pallas kernels (interpret mode)
     under shard_map on the virtual mesh must match the XLA twin under the

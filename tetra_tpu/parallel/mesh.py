@@ -188,6 +188,114 @@ def sharded_wideband_demod_step(mesh: Mesh, n_ch: int, t50_new: int = 6400):
     return jax.jit(shard), wide_len, advance
 
 
+def sharded_wideband_superblock_step(mesh: Mesh, n_ch: int,
+                                     t50_new: int = 6400, kw: int = 2):
+    """The PRODUCTION back half under sharding (VERDICT r2 item 4): the
+    K-cycle superblock program — channelize -> 18/25 resample -> chunked
+    demod -> time-major nibble packing, the exact semantics of
+    rx/receiver._wideband_step_scan — on the 2-D (host, chip) mesh.  Each
+    host ingests its own wideband feed; its channels shard over its chips;
+    the packed fleet-feed array comes back with GLOBAL channel columns
+    (host-major), exactly what FleetEngine.process_packed32 consumes, so a
+    multi-host deployment runs fleet burst sync per host on its gathered
+    shard.  A psum'd (valid count, dist sum) pair rides the mesh as the
+    cross-host fleet-health scalar (the only DCN traffic).
+
+    Returns (jitted step, wide_len, advance).  step(state, wrk, wik) with
+    wrk/wik (n_hosts, kw, wide_len) host-sharded float32 ->
+    (state, packed (kw*Tp/8 + 2, n_hosts*n_ch) int32, health (2,)).
+    Rows [-2]/[-1] of `packed` are the f32-bitcast per-channel vcount/dsum
+    (same contract as the single-chip superblock)."""
+    from . import channelizer as CH
+
+    n_chips = mesh.shape["chip"]
+    assert n_ch % n_chips == 0, "channels must split evenly over chips"
+    ch_per_chip = n_ch // n_chips
+    hop = n_ch // 2
+    L = n_ch * CH.TAPS_PER_BRANCH
+    assert t50_new % 25 == 0
+    t36 = t50_new * 18 // 25
+    assert t36 % demod_mod.K_SAMP == 0
+    wide_len = (t50_new - 1) * hop + L
+    advance = t50_new * hop
+    n_chunks = int(np.ceil(t36 / (demod_mod.K_SYM * 1.96))) + 1
+    use_pallas = demod_mod._resolve_pallas(demod_mod.USE_PALLAS)
+    use_pallas_mm = demod_mod._resolve_pallas(demod_mod.USE_PALLAS_MM)
+
+    def step(state, wrk, wik):
+        dstate0, hr0, hi0 = state
+
+        def body(carry, xs):
+            dstate, hr, hi, vacc, dacc = carry
+            wr, wi = xs                     # (wide_len,) raw window
+            yr, yi = CH._channelize_block(wr, wi, n_ch)
+            c0 = jax.lax.axis_index("chip") * ch_per_chip
+            yr = jax.lax.dynamic_slice_in_dim(yr, c0, ch_per_chip, 0)
+            yi = jax.lax.dynamic_slice_in_dim(yi, c0, ch_per_chip, 0)
+            rr, ri, hr, hi = CH._resample_stream_block(yr, yi, hr, hi, t36)
+            dstate, outs = demod_mod._demod_block_impl(
+                dstate, rr, ri, n_chunks, use_pallas, use_pallas_mm,
+                tc_out=True)
+            # nibble packing, bit-identical to _wideband_step_scan
+            field = (outs["dibits_tc"] & 3) | (outs["valid_tc"] << 2)
+            Tp = field.shape[0]
+            w = field.reshape(Tp // 8, 8, ch_per_chip)
+            sh = (jnp.arange(8, dtype=jnp.int32) * 4)[None, :, None]
+            packed = jnp.sum(w << sh, axis=1, dtype=jnp.int32)
+            vacc = vacc + jnp.sum(outs["valid_tc"],
+                                  axis=0).astype(jnp.float32)
+            dacc = dacc + jnp.sum(
+                jnp.where(outs["valid_tc"].astype(bool), outs["dist_tc"],
+                          0.0), axis=0)
+            return (dstate, hr, hi, vacc, dacc), packed
+
+        zero = jnp.zeros((ch_per_chip,), jnp.float32)
+        (dstate, hr, hi, vacc, dacc), packed_k = jax.lax.scan(
+            body, (dstate0, hr0, hi0, zero, zero), (wrk[0], wik[0]))
+        G = packed_k.shape[1]
+        out = jnp.concatenate([
+            packed_k.reshape(kw * G, ch_per_chip),
+            jax.lax.bitcast_convert_type(vacc, jnp.int32)[None],
+            jax.lax.bitcast_convert_type(dacc, jnp.int32)[None]], axis=0)
+        health = jax.lax.psum(
+            jnp.stack([jnp.sum(vacc), jnp.sum(dacc)]), ("host", "chip"))
+        return (dstate, hr, hi), out, health
+
+    cspec = Pspec(("host", "chip"))
+    state_spec = (jax.tree.map(lambda _: cspec, demod_mod.demod_init(1)),
+                  cspec, cspec)
+    shard = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(state_spec, Pspec("host"), Pspec("host")),
+        out_specs=(state_spec, Pspec(None, ("host", "chip")), Pspec()),
+        check_vma=False)  # see sharded_demod_step
+    return jax.jit(shard), wide_len, advance
+
+
+def sharded_fec_decode(mesh: Mesh, axis: str = "ch"):
+    """Row-sharded mixed-FEC decode (VERDICT r2 item 4): each device runs
+    the SAME packed-transfer mixed program the single-chip fleet path runs
+    (rx/fec._decode_mixed_packed_jit) on its shard of the type-5 rows —
+    FEC rows are embarrassingly parallel, so the only collective is a
+    psum'd crc-ok count (fleet health).  Returns a jitted fn
+    (t5p (N, 54) uint8 row-sharded, ks_table (16, 432) replicated,
+    scramb_idx (N,), tsel (N,)) -> (out (N, 35) row-sharded, ok_total)."""
+    from ..rx import fec as rx_fec
+
+    def local(t5p, ks_table, idx, tsel):
+        out = rx_fec._decode_mixed_packed_jit(t5p, ks_table, idx, tsel)
+        ok_total = jax.lax.psum(
+            jnp.sum(out[:, -1].astype(jnp.int32)), axis)
+        return out, ok_total
+
+    rspec = Pspec(axis)
+    shard = jax.shard_map(local, mesh=mesh,
+                          in_specs=(rspec, Pspec(), rspec, rspec),
+                          out_specs=(rspec, Pspec()),
+                          check_vma=False)
+    return jax.jit(shard)
+
+
 def sharded_wideband_demod_init(mesh: Mesh, n_ch: int):
     """(demod state, resampler history) for n_hosts*n_ch channels,
     host-major, sharded over the 2-D mesh so step() never reshards."""

@@ -513,22 +513,37 @@ def decode_rows_mixed_packed(t5p: np.ndarray, blk_types: np.ndarray,
     """Packed-transfer decode: t5p (N, 54) bit-packed rows, scramb_idx (N,)
     rows into the (16, 432) device-resident ks_table (slot 0 must hold the
     SCRAMB_INIT keystream; SB1 rows are forced to it here).  Returns
-    (packed type1 (N, 34) uint8, ok (N,) bool)."""
+    (packed type1 (N, 34) uint8, ok (N,) bool).
+
+    min_bucket > 0 pins the device batch to that ONE shape: short batches
+    pad up to it and oversize batches CHUNK over repeated calls of the same
+    compiled program (a distinct shape costs minutes of remote compile on
+    this backend, so overflow -- e.g. a post-acquisition ring-backlog drain
+    -- must never grow the shape).  The bucket can therefore sit at the
+    measured steady-state row rate instead of the worst case.  With
+    min_bucket == 0 the batch pads to the next power of two (ad-hoc
+    callers)."""
     N = len(blk_types)
     tsel = _MIX_TSEL_OF[np.asarray(blk_types, np.int64)]
     assert (tsel >= 0).all(), "row type outside the fused variant table"
     idx = np.where(np.asarray(blk_types) == P.TPSAP_T_SB1, 0,
                    np.asarray(scramb_idx)).astype(np.int32)
-    bucket = max(1 << max(2, (N - 1).bit_length()), min_bucket)
-    if bucket != N:
-        pad = bucket - N
-        t5p = np.concatenate([t5p, np.zeros((pad, _T5_BYTES), np.uint8)])
-        idx = np.concatenate([idx, np.zeros(pad, np.int32)])
-        tsel = np.concatenate([tsel, np.full(pad, _MIX_BBK, np.int32)])
-    out = np.array(_decode_mixed_packed_jit(jnp.asarray(t5p), ks_table,
-                                            jnp.asarray(idx),
-                                            jnp.asarray(tsel))[:N])
-    return out[:, :_T1_BYTES], out[:, _T1_BYTES].astype(bool)
+    bucket = min_bucket or (1 << max(2, (N - 1).bit_length()))
+    out = np.empty((N, _T1_BYTES + 1), np.uint8)
+    for s in range(0, N, bucket):
+        n = min(bucket, N - s)
+        pad = bucket - n
+        tc = t5p[s:s + n]
+        ic, sc = idx[s:s + n], tsel[s:s + n]
+        if pad:
+            tc = np.concatenate([tc, np.zeros((pad, _T5_BYTES), np.uint8)])
+            ic = np.concatenate([ic, np.zeros(pad, np.int32)])
+            sc = np.concatenate([sc, np.full(pad, _MIX_BBK, np.int32)])
+        out[s:s + n] = np.asarray(_decode_mixed_packed_jit(
+            jnp.asarray(tc), ks_table, jnp.asarray(ic),
+            jnp.asarray(sc)))[:n]
+    return (np.ascontiguousarray(out[:, :_T1_BYTES]),
+            out[:, _T1_BYTES].astype(bool))
 
 
 def decode_block(type5: jnp.ndarray, blk_type: int,

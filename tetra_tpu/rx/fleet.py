@@ -367,6 +367,24 @@ class FleetEngine:
                     half_cb(t, type4)
         return int(n)
 
+    # -- checkpoint ----------------------------------------------------------
+
+    def state_bytes(self) -> bytes:
+        """Serialize every channel's native state (burst sync, PHY time,
+        cell, MAC flags, display, bit ring) as the raw struct bytes.  The
+        struct layout is process-stable (fixed int64/uint8 fields, no
+        pointers), so the blob restores into any engine of the same
+        channel count."""
+        return b"".join(bytes(self._chans[c]) for c in range(self.channels))
+
+    def load_state_bytes(self, data: bytes) -> None:
+        sz = ctypes.sizeof(FleetChanStruct)
+        assert len(data) == sz * self.channels, (len(data), sz, self.channels)
+        for c in range(self.channels):
+            ctypes.memmove(ctypes.addressof(self._chans[c]),
+                           data[c * sz:(c + 1) * sz], sz)
+            self.scramb[c] = self._chans[c].scramb_init
+
     # -- views ---------------------------------------------------------------
 
     def chan(self, c: int) -> FleetChanStruct:

@@ -180,27 +180,25 @@ class TetraReceiver:
             assert not mac_workers and keystore is None, \
                 "fleet mode replaces mac_workers; crypto needs the Python path"
             # FEC bucket sizing.  Wideband superblock receivers know their
-            # exact cycle geometry, so the split per-kind programs
-            # (rx/fec.decode_rows_split_packed) get buckets at the
-            # steady-state row rate: slots/cycle = t36 bits / 510, ~1.2 CCH
-            # rows and ~1.0 BBK row per slot; 33%/25% headroom, and rare
-            # overflow (ring-backlog drains) CHUNKS over the same compiled
-            # program instead of recompiling.  The previous single mixed
-            # program padded every superblock to a power-of-two worst case
-            # (131072 rows at (256, k=16)) -- ~2/3 dead Viterbi work.
+            # exact cycle geometry, so the ONE mixed program's bucket sits
+            # at the steady-state row rate (slots/cycle = t36 bits / 510,
+            # ~2.1 rows/slot average, ~25% headroom); rare overflow (e.g. a
+            # post-acquisition ring-backlog drain) CHUNKS over the same
+            # compiled program instead of recompiling.  Round-3 TPU
+            # ablation (scripts/ablate_superblock.py): with the gather-free
+            # Viterbi the per-dispatch overhead dominates the FEC step, so
+            # one right-sized mixed dispatch beats the split CCH/BBK pair
+            # (71 ms vs 75 ms at the (256, k=16) shapes) -- split_fec stays
+            # available but off.
             if wideband and channels >= 64:
                 slots = (t50 * 18 // 25) / 510.0
                 K = max(1, wb_k)
-                cch_bucket = -(-int(channels * K * slots * 1.6) // 1024) \
-                    * 1024
-                bbk_bucket = -(-int(channels * K * slots * 1.25) // 1024) \
-                    * 1024
+                pad_rows = -(-int(channels * K * slots * 2.6) // 1024) * 1024
                 self.fleet = FleetEngine(channels, voice_cb=voice_cb,
-                                         cch_bucket=cch_bucket,
-                                         bbk_bucket=bbk_bucket)
+                                         pad_rows=pad_rows, split_fec=False)
             else:
                 # narrowband fleet feeds have caller-defined block lengths:
-                # keep the one-program fixed-bucket mixed path there
+                # size from the historical worst-case formula
                 pad_rows = 1 << max(5, (channels * 28 * max(1, wb_k)
                                         - 1).bit_length()) \
                     if channels >= 64 else 0
@@ -559,8 +557,21 @@ class TetraReceiver:
 
     def save_state(self, path: str) -> None:
         if self.fleet is not None:
-            raise NotImplementedError("fleet-mode checkpointing: "
-                                      "use FleetEngine state directly")
+            # fleet mode: demod loop state + the native engine's raw
+            # channel-state blob (FleetEngine.state_bytes) + wideband
+            # stream continuity
+            data = {}
+            for k, v in self.state._asdict().items():
+                data[f"demod_{k}"] = np.asarray(v)
+            data["fleet_blob"] = np.frombuffer(self.fleet.state_bytes(),
+                                               np.uint8)
+            data["sym_quality"] = self.sym_quality
+            if self.wideband:
+                data["wb_buf"] = self._wb["buf"]
+                data["wb_hist_r"] = np.asarray(self._wb["hist_r"])
+                data["wb_hist_i"] = np.asarray(self._wb["hist_i"])
+            np.savez(path, **data)
+            return
         if self.pool is not None:
             raise NotImplementedError("checkpointing unsupported in "
                                       "mac_workers pool mode")
@@ -591,6 +602,17 @@ class TetraReceiver:
         fields = {k[len("demod_"):]: jnp.asarray(z[k])
                   for k in z.files if k.startswith("demod_")}
         self.state = type(self.state)(**fields)
+        if self.fleet is not None:
+            assert "fleet_blob" in z.files, "not a fleet-mode checkpoint"
+            self.fleet.load_state_bytes(z["fleet_blob"].tobytes())
+            self.sym_quality = z["sym_quality"]
+            if self.wideband and "wb_hist_r" in z.files:
+                self._wb["buf"] = z["wb_buf"].astype(np.complex64) \
+                    if z["wb_buf"].dtype != np.int16 else z["wb_buf"]
+                self._wb["hist_r"] = jnp.asarray(z["wb_hist_r"])
+                self._wb["hist_i"] = jnp.asarray(z["wb_hist_i"])
+            self._cfo_primed = True
+            return
         for c in range(self.channels):
             s, m = self.sync[c], self.mac[c]
             (s.state, s.bitbuf_start_bitnum, s.next_frame_start_bitnum,

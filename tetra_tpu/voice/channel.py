@@ -36,6 +36,8 @@ single-constant change per field.
 
 from __future__ import annotations
 
+import json
+from dataclasses import dataclass, replace
 from functools import lru_cache, partial
 
 import jax
@@ -65,6 +67,54 @@ CRC8_POLY = 0x1D        # X^8+X^4+X^3+X^2+1, init 0 (clause 5.3; PARITY.md)
 _IL_LINES, _IL_COLUMNS = 24, 18
 
 
+@dataclass(frozen=True)
+class CodecProfile:
+    """Runtime-pluggable speech channel-coding conventions (VERDICT r2
+    item 5).  These are exactly the constants this offline build cannot
+    verify against the ETSI codec sources (PARITY.md sourcing table): the
+    class-2 CRC generators and the 5.5.3 matrix line/column assignment.  A
+    wrong value previously meant silent all-CRC-fail voice on a real
+    network; now the real tables drop in via set_profile()/load_profile()
+    with zero code change, and ProfileCalibrator below auto-resolves the
+    space on live traffic."""
+    crc8_poly: int = CRC8_POLY   # full-slot class-2 CRC generator
+    crc4_poly: int = 0x3         # stolen-half class-2 CRC generator
+    il_transposed: bool = False  # True = the one-swap 5.5.3 alternative
+    #                              (write column by column instead)
+    name: str = "default"
+
+
+_PROFILE = CodecProfile()
+
+
+def get_profile() -> CodecProfile:
+    return _PROFILE
+
+
+def set_profile(profile: CodecProfile) -> None:
+    global _PROFILE
+    _PROFILE = profile
+
+
+def load_profile(path: str) -> CodecProfile:
+    """Load a codec profile from JSON ({"crc8_poly": ..., "crc4_poly": ...,
+    "il_transposed": ..., "name": ...}; ints may be hex strings) and make
+    it active."""
+    with open(path) as f:
+        raw = json.load(f)
+    kw = {}
+    for k in ("crc8_poly", "crc4_poly"):
+        if k in raw:
+            v = raw[k]
+            kw[k] = int(v, 0) if isinstance(v, str) else int(v)
+    if "il_transposed" in raw:
+        kw["il_transposed"] = bool(raw["il_transposed"])
+    kw["name"] = raw.get("name", path)
+    profile = CodecProfile(**kw)
+    set_profile(profile)
+    return profile
+
+
 def matrix_interleave_perm(lines: int, columns: int) -> np.ndarray:
     """perm with interleaved[i*lines + j] = type3[perm[i*lines + j]] =
     type3[j*columns + i] for i < columns, j < lines."""
@@ -74,30 +124,31 @@ def matrix_interleave_perm(lines: int, columns: int) -> np.ndarray:
     return out
 
 
-@lru_cache(maxsize=1)
-def _interleave_perm() -> np.ndarray:
-    """perm such that interleaved[i] = type3[perm[i]]."""
-    return matrix_interleave_perm(_IL_LINES, _IL_COLUMNS)
-
-
-def interleave(bits: np.ndarray) -> np.ndarray:
-    return np.asarray(bits, np.uint8)[..., _interleave_perm()]
-
-
-@lru_cache(maxsize=1)
-def _deinterleave_perm() -> np.ndarray:
-    perm = _interleave_perm()
+@lru_cache(maxsize=8)
+def _perm_pair(lines: int, columns: int,
+               transposed: bool) -> tuple[np.ndarray, np.ndarray]:
+    """(interleave perm, deinterleave perm) for the profile's line/column
+    convention; `transposed` swaps write/read order (the inverse perm)."""
+    perm = matrix_interleave_perm(lines, columns)
     inv = np.empty_like(perm)
-    inv[perm] = np.arange(N_SLOT_BITS, dtype=np.int32)
-    return inv
+    inv[perm] = np.arange(lines * columns, dtype=np.int32)
+    return (inv, perm) if transposed else (perm, inv)
 
 
-def crc8_bits(bits: np.ndarray) -> np.ndarray:
+def interleave(bits: np.ndarray,
+               profile: CodecProfile | None = None) -> np.ndarray:
+    p = profile or _PROFILE
+    perm, _ = _perm_pair(_IL_LINES, _IL_COLUMNS, p.il_transposed)
+    return np.asarray(bits, np.uint8)[..., perm]
+
+
+def crc8_bits(bits: np.ndarray, poly: int | None = None) -> np.ndarray:
     """CRC-8 over a bit array, MSB-first, init 0."""
+    g = _PROFILE.crc8_poly if poly is None else poly
     crc = 0
     for b in np.asarray(bits, np.uint8):
         crc ^= int(b) << 7
-        crc = ((crc << 1) ^ CRC8_POLY) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = ((crc << 1) ^ g) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
     return np.array([(crc >> (7 - i)) & 1 for i in range(8)], np.uint8)
 
 
@@ -183,25 +234,13 @@ CRC4_POLY = 0x3                  # X^4 + X + 1, init 0 (PARITY.md)
 _IL_HALF_LINES = 12
 
 
-@lru_cache(maxsize=1)
-def _half_interleave_perm() -> np.ndarray:
-    return matrix_interleave_perm(_IL_HALF_LINES, 18)
-
-
-@lru_cache(maxsize=1)
-def _half_deinterleave_perm() -> np.ndarray:
-    perm = _half_interleave_perm()
-    inv = np.empty_like(perm)
-    inv[perm] = np.arange(N_HALF_BITS, dtype=np.int32)
-    return inv
-
-
-def crc4_bits(bits: np.ndarray) -> np.ndarray:
+def crc4_bits(bits: np.ndarray, poly: int | None = None) -> np.ndarray:
     """CRC-4 over a bit array, MSB-first, init 0."""
+    g = _PROFILE.crc4_poly if poly is None else poly
     crc = 0
     for b in np.asarray(bits, np.uint8):
         crc ^= int(b) << 3
-        crc = ((crc << 1) ^ CRC4_POLY) & 0xF if crc & 0x8 else (crc << 1) & 0xF
+        crc = ((crc << 1) ^ g) & 0xF if crc & 0x8 else (crc << 1) & 0xF
     return np.array([(crc >> (3 - i)) & 1 for i in range(4)], np.uint8)
 
 
@@ -222,26 +261,30 @@ def _reorder_from_codec_1(frame: np.ndarray) -> np.ndarray:
                            frame[_CLASS2_POS - 1]])
 
 
-def encode_half_slot(frame: np.ndarray) -> np.ndarray:
+def encode_half_slot(frame: np.ndarray,
+                     profile: CodecProfile | None = None) -> np.ndarray:
     """One 137-bit codec frame -> 216 type-3 half-slot bits (TX fixture)."""
+    p = profile or _PROFILE
     seq = _reorder_from_codec_1(frame)
     c0 = seq[:N_CLASS0]
     c1 = seq[N_CLASS0:N_CLASS0 + N_CLASS1]
     c2 = seq[N_CLASS0 + N_CLASS1:]
     c1_coded = fec_enc.puncture(fec_enc.conv_encode(c1, P.CONV_TCH_POLYS),
                                 P.PUNCT_112_168, N_HC1_CODED)
-    c2_blk = np.concatenate([c2, crc4_bits(c2), np.zeros(4, np.uint8)])
+    c2_blk = np.concatenate([c2, crc4_bits(c2, p.crc4_poly),
+                             np.zeros(4, np.uint8)])
     c2_coded = fec_enc.puncture(fec_enc.conv_encode(c2_blk, P.CONV_TCH_POLYS),
                                 P.PUNCT_38_80, N_HC2_CODED)
     type3 = np.concatenate([c0, c1_coded, c2_coded, np.zeros(1, np.uint8)])
-    return type3[_half_interleave_perm()]
+    return type3[_perm_pair(_IL_HALF_LINES, 18, p.il_transposed)[0]]
 
 
 @partial(jax.jit)
-def _decode_half_device(type4: jnp.ndarray):
+def _decode_half_device(type4: jnp.ndarray, perm: jnp.ndarray):
     """(B, 216) interleaved type-4 half-slot bits ->
-    (seq137 (B, 137), crc_bits (B, 4), c2_info (B, 30))."""
-    perm = jnp.asarray(_half_deinterleave_perm())
+    (seq137 (B, 137), crc_bits (B, 4), c2_info (B, 30)).  perm is the
+    profile's deinterleave permutation, passed as an ARRAY argument so a
+    profile switch reuses the compiled program (same shape)."""
     type3 = type4[..., perm]
     c0 = type3[..., :N_CLASS0]
     c1_coded = type3[..., N_CLASS0:N_CLASS0 + N_HC1_CODED]
@@ -263,16 +306,21 @@ def _decode_half_device(type4: jnp.ndarray):
     return seq, crc_rx, c2
 
 
-def decode_half_slot(type4: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def decode_half_slot(type4: np.ndarray,
+                     profile: CodecProfile | None = None
+                     ) -> tuple[np.ndarray, np.ndarray]:
     """(B, 216) descrambled surviving-half bits -> (frames (B, 137), bfi (B,))."""
+    p = profile or _PROFILE
+    perm = jnp.asarray(_perm_pair(_IL_HALF_LINES, 18, p.il_transposed)[1])
     type4 = np.atleast_2d(np.asarray(type4, np.uint8))
-    seq, crc_rx, c2 = jax.device_get(_decode_half_device(jnp.asarray(type4)))
+    seq, crc_rx, c2 = jax.device_get(
+        _decode_half_device(jnp.asarray(type4), perm))
     B = type4.shape[0]
     frames = np.zeros((B, N_FRAME_BITS), np.uint8)
     bfi = np.zeros(B, bool)
     for b in range(B):
         frames[b] = _reorder_to_codec_1(seq[b])
-        bfi[b] = not (crc4_bits(c2[b]) == crc_rx[b]).all()
+        bfi[b] = not (crc4_bits(c2[b], p.crc4_poly) == crc_rx[b]).all()
     return frames, bfi
 
 
@@ -281,27 +329,30 @@ def decode_half_slot(type4: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
-def encode_slot(frames: np.ndarray) -> np.ndarray:
+def encode_slot(frames: np.ndarray,
+                profile: CodecProfile | None = None) -> np.ndarray:
     """Two 137-bit codec frames -> 432 type-3 (pre-scrambling) slot bits."""
+    p = profile or _PROFILE
     seq = reorder_from_codec(frames)
     c0 = seq[:N_C0]
     c1 = seq[N_C0:N_C0 + N_C1]
     c2 = seq[N_C0 + N_C1:]
     c1_mother = fec_enc.conv_encode(c1, P.CONV_TCH_POLYS)
     c1_coded = fec_enc.puncture(c1_mother, P.PUNCT_112_168, N_C1_CODED)
-    crc = crc8_bits(c2)
+    crc = crc8_bits(c2, p.crc8_poly)
     c2_blk = np.concatenate([c2, crc, np.zeros(4, np.uint8)])
     c2_mother = fec_enc.conv_encode(c2_blk, P.CONV_TCH_POLYS)
     c2_coded = fec_enc.puncture(c2_mother, P.PUNCT_72_162, N_C2_CODED)
     type3 = np.concatenate([c0, c1_coded, c2_coded])
-    return interleave(type3)
+    return interleave(type3, p)
 
 
 @partial(jax.jit)
-def _decode_slot_device(type4: jnp.ndarray):
+def _decode_slot_device(type4: jnp.ndarray, perm: jnp.ndarray):
     """Batched device decode: (B, 432) interleaved type-4 bits ->
-    (seq274 (B, 274), crc_bits (B, 8), c2_info (B, 60))."""
-    perm = jnp.asarray(_deinterleave_perm())
+    (seq274 (B, 274), crc_bits (B, 8), c2_info (B, 60)).  perm is the
+    profile's deinterleave permutation, passed as an ARRAY argument so a
+    profile switch reuses the compiled program (same shape)."""
     type3 = type4[..., perm]
     c0 = type3[..., :N_C0]
     c1_coded = type3[..., N_C0:N_C0 + N_C1_CODED]
@@ -324,18 +375,103 @@ def _decode_slot_device(type4: jnp.ndarray):
     return seq, crc_rx, c2
 
 
-def decode_slot(type4: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def decode_slot(type4: np.ndarray,
+                profile: CodecProfile | None = None
+                ) -> tuple[np.ndarray, np.ndarray]:
     """(B, 432) descrambled traffic bits -> (frames (B, 2, 137), bfi (B,)).
 
     bfi (bad frame indicator) mirrors the ETSI Channel_Decoding 'corrupted'
     flag (used at tetra_lower_mac.c:336): True when the class-2 CRC fails.
     """
+    p = profile or _PROFILE
+    perm = jnp.asarray(_perm_pair(_IL_LINES, _IL_COLUMNS,
+                                  p.il_transposed)[1])
     type4 = np.atleast_2d(np.asarray(type4, np.uint8))
-    seq, crc_rx, c2 = jax.device_get(_decode_slot_device(jnp.asarray(type4)))
+    seq, crc_rx, c2 = jax.device_get(
+        _decode_slot_device(jnp.asarray(type4), perm))
     B = type4.shape[0]
     frames = np.zeros((B, 2, N_FRAME_BITS), np.uint8)
     bfi = np.zeros(B, bool)
     for b in range(B):
         frames[b] = reorder_to_codec(seq[b]).reshape(2, N_FRAME_BITS)
-        bfi[b] = not (crc8_bits(c2[b]) == crc_rx[b]).all()
+        bfi[b] = not (crc8_bits(c2[b], p.crc8_poly) == crc_rx[b]).all()
     return frames, bfi
+
+
+# ---------------------------------------------------------------------------
+# Self-calibration over the assumption space (VERDICT r2 item 5)
+# ---------------------------------------------------------------------------
+
+
+class ProfileCalibrator:
+    """Auto-resolve the codec-profile assumptions on live traffic.
+
+    The offline build cannot verify the class-2 CRC generators or the
+    5.5.3 matrix line/column assignment against the ETSI codec sources; a
+    wrong choice on a real network shows up as EVERY traffic slot failing
+    its class-2 CRC with no other diagnostic.  This calibrator watches
+    decoded full slots: after `trigger` consecutive CRC failures it
+    re-decodes a window of buffered slots under every candidate profile
+    (2 interleaver conventions x a shortlist of plausible clause-5.3 CRC-8
+    generators), locks the one that passes, and makes it the active
+    profile — the receiver converges on the network's convention with zero
+    code change (tests/test_voice.py feeds an alternate-convention TX
+    stream to prove it).  Encrypted traffic cannot calibrate (the CRC
+    covers plaintext); run on clear traffic.
+
+    CRC-8 shortlist: 0x1D (X^8+X^4+X^3+X^2+1, current best-sourced
+    reading), 0x07 (CCITT/ATM HEC), 0x31 (X^8+X^5+X^4+1), 0x9B, 0xA6
+    (known 8-bit telecom generators a clause-5.3 reading could plausibly
+    be)."""
+
+    CRC8_SHORTLIST = (0x1D, 0x07, 0x31, 0x9B, 0xA6)
+    CRC4_SHORTLIST = (0x3, 0x9, 0xB)
+
+    def __init__(self, trigger: int = 6, window: int = 8, log=None):
+        self.trigger = trigger
+        self.window = window
+        self.buf: list[np.ndarray] = []
+        self.consec_fails = 0
+        self.resolved: CodecProfile | None = None
+        self.log = log if log is not None else (lambda msg: None)
+
+    def observe(self, type4: np.ndarray, bfi: bool) -> CodecProfile | None:
+        """Feed one decoded full traffic slot (type-4 bits + its bad-frame
+        flag under the ACTIVE profile).  Returns the newly resolved profile
+        the moment calibration fires, else None."""
+        if self.resolved is not None:
+            return None
+        if not bfi:
+            self.consec_fails = 0
+            self.buf.clear()
+            return None
+        self.consec_fails += 1
+        self.buf.append(np.asarray(type4, np.uint8).copy())
+        del self.buf[:-self.window]
+        if self.consec_fails < self.trigger:
+            return None
+        return self._search()
+
+    def _search(self) -> CodecProfile | None:
+        batch = np.stack(self.buf)
+        base = get_profile()
+        best: tuple[int, CodecProfile] | None = None
+        for transposed in (False, True):
+            for poly in self.CRC8_SHORTLIST:
+                cand = replace(
+                    base, crc8_poly=poly, il_transposed=transposed,
+                    name=f"calibrated(crc8={poly:#x}, "
+                         f"transposed={transposed})")
+                _, bfi = decode_slot(batch, profile=cand)
+                passes = int((~bfi).sum())
+                if best is None or passes > best[0]:
+                    best = (passes, cand)
+        passes, cand = best
+        if passes >= max(2, len(self.buf) // 2):
+            self.resolved = cand
+            set_profile(cand)
+            self.log(f"voice codec profile resolved: {cand.name} "
+                     f"({passes}/{len(self.buf)} buffered slots CRC-clean)")
+            return cand
+        self.consec_fails = 0   # keep observing; retry on the next streak
+        return None

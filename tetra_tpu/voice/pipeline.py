@@ -28,6 +28,14 @@ class VoicePipeline:
     slots_decoded: int = 0
     bad_frames: int = 0
     crypto_state: object = None   # optional CryptoState for encrypted voice
+    # auto-resolve the codec-profile assumption space on repeated class-2
+    # CRC failure (vchannel.ProfileCalibrator; clear traffic only)
+    calibrate: bool = False
+    calibrator: object = None
+
+    def __post_init__(self):
+        if self.calibrate and self.calibrator is None:
+            self.calibrator = vchannel.ProfileCalibrator()
 
     def _gate(self, time: TdmaTime) -> bool:
         # active-timeslot gate (tetra_lower_mac.c:364-370)
@@ -62,6 +70,11 @@ class VoicePipeline:
             return
         frames, bfi = vchannel.decode_slot(type4[None])
         f2, is_bad = frames[0], bool(bfi[0])
+        if (self.calibrator is not None and self.crypto_state is None
+                and self.calibrator.observe(type4, is_bad) is not None):
+            # profile just resolved: re-decode this slot under it
+            frames, bfi = vchannel.decode_slot(type4[None])
+            f2, is_bad = frames[0], bool(bfi[0])
         if self.crypto_state is not None:
             # encrypted traffic: XOR the CCK keystream off the decoded
             # codec frames (decrypt_voice_timeslot semantics -- the
