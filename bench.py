@@ -149,8 +149,32 @@ def main():
         "value": round(msps, 3),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(msps / 0.036, 1),
-    }))
+    }), flush=True)
 
-
-if __name__ == "__main__":
-    main()
+    # Second line (VERDICT r2 item 6): the WHOLE-receiver number -- wideband
+    # IQ -> decoded PDUs through channelize + resample + demod + burst sync
+    # + FEC + MAC, nothing excluded, with decode-level sanity gates (>90%
+    # locks, CRC-clean dominated) so it cannot be gamed by a broken
+    # pipeline.  vs_baseline = real-time TETRA channels (reference floor =
+    # one channel per desktop CPU, BASELINE.md).
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    try:
+        from bench_e2e import measure_resident
+        r = measure_resident(channels=256, t50=6400, k=16, seconds=3.0)
+        print(json.dumps({
+            "metric": "e2e_wideband_iq_to_pdu_throughput",
+            "value": r["wideband_msps"],
+            "unit": "wideband Msamples/s/chip",
+            "vs_baseline": r["rt_channels"],
+            "config": {k2: r[k2] for k2 in ("channels", "t50", "k", "locked",
+                                            "crc_ok", "crc_fail")},
+        }))
+    except Exception as e:  # never break the primary line
+        print(json.dumps({
+            "metric": "e2e_wideband_iq_to_pdu_throughput", "value": 0.0,
+            "unit": "wideband Msamples/s/chip", "vs_baseline": 0,
+            "error": repr(e)[:200],
+        }))

@@ -1,0 +1,130 @@
+"""Per-stage attribution of the resident e2e superblock cycle (round 3).
+
+Replays the exact production per-superblock flow of
+TetraReceiver.process_wideband_staged + FleetEngine.process_packed32 with a
+timer around each stage, so BENCH_DETAIL's attribution table is measured,
+not estimated.  Run alone on the TPU host.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bench_e2e import build_wideband  # noqa: E402 (same dir)
+    from tetra_tpu.rx import fec as rx_fec
+    from tetra_tpu.rx.receiver import TetraReceiver, _wideband_step_scan
+
+    channels, t50, K = 256, 6400, 16
+    rx = TetraReceiver(wideband=channels, t50=t50, fleet=True, events=False,
+                       wb_k=K)
+    wb = rx._wb
+    adv, wlen = wb["advance"], wb["wide_len"]
+    sb_adv = K * adv
+    wide = build_wideband(channels, 8.0)
+    n_super = (len(wide) - wlen) // sb_adv
+    staged = []
+    for s in range(n_super):
+        base = s * sb_adv
+        wr = np.stack([wide[base + j * adv: base + j * adv + wlen].real
+                       for j in range(K)]).astype(np.float32)
+        wi = np.stack([wide[base + j * adv: base + j * adv + wlen].imag
+                       for j in range(K)]).astype(np.float32)
+        staged.append((jax.device_put(wr), jax.device_put(wi)))
+    for w in staged:
+        w[0].block_until_ready(), w[1].block_until_ready()
+
+    # warm up through the normal path (compile + acquisition)
+    warm = max(1, int(1.5 * channels * 25_000 / sb_adv) + 1)
+    for s in range(warm):
+        rx.process_wideband_staged(*staged[s])
+
+    fleet = rx.fleet
+    t = {}
+
+    def lap(name, t0):
+        t[name] = t.get(name, 0.0) + (time.perf_counter() - t0)
+        return time.perf_counter()
+
+    iters = 0
+    for s in range(warm, n_super):
+        wr, wi = staged[s]
+        iters += 1
+        t0 = time.perf_counter()
+        (rx.state, fused, wb["hist_r"], wb["hist_i"]) = _wideband_step_scan(
+            rx.state, wr, wi, wb["hist_r"], wb["hist_i"], channels,
+            wb["t36"], wb["n_chunks"], True, True, False, K)
+        t0 = lap("sb_dispatch", t0)
+        arr = np.asarray(fused)
+        t0 = lap("sb_fetch(4.7MB)", t0)
+        vcount = arr[-2].copy().view(np.float32)
+        dsum = arr[-1].copy().view(np.float32)
+        rx._apply_quality(vcount, dsum)
+        words = arr[:-2]
+        R, C = words.shape
+        G = R // K
+        fleet._ensure_rowbufs(K, G * 8)
+        words = np.ascontiguousarray(words, np.int32)
+        t0 = lap("host_prep", t0)
+        n = int(fleet.lib.fleet_feed_tc(
+            fleet.h, words.ctypes.data, K, G,
+            fleet._t5.ctypes.data, fleet._meta.ctypes.data, fleet._cap))
+        t0 = lap("fleet_feed_tc", t0)
+        order = np.argsort(fleet._meta[:n, 0], kind="stable")
+        fleet._t5[:n] = fleet._t5[:n][order]
+        fleet._meta[:n] = fleet._meta[:n][order]
+        meta = fleet._meta[:n]
+        t5p = fleet._t5[:n]
+        chans = meta[:, 0]
+        blk_types = meta[:, 1]
+        scrambs = fleet.scramb[chans]
+        idx, okmap = fleet._ks_cycle_map(scrambs)
+        t0 = lap("sort+ks", t0)
+        assert okmap
+        # FEC: dispatch vs fetch split
+        N = len(blk_types)
+        tsel = rx_fec._MIX_TSEL_OF[np.asarray(blk_types, np.int64)]
+        idx2 = np.where(blk_types == 0, 0, idx).astype(np.int32)
+        bucket = fleet.pad_rows
+        pad = bucket - N
+        assert pad >= 0, (N, bucket)
+        tc = np.concatenate([t5p, np.zeros((pad, 54), np.uint8)])
+        ic = np.concatenate([idx2, np.zeros(pad, np.int32)])
+        sc = np.concatenate([tsel, np.full(pad, 3, np.int32)])
+        t0 = lap("fec_pad", t0)
+        out_dev = rx_fec._decode_mixed_packed_jit(
+            jnp.asarray(tc), fleet._ks_dev, jnp.asarray(ic),
+            jnp.asarray(sc))
+        t0 = lap("fec_dispatch", t0)
+        out = np.asarray(out_dev)
+        t0 = lap("fec_fetch(3.4MB)", t0)
+        type1p = np.ascontiguousarray(out[:N, :34])
+        ok = np.ascontiguousarray(out[:N, 34], np.uint8)
+        actions = np.empty(n, np.uint8)
+        times_ = np.empty((n, 5), np.int64)
+        fleet.lib.fleet_dispatch(fleet.h, type1p.ctypes.data, ok.ctypes.data,
+                                 meta.ctypes.data, n, 0, 0,
+                                 actions.ctypes.data, times_.ctypes.data)
+        t0 = lap("fleet_dispatch", t0)
+    rec = {k: round(v / iters * 1000, 1) for k, v in t.items()}
+    rec["iters"] = iters
+    rec["rows_per_super"] = int(n)
+    rec["bucket"] = int(fleet.pad_rows)
+    rec["total_ms"] = round(sum(v for k, v in rec.items()
+                                if isinstance(v, float)), 1)
+    print(json.dumps(rec))
+    with open("/tmp/attr_e2e.json", "w") as f:
+        json.dump(rec, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -25,20 +25,18 @@ from .tdma import PhyState
 
 
 @partial(jax.jit, static_argnames=("n_ch", "t36", "n_chunks", "up", "upmm",
-                                   "pack", "i16"))
+                                   "i16"))
 def _wideband_step(dstate, wr, wi, hr, hi, n_ch: int, t36: int,
-                   n_chunks: int, up: bool, upmm: bool, pack: bool = False,
-                   i16: bool = False):
+                   n_chunks: int, up: bool, upmm: bool, i16: bool = False):
     """Fused wideband block: channelize (frame-major) -> streaming 18/25
     resample -> chunked demod, one device program (the bench_wideband
-    cascade as the production receiver path).
+    cascade as the production receiver path).  Non-fleet consumers only:
+    the fleet path always uses _wideband_step_scan (time-major
+    nibble-packed output; K=1 is a length-1 scan).
 
     i16: wr/wi arrive as raw int16 (SDR-native cs16); converting on device
     halves the host->device bytes -- the binding resource on tunneled
-    hosts, and a real PCIe saver in production.  pack: return the fleet
-    path transfer-lean outputs only -- one byte per symbol slot (bit 7 =
-    valid, bits 1:0 = dibit) + per-channel quality sums, instead of five
-    full (C, T) arrays."""
+    hosts, and a real PCIe saver in production."""
     from ..parallel import channelizer as CH
     from . import demod_fast
 
@@ -49,12 +47,6 @@ def _wideband_step(dstate, wr, wi, hr, hi, n_ch: int, t36: int,
                                          CH._resolve_pallas(CH.USE_PALLAS))
     dstate, outs = demod_fast._demod_block_impl(dstate, rr.T, ri.T,
                                                 n_chunks, up, upmm)
-    if pack:
-        v = outs["valid"]
-        outs = dict(
-            packed=(outs["dibits"] | (v.astype(jnp.uint8) << 7)),
-            vcount=jnp.sum(v, axis=1).astype(jnp.float32),
-            dsum=jnp.sum(jnp.where(v, outs["dist"], 0.0), axis=1))
     return dstate, outs, hr, hi
 
 
@@ -325,8 +317,12 @@ class TetraReceiver:
                                         np.asarray(raw, np.complex64)])
             i16 = False
         stride = 2 if i16 else 1
+        # the fleet path always uses the superblock program (time-major
+        # nibble-packed output, K=1 degenerates to a length-1 scan): the
+        # per-cycle channel-major byte form paid (T,C)->(C,T) uint8
+        # transposes on device -- the round-2 9x superblock gap
         K = self.wb_k
-        if K > 1 and self.fleet is not None:
+        if self.fleet is not None:
             # superblock path: one device dispatch + one fetch per K cycles
             need = stride * ((K - 1) * wb["advance"] + wb["wide_len"])
             while len(wb["buf"]) >= need:
@@ -373,7 +369,7 @@ class TetraReceiver:
                 self.wideband, wb["t36"], wb["n_chunks"],
                 self.demod._resolve_pallas(self.demod.USE_PALLAS),
                 self.demod._resolve_pallas(self.demod.USE_PALLAS_MM),
-                pack=self.fleet is not None, i16=i16)
+                i16=i16)
             self._post_demod(outs)
 
     def process_wideband_staged(self, wr, wi) -> None:
@@ -390,8 +386,8 @@ class TetraReceiver:
         Equivalent decode semantics to process_wideband (same jitted
         program); see scripts/bench_e2e.py --resident for the measured
         device+host stack number this path sustains."""
-        assert self.wideband and self.wb_k > 1 and self.fleet is not None, \
-            "staged ingest needs wideband=N, wb_k>1, fleet=True"
+        assert self.wideband and self.fleet is not None, \
+            "staged ingest needs wideband=N, fleet=True"
         wb = self._wb
         assert wr.shape == (self.wb_k, wb["wide_len"]), wr.shape
         (self.state, fused, wb["hist_r"],
