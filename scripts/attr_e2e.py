@@ -90,23 +90,28 @@ def main():
         idx, okmap = fleet._ks_cycle_map(scrambs)
         t0 = lap("sort+ks", t0)
         assert okmap
-        # FEC: dispatch vs fetch split
+        # FEC: dispatch vs fetch split (chunked over the fixed bucket,
+        # exactly as decode_rows_mixed_packed)
         N = len(blk_types)
         tsel = rx_fec._MIX_TSEL_OF[np.asarray(blk_types, np.int64)]
         idx2 = np.where(blk_types == 0, 0, idx).astype(np.int32)
         bucket = fleet.pad_rows
-        pad = bucket - N
-        assert pad >= 0, (N, bucket)
-        tc = np.concatenate([t5p, np.zeros((pad, 54), np.uint8)])
-        ic = np.concatenate([idx2, np.zeros(pad, np.int32)])
-        sc = np.concatenate([tsel, np.full(pad, 3, np.int32)])
-        t0 = lap("fec_pad", t0)
-        out_dev = rx_fec._decode_mixed_packed_jit(
-            jnp.asarray(tc), fleet._ks_dev, jnp.asarray(ic),
-            jnp.asarray(sc))
-        t0 = lap("fec_dispatch", t0)
-        out = np.asarray(out_dev)
-        t0 = lap("fec_fetch(3.4MB)", t0)
+        out = np.empty((N, 35), np.uint8)
+        for s0 in range(0, N, bucket):
+            nn = min(bucket, N - s0)
+            pad = bucket - nn
+            tc = np.concatenate([t5p[s0:s0 + nn],
+                                 np.zeros((pad, 54), np.uint8)])
+            ic = np.concatenate([idx2[s0:s0 + nn], np.zeros(pad, np.int32)])
+            sc = np.concatenate([tsel[s0:s0 + nn],
+                                 np.full(pad, 3, np.int32)])
+            t0 = lap("fec_pad", t0)
+            out_dev = rx_fec._decode_mixed_packed_jit(
+                jnp.asarray(tc), fleet._ks_dev, jnp.asarray(ic),
+                jnp.asarray(sc))
+            t0 = lap("fec_dispatch", t0)
+            out[s0:s0 + nn] = np.asarray(out_dev)[:nn]
+            t0 = lap("fec_fetch", t0)
         type1p = np.ascontiguousarray(out[:N, :34])
         ok = np.ascontiguousarray(out[:N, 34], np.uint8)
         actions = np.empty(n, np.uint8)

@@ -171,6 +171,50 @@ def test_decode_rows_mixed_equals_decode_blocks_mixed():
         assert (got_t1[j, :len(w_t1)] == w_t1).all(), j
 
 
+def test_native_rm_syndrome_matches_device_ml():
+    """The fleet engine's local BBK decode (syndrome-table RM(30,14) in
+    C++) must equal the device ML decode (rx/fec.rm3014_decode) bit for
+    bit at every error weight: identical info bits and accept/reject for
+    0..3 errors, identical rejection at 4+ (bounded-distance = ML inside
+    the unique radius, d_min = 8)."""
+    from tetra_tpu.rx import fec as rx_fec
+    from tetra_tpu.rx.fleet import FleetEngine
+    from tetra_tpu.tx import fec_enc
+
+    eng = FleetEngine(1)
+    rng = np.random.default_rng(5)
+    scr = P.scramb_get_init(262, 99, 9)
+    ks = fec_enc.scramb_keystream(scr, 30)
+    rows, clean = [], []
+    for trial in range(64):
+        info = rng.integers(0, 2, 14).astype(np.uint8)
+        cw = np.concatenate([info, (info @ P.RM3014_PARITY) % 2])
+        nerr = trial % 6
+        bad = cw.copy()
+        for pos in rng.choice(30, nerr, replace=False):
+            bad[pos] ^= 1
+        clean.append(bad.copy())
+        scrambled = bad ^ ks
+        pad = np.zeros(432, np.uint8)
+        pad[:30] = scrambled
+        rows.append(np.packbits(pad))
+    t5p = np.ascontiguousarray(np.stack(rows))
+    scrambs = np.full(len(rows), scr, np.int64)
+    out64 = np.empty(len(rows), np.int64)
+    eng.lib.fleet_rm_redecode(eng.h, t5p.ctypes.data, scrambs.ctypes.data,
+                              len(rows), out64.ctypes.data)
+    info_ml, ok_ml = rx_fec.rm3014_decode(jnp.asarray(np.stack(clean)))
+    info_ml, ok_ml = np.asarray(info_ml), np.asarray(ok_ml)
+    for r in range(len(rows)):
+        ok_n = bool((out64[r] >> 14) & 1)
+        assert ok_n == bool(ok_ml[r]), r
+        if ok_n:
+            info_n = np.array([(out64[r] >> (13 - k)) & 1
+                               for k in range(14)], np.uint8)
+            assert (info_n == info_ml[r]).all(), r
+    assert sum((out64 >> 14) & 1) > 0 and (((out64 >> 14) & 1) == 0).any()
+
+
 def test_decode_rows_split_packed_matches_mixed():
     """The split per-kind FEC programs (CCH Viterbi+CRC, BBK RM3014) must
     be bit-exact vs the single mixed program -- including when the batch

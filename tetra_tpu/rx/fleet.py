@@ -73,6 +73,7 @@ class FleetChanStruct(ctypes.Structure):
         ("cell_time", _TTime),
         ("crc_oks", ctypes.c_int64), ("crc_fails", ctypes.c_int64),
         ("disp", _Disp), ("mac", MacStateStruct),
+        ("ks_scramb", ctypes.c_int64), ("ks30", ctypes.c_uint8 * 30),
         ("buf", ctypes.c_uint8 * (1 << 16)),
     ]
 
@@ -118,6 +119,11 @@ def load():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+            lib.fleet_set_rm.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64]
+            lib.fleet_rm_redecode.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p]
             assert lib.fleet_chan_size() == ctypes.sizeof(FleetChanStruct), (
                 lib.fleet_chan_size(), ctypes.sizeof(FleetChanStruct))
             _lib = lib
@@ -158,6 +164,14 @@ class FleetEngine:
         self.h = lib.fleet_create(
             channels, y.ctypes.data, len(y), n.ctypes.data, len(n),
             p.ctypes.data, len(p), P.SCRAMB_INIT)
+        # local BBK decode (syndrome RM(30,14), bit-exact to the device
+        # ML-with-dist<=3): BBK rows (~1/3 of every batch) never cross the
+        # device link
+        parity = np.ascontiguousarray(P.RM3014_PARITY, np.uint8)
+        tapmask = 0
+        for t in P.SCRAMB_TAPS:
+            tapmask |= 1 << (32 - t)
+        lib.fleet_set_rm(self.h, parity.ctypes.data, tapmask)
         self.scramb = np.ctypeslib.as_array(
             ctypes.cast(lib.fleet_scramb_ptr(self.h),
                         ctypes.POINTER(ctypes.c_int64)), (channels,))
@@ -312,7 +326,32 @@ class FleetEngine:
                                np.uint8)], axis=1)
             return np.packbits(t1pad, axis=1), oku
 
-        type1p, ok = decode(t5p, blk_types, scrambs)
+        # BBK rows are decoded LOCALLY at feed time (syndrome RM(30,14) in
+        # fleet.cpp, bit-exact vs the device ML decode inside its
+        # bounded-distance radius): meta[11] = info14 | ok<<14 | 1<<15.
+        # Only the remaining rows go to the device program -- they were
+        # ~1/3 of every batch and of its dominant output fetch.
+        local = (meta[:, 11] & 0x8000) != 0
+
+        def fill_local(rows, type1p, ok):
+            vals = meta[rows, 11]
+            info = (vals & 0x3FFF).astype(np.int64)
+            type1p[rows] = 0
+            type1p[rows, 0] = (info >> 6).astype(np.uint8)
+            type1p[rows, 1] = ((info & 63) << 2).astype(np.uint8)
+            ok[rows] = ((vals >> 14) & 1).astype(bool)
+
+        if local.any():
+            type1p = np.zeros((n, _T1P_BYTES), np.uint8)
+            ok = np.zeros(n, bool)
+            didx = np.nonzero(~local)[0]
+            if len(didx):
+                t1d, okd = decode(t5p[didx], blk_types[didx], scrambs[didx])
+                type1p[didx] = t1d
+                ok[didx] = okd
+            fill_local(np.nonzero(local)[0], type1p, ok)
+        else:
+            type1p, ok = decode(t5p, blk_types, scrambs)
 
         # adopt each channel's first good SYNC PDU scrambling code and
         # re-decode rows decoded under a stale code (exactly
@@ -336,10 +375,24 @@ class FleetEngine:
                     redo |= (chans == c) & (blk_types != P.TPSAP_T_SB1)
                     scrambs[chans == c] = sc
             if redo.any():
-                ridx = np.nonzero(redo)[0]
-                t1r, okr = decode(t5p[ridx], blk_types[ridx], scrambs[ridx])
-                type1p[ridx] = t1r
-                ok[ridx] = okr
+                # locally-decoded BBK rows redo natively under the adopted
+                # code; the rest go back to the device program
+                bidx = np.nonzero(redo & local)[0]
+                if len(bidx):
+                    tb = np.ascontiguousarray(t5p[bidx])
+                    sb = np.ascontiguousarray(scrambs[bidx], np.int64)
+                    out64 = np.empty(len(bidx), np.int64)
+                    self.lib.fleet_rm_redecode(self.h, tb.ctypes.data,
+                                               sb.ctypes.data, len(bidx),
+                                               out64.ctypes.data)
+                    meta[bidx, 11] = out64 | 0x8000
+                    fill_local(bidx, type1p, ok)
+                ridx = np.nonzero(redo & ~local)[0]
+                if len(ridx):
+                    t1r, okr = decode(t5p[ridx], blk_types[ridx],
+                                      scrambs[ridx])
+                    type1p[ridx] = t1r
+                    ok[ridx] = okr
 
         actions = np.empty(n, np.uint8)
         times = np.empty((n, 5), np.int64)

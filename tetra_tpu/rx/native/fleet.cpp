@@ -88,6 +88,10 @@ struct FleetChan {
   int64_t crc_oks, crc_fails;
   Disp disp;
   MacState mac;
+  // cached scrambling keystream for the local BBK decode (regenerated when
+  // the channel's scrambling code changes)
+  int64_t ks_scramb;
+  uint8_t ks30[30];
   uint8_t buf[FLEET_BUFCAP];
 };
 
@@ -99,7 +103,63 @@ struct Fleet {
   uint8_t y[64], n[64], p[64];
   FleetChan* ch;        // C channel states
   int64_t* scramb;      // (C,) current scrambling inits (numpy view)
+  // local RM(30,14) decode (fleet_set_rm): syndrome-table bounded-distance
+  // decoding, bit-exact to rx/fec.rm3014_decode's ML-with-dist<=3
+  // acceptance (d_min = 8 makes the <=3-error region uniquely decodable,
+  // so BDD and ML agree exactly there; both reject at >= 4).  BBK rows
+  // then never cross the device link -- they were ~1/3 of every FEC batch
+  // and their 35-byte result rows ~1/3 of the dominant output fetch.
+  bool rm_ready = false;
+  uint64_t scramb_tapmask = 0;
+  uint16_t rm_rows[14];        // parity row i as 16-bit mask (bit j)
+  uint32_t rm_syn[1 << 16];    // syndrome -> 30-bit error mask; ~0u invalid
 };
+
+// TETRA scrambling sequence p(k) (8.2.5; tx/fec_enc.scramb_keystream):
+// 32-bit Fibonacci LFSR, output = parity(lfsr & tapmask), shifted in at top
+inline void gen_keystream(uint64_t init, uint64_t tapmask, uint8_t* out,
+                          int64_t n) {
+  uint32_t lfsr = (uint32_t)init;
+  uint32_t mask = (uint32_t)tapmask;
+  for (int64_t i = 0; i < n; i++) {
+    uint32_t b = (uint32_t)__builtin_parity(lfsr & mask);
+    lfsr = (lfsr >> 1) | (b << 31);
+    out[i] = (uint8_t)b;
+  }
+}
+
+// syndrome of a 30-bit word: XOR of per-position signatures (info position
+// i contributes parity row i; parity position j contributes bit j)
+inline uint16_t rm_syndrome(const Fleet* f, const uint8_t* d30) {
+  uint16_t s = 0;
+  for (int i = 0; i < 14; i++)
+    if (d30[i]) s ^= f->rm_rows[i];
+  for (int j = 0; j < 16; j++)
+    if (d30[14 + j]) s ^= (uint16_t)(1u << j);
+  return s;
+}
+
+// descramble + decode one BBK block; returns info14 (MSB-first value,
+// bit 13-k = decoded type-1 bit k) | ok << 14
+inline int64_t rm_decode_local(const Fleet* f, const uint8_t* bits30,
+                               const uint8_t* ks30) {
+  uint8_t d[30];
+  for (int k = 0; k < 30; k++) d[k] = (uint8_t)((bits30[k] ^ ks30[k]) & 1);
+  uint32_t e = f->rm_syn[rm_syndrome(f, d)];
+  if (e == ~0u) return 0;                 // >= 4 errors: reject (ok = 0)
+  int64_t info = 0;
+  for (int k = 0; k < 14; k++) {
+    int64_t b = d[k] ^ ((e >> k) & 1);
+    info |= b << (13 - k);
+  }
+  return info | (1ll << 14);
+}
+
+inline void chan_ensure_ks(const Fleet* f, FleetChan* c, int64_t scramb) {
+  if (c->ks_scramb == scramb) return;
+  gen_keystream((uint64_t)scramb, f->scramb_tapmask, c->ks30, 30);
+  c->ks_scramb = scramb;
+}
 
 inline bool match_at(const uint8_t* buf, int64_t len, int64_t off,
                      const uint8_t* seq, int64_t slen) {
@@ -151,9 +211,15 @@ inline void chan_unlock(FleetChan* c) {
 }
 
 // emit one block row: BIT-PACKED type-5 bits (MSB-first per byte; the
-// whole row crosses the host->device link, so packing cuts it 8x) + meta
-inline int64_t emit_block(const FleetChan* c, int64_t chan, int64_t blk_type,
-                          int64_t blk_num, int64_t train_seq,
+// whole row crosses the host->device link, so packing cuts it 8x) + meta.
+// BBK rows are additionally decoded LOCALLY (syndrome RM(30,14), see
+// Fleet.rm_syn) with the channel's current keystream: meta[11] carries
+// info14 | ok<<14 | 1<<15 and the Python side keeps those rows off the
+// device batch entirely (adoption redo re-runs them via
+// fleet_rm_redecode).  The packed type-5 bits stay in the row regardless.
+inline int64_t emit_block(const Fleet* f, FleetChan* c, int64_t chan,
+                          int64_t blk_type, int64_t blk_num,
+                          int64_t train_seq,
                           const uint8_t* bits, int64_t nbits,
                           uint8_t* t5, int64_t* meta, int64_t row,
                           int64_t cap) {
@@ -166,20 +232,25 @@ inline int64_t emit_block(const FleetChan* c, int64_t chan, int64_t blk_type,
   m[0] = chan; m[1] = blk_type; m[2] = blk_num; m[3] = c->slot_count;
   m[4] = c->time.tn; m[5] = c->time.fn; m[6] = c->time.mn; m[7] = c->time.hn;
   m[8] = c->time.sn; m[9] = train_seq; m[10] = nbits; m[11] = 0;
+  if (blk_type == T_BBK && f->rm_ready) {
+    chan_ensure_ks(f, c, f->scramb[chan]);
+    m[11] = rm_decode_local(f, bits, c->ks30) | (1ll << 15);
+  }
   return row + 1;
 }
 
 // split one 510-bit burst into typed blocks (Burst.blocks(),
 // rx/burst_sync.py:67-94 <- tetra_burst_rx_cb, tetra_burst.c:343-393)
-inline int64_t emit_burst(const FleetChan* c, int64_t chan, int64_t seq_id,
+inline int64_t emit_burst(const Fleet* f, FleetChan* c, int64_t chan,
+                          int64_t seq_id,
                           const uint8_t* b, uint8_t* t5, int64_t* meta,
                           int64_t row, int64_t cap) {
   if (seq_id == TS_SYNC_ID) {
-    row = emit_block(c, chan, T_SB1, 1, seq_id, b + SB_BLK1_OFF,
+    row = emit_block(f, c, chan, T_SB1, 1, seq_id, b + SB_BLK1_OFF,
                      SB_BLK1_BITS_N, t5, meta, row, cap);
-    row = emit_block(c, chan, T_BBK, 0, seq_id, b + SB_BBK_OFF,
+    row = emit_block(f, c, chan, T_BBK, 0, seq_id, b + SB_BBK_OFF,
                      SB_BBK_BITS_N, t5, meta, row, cap);
-    row = emit_block(c, chan, T_SB2, 2, seq_id, b + SB_BLK2_OFF,
+    row = emit_block(f, c, chan, T_SB2, 2, seq_id, b + SB_BLK2_OFF,
                      SB_BLK2_BITS_N, t5, meta, row, cap);
     return row;
   }
@@ -187,11 +258,11 @@ inline int64_t emit_burst(const FleetChan* c, int64_t chan, int64_t seq_id,
   std::memcpy(bbk, b + NDB_BBK1_OFF, NDB_BBK1_BITS_N);
   std::memcpy(bbk + NDB_BBK1_BITS_N, b + NDB_BBK2_OFF, NDB_BBK2_BITS_N);
   if (seq_id == TS_NORM_2_ID) {
-    row = emit_block(c, chan, T_BBK, 0, seq_id, bbk, SB_BBK_BITS_N, t5, meta,
+    row = emit_block(f, c, chan, T_BBK, 0, seq_id, bbk, SB_BBK_BITS_N, t5, meta,
                      row, cap);
-    row = emit_block(c, chan, T_NDB, 1, seq_id, b + NDB_BLK1_OFF,
+    row = emit_block(f, c, chan, T_NDB, 1, seq_id, b + NDB_BLK1_OFF,
                      NDB_BLK_BITS_N, t5, meta, row, cap);
-    row = emit_block(c, chan, T_NDB, 2, seq_id, b + NDB_BLK2_OFF,
+    row = emit_block(f, c, chan, T_NDB, 2, seq_id, b + NDB_BLK2_OFF,
                      NDB_BLK_BITS_N, t5, meta, row, cap);
     return row;
   }
@@ -199,9 +270,9 @@ inline int64_t emit_burst(const FleetChan* c, int64_t chan, int64_t seq_id,
   uint8_t schf[2 * NDB_BLK_BITS_N];
   std::memcpy(schf, b + NDB_BLK1_OFF, NDB_BLK_BITS_N);
   std::memcpy(schf + NDB_BLK_BITS_N, b + NDB_BLK2_OFF, NDB_BLK_BITS_N);
-  row = emit_block(c, chan, T_BBK, 0, seq_id, bbk, SB_BBK_BITS_N, t5, meta,
+  row = emit_block(f, c, chan, T_BBK, 0, seq_id, bbk, SB_BBK_BITS_N, t5, meta,
                    row, cap);
-  row = emit_block(c, chan, T_SCH_F, 0, seq_id, schf, 2 * NDB_BLK_BITS_N, t5,
+  row = emit_block(f, c, chan, T_SCH_F, 0, seq_id, schf, 2 * NDB_BLK_BITS_N, t5,
                    meta, row, cap);
   return row;
 }
@@ -242,7 +313,7 @@ int64_t chan_consume(const Fleet* f, FleetChan* c, int64_t chan,
       if (a0 >= 0 && a0 + BITS_PER_TS <= c->buf_len) {
         add_tn(&c->time, 1);
         c->slot_count++;
-        row = emit_burst(c, chan, TS_SYNC_ID, c->buf + a0, t5, meta, row,
+        row = emit_burst(f, c, chan, TS_SYNC_ID, c->buf + a0, t5, meta, row,
                          cap);
       }
       progress = true;
@@ -281,7 +352,7 @@ int64_t chan_consume(const Fleet* f, FleetChan* c, int64_t chan,
         chan_unlock(c);
       } else if (seq_id == TS_SYNC_ID) {
         if (offs == SYNC_TRAIN_OFFSET) {
-          row = emit_burst(c, chan, seq_id, c->buf, t5, meta, row, cap);
+          row = emit_burst(f, c, chan, seq_id, c->buf, t5, meta, row, cap);
         } else {
           // wrong-offset SYNC: re-align directly to the fresh y instead of
           // unlocking (documented + deviation, rx/burst_sync.py:245-260)
@@ -292,7 +363,7 @@ int64_t chan_consume(const Fleet* f, FleetChan* c, int64_t chan,
           continue;
         }
       } else if (offs == NORM_TRAIN_OFFSET) {
-        row = emit_burst(c, chan, seq_id, c->buf, t5, meta, row, cap);
+        row = emit_burst(f, c, chan, seq_id, c->buf, t5, meta, row, cap);
       }  // wrong-offset NORM: ignored, stay locked
       std::memmove(c->buf, c->buf + BITS_PER_TS,
                    (size_t)(c->buf_len - BITS_PER_TS));
@@ -496,9 +567,59 @@ Fleet* fleet_create(int64_t C, const uint8_t* y, int64_t ylen,
     f->ch[c].time = TTime{0, 1, 1, 1, 1};       // TdmaTime defaults
     f->ch[c].cell_time = TTime{0, 1, 1, 1, 1};
     f->ch[c].scramb_init = scramb_default;
+    f->ch[c].ks_scramb = -1;
     f->scramb[c] = scramb_default;
   }
   return f;
+}
+
+// Enable the local BBK decode: parity = RM3014_PARITY (14 x 16 row-major
+// bits, params.py), scramb_tapmask = OR of 1 << (32 - t) over SCRAMB_TAPS.
+// Builds the weight<=3 syndrome table (4526 correctable patterns; d=8
+// guarantees collision-free syndromes inside that radius).
+void fleet_set_rm(Fleet* f, const uint8_t* parity, uint64_t scramb_tapmask) {
+  for (int i = 0; i < 14; i++) {
+    uint16_t row = 0;
+    for (int j = 0; j < 16; j++)
+      if (parity[i * 16 + j]) row |= (uint16_t)(1u << j);
+    f->rm_rows[i] = row;
+  }
+  f->scramb_tapmask = scramb_tapmask;
+  uint16_t pos_syn[30];
+  for (int i = 0; i < 14; i++) pos_syn[i] = f->rm_rows[i];
+  for (int j = 0; j < 16; j++) pos_syn[14 + j] = (uint16_t)(1u << j);
+  for (int64_t s = 0; s < (1 << 16); s++) f->rm_syn[s] = ~0u;
+  f->rm_syn[0] = 0;
+  for (int a = 0; a < 30; a++) {
+    f->rm_syn[pos_syn[a]] = 1u << a;
+    for (int b = a + 1; b < 30; b++) {
+      uint16_t sab = (uint16_t)(pos_syn[a] ^ pos_syn[b]);
+      f->rm_syn[sab] = (1u << a) | (1u << b);
+      for (int c = b + 1; c < 30; c++)
+        f->rm_syn[sab ^ pos_syn[c]] = (1u << a) | (1u << b) | (1u << c);
+    }
+  }
+  f->rm_ready = true;
+}
+
+// Re-decode BBK rows under NEW scrambling codes (Python's scrambling-
+// adoption redo): t5p = (n, 54) bit-packed type-5 rows (first 30 bits are
+// the BBK block), scrambs (n,), out (n,) = info14 | ok << 14.
+void fleet_rm_redecode(Fleet* f, const uint8_t* t5p, const int64_t* scrambs,
+                       int64_t n, int64_t* out) {
+  int64_t last_scramb = -1;
+  uint8_t ks[30];
+  for (int64_t r = 0; r < n; r++) {
+    if (scrambs[r] != last_scramb) {
+      gen_keystream((uint64_t)scrambs[r], f->scramb_tapmask, ks, 30);
+      last_scramb = scrambs[r];
+    }
+    uint8_t bits[30];
+    const uint8_t* pb = t5p + r * T5P_BYTES;
+    for (int k = 0; k < 30; k++)
+      bits[k] = (uint8_t)((pb[k >> 3] >> (7 - (k & 7))) & 1);
+    out[r] = rm_decode_local(f, bits, ks);
+  }
 }
 
 void fleet_destroy(Fleet* f) {

@@ -173,10 +173,12 @@ class TetraReceiver:
                 "fleet mode replaces mac_workers; crypto needs the Python path"
             # FEC bucket sizing.  Wideband superblock receivers know their
             # exact cycle geometry, so the ONE mixed program's bucket sits
-            # at the steady-state row rate (slots/cycle = t36 bits / 510,
-            # ~2.1 rows/slot average, ~25% headroom); rare overflow (e.g. a
-            # post-acquisition ring-backlog drain) CHUNKS over the same
-            # compiled program instead of recompiling.  Round-3 TPU
+            # at the worst-case steady row rate (slots/cycle = t36 bits /
+            # 510; every burst type emits <= 3 rows/slot -- SYNC and NORM_2
+            # hit exactly 3, measured 3.0 on the e2e multiplex -- plus ~8%
+            # headroom); rare overflow beyond that (a post-acquisition
+            # ring-backlog drain) CHUNKS over the same compiled program
+            # instead of recompiling.  Round-3 TPU
             # ablation (scripts/ablate_superblock.py): with the gather-free
             # Viterbi the per-dispatch overhead dominates the FEC step, so
             # one right-sized mixed dispatch beats the split CCH/BBK pair
@@ -185,7 +187,7 @@ class TetraReceiver:
             if wideband and channels >= 64:
                 slots = (t50 * 18 // 25) / 510.0
                 K = max(1, wb_k)
-                pad_rows = -(-int(channels * K * slots * 2.6) // 1024) * 1024
+                pad_rows = -(-int(channels * K * slots * 3.25) // 1024) * 1024
                 self.fleet = FleetEngine(channels, voice_cb=voice_cb,
                                          pad_rows=pad_rows, split_fec=False)
             else:
