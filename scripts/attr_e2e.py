@@ -90,11 +90,18 @@ def main():
         idx, okmap = fleet._ks_cycle_map(scrambs)
         t0 = lap("sort+ks", t0)
         assert okmap
+        # local BBK rows (decoded natively at feed time) stay off the
+        # device batch, exactly as FleetEngine._decode_dispatch
+        local = (meta[:, 11] & 0x8000) != 0
+        didx = np.nonzero(~local)[0]
+        t5p_d, blk_d, idx_d = t5p[didx], blk_types[didx], idx[didx]
+        t0 = lap("bbk_local_filter", t0)
         # FEC: dispatch vs fetch split (chunked over the fixed bucket,
         # exactly as decode_rows_mixed_packed)
-        N = len(blk_types)
-        tsel = rx_fec._MIX_TSEL_OF[np.asarray(blk_types, np.int64)]
-        idx2 = np.where(blk_types == 0, 0, idx).astype(np.int32)
+        N = len(blk_d)
+        tsel = rx_fec._MIX_TSEL_OF[np.asarray(blk_d, np.int64)]
+        idx2 = np.where(blk_d == 0, 0, idx_d).astype(np.int32)
+        t5p = t5p_d
         bucket = fleet.pad_rows
         out = np.empty((N, 35), np.uint8)
         for s0 in range(0, N, bucket):
@@ -112,8 +119,18 @@ def main():
             t0 = lap("fec_dispatch", t0)
             out[s0:s0 + nn] = np.asarray(out_dev)[:nn]
             t0 = lap("fec_fetch", t0)
-        type1p = np.ascontiguousarray(out[:N, :34])
-        ok = np.ascontiguousarray(out[:N, 34], np.uint8)
+        type1p = np.zeros((n, 34), np.uint8)
+        ok = np.zeros(n, np.uint8)
+        type1p[didx] = out[:N, :34]
+        ok[didx] = out[:N, 34]
+        lrows = np.nonzero(local)[0]
+        vals = meta[lrows, 11]
+        info = (vals & 0x3FFF).astype(np.int64)
+        type1p[lrows, 0] = (info >> 6).astype(np.uint8)
+        type1p[lrows, 1] = ((info & 63) << 2).astype(np.uint8)
+        ok[lrows] = ((vals >> 14) & 1).astype(np.uint8)
+        type1p = np.ascontiguousarray(type1p)
+        t0 = lap("merge_local", t0)
         actions = np.empty(n, np.uint8)
         times_ = np.empty((n, 5), np.int64)
         fleet.lib.fleet_dispatch(fleet.h, type1p.ctypes.data, ok.ctypes.data,

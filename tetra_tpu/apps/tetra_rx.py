@@ -332,6 +332,15 @@ def main(argv=None):
                          "loop into DIR (view with TensorBoard/Perfetto; "
                          "the reference has no profiling at all, SURVEY "
                          "section 5)")
+    ap.add_argument("--codec-profile", default=None, metavar="JSON",
+                    help="voice channel-codec profile (CRC generators + "
+                         "5.5.3 matrix convention; voice.channel.load_profile"
+                         " format) -- drop in real ETSI constants with zero "
+                         "code change")
+    ap.add_argument("--codec-tables", default=None, metavar="NPZ",
+                    help="runtime ACELP quantizer tables (LSF split-VQ + "
+                         "gain codebooks; voice.acelp.load_codec_tables "
+                         "format)")
     ap.add_argument("--config", default=None, metavar="JSON",
                     help="per-instance settings file: loaded as defaults, "
                          "saved back on exit (the plugin's config "
@@ -353,6 +362,15 @@ def main(argv=None):
                        "demod": args.demod, "block": args.block,
                        "wideband": args.wideband,
                        "status_every": args.status_every}, f, indent=1)
+
+    if args.codec_profile:
+        from ..voice.channel import load_profile
+        prof = load_profile(args.codec_profile)
+        print(f"# codec profile: {prof.name}", flush=True)
+    if args.codec_tables:
+        from ..voice.acelp import load_codec_tables
+        load_codec_tables(args.codec_tables)
+        print(f"# codec tables loaded: {args.codec_tables}", flush=True)
 
     # fused-wideband: channelize+resample+demod as ONE device program per
     # block inside the receiver (streaming, live-input capable); the split

@@ -174,8 +174,9 @@ class TetraReceiver:
             # FEC bucket sizing.  Wideband superblock receivers know their
             # exact cycle geometry, so the ONE mixed program's bucket sits
             # at the worst-case steady row rate (slots/cycle = t36 bits /
-            # 510; every burst type emits <= 3 rows/slot -- SYNC and NORM_2
-            # hit exactly 3, measured 3.0 on the e2e multiplex -- plus ~8%
+            # 510; with BBK rows decoded natively in the fleet engine,
+            # every burst type sends <= 2 rows/slot to the device -- SYNC
+            # SB1+SB2 and NORM_2's two NDBs hit exactly 2 -- plus ~10%
             # headroom); rare overflow beyond that (a post-acquisition
             # ring-backlog drain) CHUNKS over the same compiled program
             # instead of recompiling.  Round-3 TPU
@@ -187,7 +188,7 @@ class TetraReceiver:
             if wideband and channels >= 64:
                 slots = (t50 * 18 // 25) / 510.0
                 K = max(1, wb_k)
-                pad_rows = -(-int(channels * K * slots * 3.25) // 1024) * 1024
+                pad_rows = -(-int(channels * K * slots * 2.2) // 1024) * 1024
                 self.fleet = FleetEngine(channels, voice_cb=voice_cb,
                                          pad_rows=pad_rows, split_fec=False)
             else:

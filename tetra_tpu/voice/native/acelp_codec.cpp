@@ -98,6 +98,27 @@ const int kLsfBits[LPC_ORDER] = {3, 3, 2, 3, 3, 3, 2, 2, 2, 3};
 constexpr float LSF_PRED = 0.65f;
 constexpr float LSF_SPAN = 0.25f;
 
+// ---------------------------------------------------------------------------
+// Runtime-pluggable quantizer tables (VERDICT r2 item 5a): when real ETSI
+// codebooks are available (they are not redistributable and absent in this
+// offline environment), tetra_acelp_load_tables() switches the LSF split-VQ
+// and the 6-bit gain field to TABLE-mode dequantization with zero code
+// change: lsf group g = lsf_pred * prev + cb_g[index]; (gp, gc) =
+// gain_cb[index].  Until then the parametric quantizers below remain the
+// framework's own self-consistent pair (PARITY.md sourcing table).
+// ---------------------------------------------------------------------------
+
+struct CodecTables {
+    bool loaded = false;
+    float lsf_pred = 0.0f;
+    int n1 = 0, n2 = 0, n3 = 0, ngain = 0;
+    float cb1[256][3];
+    float cb2[512][3];
+    float cb3[512][4];
+    float gain_cb[64][2];   // rows of (pitch gain, code gain)
+};
+CodecTables g_tables;
+
 inline float lsf_predict(const float* prev_q, int i) {
     return kLsfMean[i] + LSF_PRED * (prev_q[i] - kLsfMean[i]);
 }
@@ -113,6 +134,19 @@ void lsf_order_enforce(float* lsf) {
 }
 
 void dequant_lsf(BitReader& br, const float* prev_q, float* lsf) {
+    if (g_tables.loaded) {
+        const float* v1 = g_tables.cb1[br.take(8) % g_tables.n1];
+        const float* v2 = g_tables.cb2[br.take(9) % g_tables.n2];
+        const float* v3 = g_tables.cb3[br.take(9) % g_tables.n3];
+        for (int i = 0; i < 3; i++)
+            lsf[i] = g_tables.lsf_pred * prev_q[i] + v1[i];
+        for (int i = 0; i < 3; i++)
+            lsf[3 + i] = g_tables.lsf_pred * prev_q[3 + i] + v2[i];
+        for (int i = 0; i < 4; i++)
+            lsf[6 + i] = g_tables.lsf_pred * prev_q[6 + i] + v3[i];
+        lsf_order_enforce(lsf);
+        return;
+    }
     for (int i = 0; i < LPC_ORDER; i++) {
         int q = br.take(kLsfBits[i]);
         int levels = 1 << kLsfBits[i];
@@ -207,6 +241,12 @@ inline float acb_sample(const float* e, int i, int lag2) {
 // nominal level, so the predictor is bounded regardless of the bit stream
 // (a raw energy-feedback predictor diverges on random input).
 void decode_gains(int index, float* log_gc_state, float* gp, float* gc) {
+    if (g_tables.loaded) {
+        const float* g = g_tables.gain_cb[index % g_tables.ngain];
+        *gp = g[0];
+        *gc = g[1];
+        return;
+    }
     int gpi = (index >> 3) & 7;
     int gci = index & 7;
     *gp = 1.2f * gpi / 7.0f;
@@ -330,6 +370,38 @@ struct EncoderState {
 // the previous frame's reconstruction (the decoder's lsf_prev mirror).
 void quant_lsf(const float* lsf, const float* prev_q, int* idx,
                float* lsf_q) {
+    if (g_tables.loaded) {
+        // nearest codevector per split group on the prediction residual
+        const struct { const float* cb; int n, off, w; } groups[3] = {
+            {&g_tables.cb1[0][0], g_tables.n1, 0, 3},
+            {&g_tables.cb2[0][0], g_tables.n2, 3, 3},
+            {&g_tables.cb3[0][0], g_tables.n3, 6, 4}};
+        for (int g = 0; g < 3; g++) {
+            float tgt[4];
+            for (int i = 0; i < groups[g].w; i++)
+                tgt[i] = lsf[groups[g].off + i]
+                         - g_tables.lsf_pred * prev_q[groups[g].off + i];
+            int best = 0;
+            float dbest = 1e30f;
+            for (int j = 0; j < groups[g].n; j++) {
+                const float* v = groups[g].cb + j * groups[g].w;
+                float d = 0.0f;
+                for (int i = 0; i < groups[g].w; i++) {
+                    float e = tgt[i] - v[i];
+                    d += e * e;
+                }
+                if (d < dbest) { dbest = d; best = j; }
+            }
+            idx[g] = best;
+            const float* v = groups[g].cb + best * groups[g].w;
+            for (int i = 0; i < groups[g].w; i++)
+                lsf_q[groups[g].off + i] =
+                    g_tables.lsf_pred * prev_q[groups[g].off + i] + v[i];
+        }
+        for (int g = 3; g < LPC_ORDER; g++) idx[g] = 0;
+        lsf_order_enforce(lsf_q);
+        return;
+    }
     for (int i = 0; i < LPC_ORDER; i++) {
         int levels = 1 << kLsfBits[i];
         float t = (lsf[i] - lsf_predict(prev_q, i)) / LSF_SPAN;  // [-1, 1]
@@ -575,6 +647,30 @@ void tetra_acelp_decode_frame(void* h, const uint8_t* bits137, int bfi,
 // test hooks: direct access to the LSF<->LPC conversions
 void tetra_acelp_lpc_to_lsf(const float* a, float* lsf) { lpc_to_lsf(a, lsf); }
 void tetra_acelp_lsf_to_lpc(const float* lsf, float* a) { lsf_to_lpc(lsf, a); }
+
+// Load runtime quantizer tables (see CodecTables): cb1 (n1, 3), cb2 (n2, 3),
+// cb3 (n3, 4) LSF split-VQ codevectors; gains (ng, 2) rows of (gp, gc);
+// lsf_pred = one-tap prediction coefficient applied to the previous
+// reconstructed LSFs (0 = absolute VQ).  Returns 0 on success.
+int tetra_acelp_load_tables(const float* cb1, int n1, const float* cb2,
+                            int n2, const float* cb3, int n3,
+                            const float* gains, int ng, float lsf_pred) {
+    if (n1 < 1 || n1 > 256 || n2 < 1 || n2 > 512 || n3 < 1 || n3 > 512 ||
+        ng < 1 || ng > 64)
+        return -1;
+    std::memcpy(g_tables.cb1, cb1, (size_t)n1 * 3 * sizeof(float));
+    std::memcpy(g_tables.cb2, cb2, (size_t)n2 * 3 * sizeof(float));
+    std::memcpy(g_tables.cb3, cb3, (size_t)n3 * 4 * sizeof(float));
+    std::memcpy(g_tables.gain_cb, gains, (size_t)ng * 2 * sizeof(float));
+    g_tables.n1 = n1; g_tables.n2 = n2; g_tables.n3 = n3;
+    g_tables.ngain = ng;
+    g_tables.lsf_pred = lsf_pred;
+    g_tables.loaded = true;
+    return 0;
+}
+
+void tetra_acelp_clear_tables() { g_tables.loaded = false; }
+int tetra_acelp_tables_loaded() { return g_tables.loaded ? 1 : 0; }
 
 // ---------------------------------------------------------------------------
 // Encoder ABI
@@ -839,24 +935,42 @@ void tetra_acelp_encode_frame(void* h, const int16_t* pcm240,
         }
         float gc_opt = (float)(numc / denc);
         if (gc_opt < 0.0f) gc_opt = 0.0f;
-        // quantize through the decoder's log-domain predictor (kept in
-        // lockstep so decode reproduces the same gains)
+        float gc_q;
         float lg_tgt = std::log(gc_opt > 0.01f ? gc_opt : 0.01f);
-        int gci_best = 0;
-        float cost_best = 1e30f, state_best = st->log_gc;
-        for (int gci = 0; gci < 8; gci++) {
-            float stn = 0.6f * st->log_gc + 0.4f * 5.5f
-                        + 0.35f * (gci - 3.5f);
-            float cost = std::fabs(clampf(stn, 0.0f, 9.0f) - lg_tgt);
-            if (cost < cost_best) {
-                cost_best = cost;
-                gci_best = gci;
-                state_best = stn;
+        if (g_tables.loaded) {
+            // table mode: joint nearest (gp, gc) row (decoder mirror reads
+            // the same row; log-gc distance keeps the match scale-free)
+            int best = 0;
+            float dbest = 1e30f;
+            for (int j = 0; j < g_tables.ngain; j++) {
+                float dgp = g_tables.gain_cb[j][0] - gp_q;
+                float gcv = g_tables.gain_cb[j][1];
+                float dlg = std::log(gcv > 0.01f ? gcv : 0.01f) - lg_tgt;
+                float d = dgp * dgp + 0.25f * dlg * dlg;
+                if (d < dbest) { dbest = d; best = j; }
             }
+            gains[sub] = best;
+            gp_q = g_tables.gain_cb[best][0];
+            gc_q = g_tables.gain_cb[best][1];
+        } else {
+            // quantize through the decoder's log-domain predictor (kept in
+            // lockstep so decode reproduces the same gains)
+            int gci_best = 0;
+            float cost_best = 1e30f, state_best = st->log_gc;
+            for (int gci = 0; gci < 8; gci++) {
+                float stn = 0.6f * st->log_gc + 0.4f * 5.5f
+                            + 0.35f * (gci - 3.5f);
+                float cost = std::fabs(clampf(stn, 0.0f, 9.0f) - lg_tgt);
+                if (cost < cost_best) {
+                    cost_best = cost;
+                    gci_best = gci;
+                    state_best = stn;
+                }
+            }
+            st->log_gc = state_best;
+            gc_q = std::exp(clampf(state_best, 0.0f, 9.0f));
+            gains[sub] = (gpi << 3) | gci_best;
         }
-        st->log_gc = state_best;
-        float gc_q = std::exp(clampf(state_best, 0.0f, 9.0f));
-        gains[sub] = (gpi << 3) | gci_best;
 
         // --- reconstruct excitation + update running memories ---
         float* e = exc + sub * SUBFRAME;
@@ -887,7 +1001,13 @@ void tetra_acelp_encode_frame(void* h, const int16_t* pcm240,
     // --- pack the 137-bit frame (documented serial order; mirrored by the
     // decoder): 3 LSP indices, then per subframe [pitch, code, gains] ---
     BitWriter bw{bits137, 0};
-    for (int i = 0; i < LPC_ORDER; i++) bw.put(lsf_idx[i], kLsfBits[i]);
+    if (g_tables.loaded) {
+        bw.put(lsf_idx[0], 8);
+        bw.put(lsf_idx[1], 9);
+        bw.put(lsf_idx[2], 9);
+    } else {
+        for (int i = 0; i < LPC_ORDER; i++) bw.put(lsf_idx[i], kLsfBits[i]);
+    }
     for (int sub = 0; sub < NSUB; sub++) {
         if (sub == 0)
             bw.put(lag2[0] - LAG2_MIN, 8);
