@@ -65,20 +65,18 @@ def main():
             wb["t36"], wb["n_chunks"], True, True, False, K)
         t0 = lap("sb_dispatch", t0)
         arr = np.asarray(fused)
-        t0 = lap("sb_fetch(4.7MB)", t0)
+        t0 = lap("sb_fetch", t0)
         vcount = arr[-2].copy().view(np.float32)
         dsum = arr[-1].copy().view(np.float32)
         rx._apply_quality(vcount, dsum)
         words = arr[:-2]
-        R, C = words.shape
-        G = R // K
-        fleet._ensure_rowbufs(K, G * 8)
+        fleet._ensure_rowbufs(K, wb["n_chunks"] * 32)
         words = np.ascontiguousarray(words, np.int32)
         t0 = lap("host_prep", t0)
-        n = int(fleet.lib.fleet_feed_tc(
-            fleet.h, words.ctypes.data, K, G,
+        n = int(fleet.lib.fleet_feed_sb(
+            fleet.h, words.ctypes.data, K, wb["n_chunks"],
             fleet._t5.ctypes.data, fleet._meta.ctypes.data, fleet._cap))
-        t0 = lap("fleet_feed_tc", t0)
+        t0 = lap("fleet_feed_sb", t0)
         order = np.argsort(fleet._meta[:n, 0], kind="stable")
         fleet._t5[:n] = fleet._t5[:n][order]
         fleet._meta[:n] = fleet._meta[:n][order]

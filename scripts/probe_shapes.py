@@ -16,8 +16,12 @@ Usage: python scripts/probe_shapes.py [--grid small|full]
 
 import argparse
 import json
+import os
+import sys
 import time
 import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -171,6 +171,30 @@ def test_decode_rows_mixed_equals_decode_blocks_mixed():
         assert (got_t1[j, :len(w_t1)] == w_t1).all(), j
 
 
+def test_demod_valid_is_per_chunk_prefix():
+    """The pack_cycle_tc layout replaces per-symbol valid flags with
+    per-chunk counts, which is lossless ONLY if validity within each demod
+    chunk is a prefix.  Both chains guarantee it by construction (XLA:
+    valid = ipos < T with nondecreasing ipos; Pallas: additionally ANDed
+    with a per-chunk constant); assert it on live demod output, including
+    the lock transient."""
+    from tetra_tpu.rx import demod_fast
+
+    cfg = cell.CellConfig(mcc=262, mnc=55, cc=2)
+    bits, _ = cell.downlink_bits(cfg, 40, start=START)
+    iq = np.asarray(modulate(jnp.asarray(bits[None, :])))
+    iq = np.asarray(channel(jnp.asarray(iq), jax.random.key(2), snr_db=18.0,
+                            cfo_hz=300.0, sample_rate=P.SAMPLE_RATE))
+    state = demod_fast.demod_init(1)
+    T = 2048
+    for i in range(iq.shape[1] // T):
+        state, outs = demod_fast.demod_block(state, iq[:, i * T:(i + 1) * T])
+        v = np.asarray(outs["valid"]).reshape(1, -1, demod_fast.K_SYM)
+        counts = v.sum(axis=2)
+        want = np.arange(demod_fast.K_SYM)[None, None, :] < counts[:, :, None]
+        assert (v == want).all(), i
+
+
 def test_native_rm_syndrome_matches_device_ml():
     """The fleet engine's local BBK decode (syndrome-table RM(30,14) in
     C++) must equal the device ML decode (rx/fec.rm3014_decode) bit for
@@ -327,14 +351,40 @@ def test_fleet_feed_giant_call_segmentation():
         assert f_one.display(c).as_dict() == f_chunk.display(c).as_dict(), c
 
 
-def test_packed32_feed_matches_byte_feed():
-    """The time-major nibble-stream entry (fleet_feed_tc, the superblock
+def _pack2_host(dibm, valid, K, n_chunks):
+    """Host-side reference packer for the pack_cycle_tc layout: dibm/valid
+    (C, K*T) with T = n_chunks*32 and PREFIX-per-chunk valid patterns ->
+    (K*(2*n_chunks + ceil(n_chunks/4)), C) int32 words."""
+    C, total = dibm.shape
+    T = n_chunks * 32
+    assert total == K * T
+    cnt_words = -(-n_chunks // 4)
+    rows = []
+    for j in range(K):
+        d = dibm[:, j * T:(j + 1) * T].T.astype(np.int64)      # (T, C)
+        v = valid[:, j * T:(j + 1) * T].T.astype(np.int64)
+        sym = (d & 3).reshape(T // 16, 16, C)
+        rows.append((sym << (2 * np.arange(16))[None, :, None]).sum(1))
+        counts = v.reshape(n_chunks, 32, C).sum(1)             # (nc, C)
+        pad = cnt_words * 4 - n_chunks
+        if pad:
+            counts = np.concatenate(
+                [counts, np.zeros((pad, C), np.int64)])
+        wc = counts.reshape(cnt_words, 4, C)
+        rows.append((wc << (8 * np.arange(4))[None, :, None]).sum(1))
+    return np.concatenate(rows).astype(np.int32)
+
+
+def test_packed2_feed_matches_byte_feed():
+    """The time-major 2-bit+counts entry (fleet_feed_sb, the superblock
     device layout) must be exactly equivalent to K channel-major byte
-    feeds of the same dibit/valid stream -- including invalid slots and
-    ring/backlog behavior."""
+    feeds of the same dibit/valid stream -- including invalid slots
+    (always a per-chunk prefix, as the demod emits them) and ring/backlog
+    behavior."""
     from tetra_tpu.rx.fleet import FleetEngine
 
-    C, K, T = 3, 4, 2400                   # T % 8 == 0
+    C, K, n_chunks = 3, 4, 75
+    T = n_chunks * 32                      # 2400
     rng = np.random.default_rng(21)
     bits, _ = cell.downlink_bits(cell.CellConfig(mcc=262, mnc=77, cc=5),
                                  140, start=START)
@@ -342,12 +392,16 @@ def test_packed32_feed_matches_byte_feed():
     need = K * T
     assert len(dib) >= need + 64
     dibm = np.stack([dib[c * 17:c * 17 + need] for c in range(C)])
-    valid = rng.random((C, need)) > 0.02   # sprinkle invalid slots
+    # prefix-per-chunk validity: mostly full chunks, some short/empty
+    counts = np.where(rng.random((C, K * n_chunks)) < 0.9, 32,
+                      rng.integers(0, 33, (C, K * n_chunks)))
+    valid = (np.arange(32)[None, None, :]
+             < counts[:, :, None]).reshape(C, need)
     packed = ((dibm & 3) | (valid.astype(np.uint8) << 7))
 
     # identical warmup on both engines (byte path) so scrambling is
     # adopted before the compared span: in steady state the batched
-    # decode+dispatch of packed32 is exactly K per-cycle dispatches
+    # decode+dispatch of packed2 is exactly K per-cycle dispatches
     f_byte, f_tc = FleetEngine(C), FleetEngine(C)
     warm = packed[:, :2 * T]
     for f in (f_byte, f_tc):
@@ -358,13 +412,8 @@ def test_packed32_feed_matches_byte_feed():
     for j in range(Kr):
         f_byte.process_packed(rest_p[:, j * T:(j + 1) * T])
 
-    # build the (Kr*T/8, C) int32 nibble words (bit 2 = valid, bits 1:0 =
-    # dibit, lowest nibble first) exactly as _wideband_step_scan packs them
-    field = (dibm[:, 2 * T:] & 3) | (valid[:, 2 * T:].astype(np.int64) << 2)
-    w = field.T.reshape(Kr * T // 8, 8, C)
-    words = (w << (4 * np.arange(8))[None, :, None]).sum(axis=1) \
-        .astype(np.int32)
-    f_tc.process_packed32(words, Kr)
+    words = _pack2_host(dibm[:, 2 * T:], valid[:, 2 * T:], Kr, n_chunks)
+    f_tc.process_packed2(words, Kr, n_chunks)
 
     for c in range(C):
         a, b = f_byte.chan(c), f_tc.chan(c)

@@ -263,7 +263,7 @@ def test_sharded_superblock_and_fleet_feed_matches_1x1():
         h = np.asarray(health)
         assert h.shape == (2,) and np.isfinite(h).all()
         if fleet is not None:
-            fleet.process_packed32(np.asarray(out2)[:-2], KW)
+            fleet.process_packed2(np.asarray(out2)[:-2], KW, 20)
     if fleet is not None:
         for h, ks in occupied.items():
             for k in ks:

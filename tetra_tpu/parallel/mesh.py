@@ -192,11 +192,11 @@ def sharded_wideband_superblock_step(mesh: Mesh, n_ch: int,
                                      t50_new: int = 6400, kw: int = 2):
     """The PRODUCTION back half under sharding (VERDICT r2 item 4): the
     K-cycle superblock program — channelize -> 18/25 resample -> chunked
-    demod -> time-major nibble packing, the exact semantics of
+    demod -> time-major 2-bit+counts packing, the exact semantics of
     rx/receiver._wideband_step_scan — on the 2-D (host, chip) mesh.  Each
     host ingests its own wideband feed; its channels shard over its chips;
     the packed fleet-feed array comes back with GLOBAL channel columns
-    (host-major), exactly what FleetEngine.process_packed32 consumes, so a
+    (host-major), exactly what FleetEngine.process_packed2 consumes, so a
     multi-host deployment runs fleet burst sync per host on its gathered
     shard.  A psum'd (valid count, dist sum) pair rides the mesh as the
     cross-host fleet-health scalar (the only DCN traffic).
@@ -236,18 +236,12 @@ def sharded_wideband_superblock_step(mesh: Mesh, n_ch: int,
             dstate, outs = demod_mod._demod_block_impl(
                 dstate, rr, ri, n_chunks, use_pallas, use_pallas_mm,
                 tc_out=True)
-            # nibble packing, bit-identical to _wideband_step_scan
-            field = (outs["dibits_tc"] & 3) | (outs["valid_tc"] << 2)
-            Tp = field.shape[0]
-            w = field.reshape(Tp // 8, 8, ch_per_chip)
-            sh = (jnp.arange(8, dtype=jnp.int32) * 4)[None, :, None]
-            packed = jnp.sum(w << sh, axis=1, dtype=jnp.int32)
-            vacc = vacc + jnp.sum(outs["valid_tc"],
-                                  axis=0).astype(jnp.float32)
-            dacc = dacc + jnp.sum(
-                jnp.where(outs["valid_tc"].astype(bool), outs["dist_tc"],
-                          0.0), axis=0)
-            return (dstate, hr, hi, vacc, dacc), packed
+            # packing bit-identical to _wideband_step_scan (shared helper)
+            from ..rx.receiver import pack_cycle_tc
+            packed, vinc, dinc = pack_cycle_tc(
+                outs["dibits_tc"], outs["valid_tc"], outs["dist_tc"],
+                ch_per_chip, n_chunks)
+            return (dstate, hr, hi, vacc + vinc, dacc + dinc), packed
 
         zero = jnp.zeros((ch_per_chip,), jnp.float32)
         (dstate, hr, hi, vacc, dacc), packed_k = jax.lax.scan(

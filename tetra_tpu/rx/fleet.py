@@ -110,8 +110,8 @@ def load():
             lib.fleet_feed.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
-            lib.fleet_feed_tc.restype = ctypes.c_int64
-            lib.fleet_feed_tc.argtypes = [
+            lib.fleet_feed_sb.restype = ctypes.c_int64
+            lib.fleet_feed_sb.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int64]
@@ -266,24 +266,28 @@ class FleetEngine:
             assert n <= self._cap, "fleet_feed capacity overflow"
         return self._decode_dispatch(n, K)
 
-    def process_packed32(self, words: np.ndarray, K: int) -> int:
-        """K feed cycles from the superblock's TIME-MAJOR nibble-packed
-        device output (rx/receiver._wideband_step_scan): words (K*G, C)
-        int32, cycle-major rows; each int32 packs 8 consecutive symbol
-        slots of one channel as 4-bit fields (bit 2 = valid, bits 1:0 =
-        dibit, lowest nibble first).  The C++ engine reads the nibble
-        stream directly (fleet_feed_tc) -- no host-side transpose or
+    def process_packed2(self, words: np.ndarray, K: int,
+                        n_chunks: int) -> int:
+        """K feed cycles from the superblock's TIME-MAJOR device output
+        (rx/receiver.pack_cycle_tc layout): words (K*G, C) int32,
+        cycle-major rows; each cycle = Tp/16 symbol rows (16 two-bit dibit
+        fields per int32) followed by ceil(n_chunks/4) count rows (4
+        8-bit per-chunk valid counts per int32).  The C++ engine reads the
+        streams directly (fleet_feed_sb) -- no host-side transpose or
         unpack.  Semantics equal K process_packed calls on the unpacked
         channel-major bytes (tests/test_fleet.py)."""
         R, C = words.shape
         assert C == self.channels and R % K == 0
-        G = R // K
-        self._ensure_rowbufs(K, G * 8)
+        sym_words = n_chunks * 2      # K_SYM=32 -> 2 int32 words per chunk
+        cnt_words = -(-n_chunks // 4)
+        assert R // K == sym_words + cnt_words, (R // K, sym_words,
+                                                 cnt_words)
+        self._ensure_rowbufs(K, sym_words * 16)
         words = np.ascontiguousarray(words, np.int32)
-        n = int(self.lib.fleet_feed_tc(
-            self.h, words.ctypes.data, K, G,
+        n = int(self.lib.fleet_feed_sb(
+            self.h, words.ctypes.data, K, n_chunks,
             self._t5.ctypes.data, self._meta.ctypes.data, self._cap))
-        assert n <= self._cap, "fleet_feed_tc capacity overflow"
+        assert n <= self._cap, "fleet_feed_sb capacity overflow"
         return self._decode_dispatch(n, K)
 
     def _decode_dispatch(self, n: int, K: int) -> int:

@@ -399,31 +399,34 @@ int64_t chan_feed(const Fleet* f, FleetChan* c, int64_t chan,
   return chan_consume(f, c, chan, t5, meta, row, cap);
 }
 
-// one channel's feed from the superblock's TIME-MAJOR nibble stream: G
-// int32 words at stride `strideC` (words of one channel within a (G, C)
-// row-major block); each word packs 8 symbol slots as 4-bit fields
-// (bit 2 = valid, bits 1:0 = dibit, lowest nibble first) -- the device
-// output of rx/receiver._wideband_step_scan, consumed with no host-side
-// transpose or unpack.
-int64_t chan_feed_tc(const Fleet* f, FleetChan* c, int64_t chan,
-                     const int32_t* words, int64_t G, int64_t strideC,
+// one channel's feed from the superblock's TIME-MAJOR 2-bit stream
+// (rx/receiver.pack_cycle_tc): `sym` points at the channel's column in the
+// cycle's symbol rows (n_chunks*2 int32 words, 16 two-bit dibits each,
+// lowest bits first, stride strideC); `cnt` at its column in the count
+// rows (4 per-chunk 8-bit VALID counts per int32).  Validity within a
+// chunk is a prefix (see pack_cycle_tc), so the first count[k] dibits of
+// chunk k are the valid ones.
+int64_t chan_feed_sb(const Fleet* f, FleetChan* c, int64_t chan,
+                     const int32_t* sym, const int32_t* cnt,
+                     int64_t n_chunks, int64_t strideC,
                      uint8_t* t5, int64_t* meta, int64_t row, int64_t cap) {
   int64_t nbits = 0;
-  for (int64_t g = 0; g < G; g++) {
-    uint32_t wd = (uint32_t)words[g * strideC];
-    // count valid fields: sum of bit 2 per nibble
-    wd = (wd >> 2) & 0x11111111u;
-    nbits += 2 * (int64_t)((wd * 0x11111111u) >> 28);
+  for (int64_t k = 0; k < n_chunks; k++) {
+    uint32_t cw = (uint32_t)cnt[(k >> 2) * strideC];
+    nbits += 2 * (int64_t)((cw >> (8 * (k & 3))) & 0xFF);
   }
   if (nbits == 0) return row;
   chan_make_space(c, nbits);
   uint8_t* w = c->buf + c->buf_len;
-  for (int64_t g = 0; g < G; g++) {
-    uint32_t wd = (uint32_t)words[g * strideC];
-    for (int64_t j = 0; j < 8; j++, wd >>= 4) {
-      if (!(wd & 4)) continue;
-      *w++ = (uint8_t)((wd >> 1) & 1);
-      *w++ = (uint8_t)(wd & 1);
+  for (int64_t k = 0; k < n_chunks; k++) {
+    uint32_t cw = (uint32_t)cnt[(k >> 2) * strideC];
+    int64_t nv = (int64_t)((cw >> (8 * (k & 3))) & 0xFF);
+    uint32_t w0 = (uint32_t)sym[(2 * k) * strideC];
+    uint32_t w1 = (uint32_t)sym[(2 * k + 1) * strideC];
+    for (int64_t s = 0; s < nv; s++) {
+      uint32_t d = (s < 16 ? (w0 >> (2 * s)) : (w1 >> (2 * (s - 16)))) & 3u;
+      *w++ = (uint8_t)((d >> 1) & 1);
+      *w++ = (uint8_t)(d & 1);
     }
   }
   c->buf_len += nbits;
@@ -656,22 +659,31 @@ int64_t fleet_feed(Fleet* f, const uint8_t* packed, int64_t T, uint8_t* t5,
   return row;
 }
 
-// TIME-MAJOR superblock feed: w is (K*G, C) int32, cycle-major (cycle j's
-// rows are [j*G, (j+1)*G)); each int32 packs 8 symbol slots of one channel
-// as 4-bit fields (bit 2 = valid, bits 1:0 = dibit).  Equivalent to K
+// TIME-MAJOR superblock feed (rx/receiver.pack_cycle_tc layout): w is
+// (K*G, C) int32, cycle-major, where each cycle's G = n_chunks*2 symbol
+// rows followed by ceil(n_chunks/4) count rows.  Equivalent to K
 // fleet_feed calls on the unpacked channel-major bytes; rows come out in
 // (cycle, channel) order -- the Python caller re-sorts channel-major as it
 // does for process_packed_cycles.  Same cap rule as fleet_feed.
-int64_t fleet_feed_tc(Fleet* f, const int32_t* w, int64_t K, int64_t G,
-                      uint8_t* t5, int64_t* meta, int64_t cap) {
-  // segment so one slice never exceeds the ring (16 bits/word worst case)
-  const int64_t GSEG = FLEET_BUFCAP / 64;
+int64_t fleet_feed_sb(Fleet* f, const int32_t* w, int64_t K,
+                      int64_t n_chunks, uint8_t* t5, int64_t* meta,
+                      int64_t cap) {
+  const int64_t sym_words = n_chunks * 2;
+  const int64_t cnt_words = (n_chunks + 3) / 4;
+  const int64_t G = sym_words + cnt_words;
+  // segment so one slice never exceeds the ring (64 bits/chunk worst case)
+  const int64_t KSEG = FLEET_BUFCAP / 128;
   int64_t row = 0;
   for (int64_t j = 0; j < K; j++)
     for (int64_t c = 0; c < f->C; c++)
-      for (int64_t g0 = 0; g0 < G; g0 += GSEG) {
-        int64_t seg = G - g0 < GSEG ? G - g0 : GSEG;
-        row = chan_feed_tc(f, &f->ch[c], c, w + (j * G + g0) * f->C + c,
+      for (int64_t k0 = 0; k0 < n_chunks; k0 += KSEG) {
+        int64_t seg = n_chunks - k0 < KSEG ? n_chunks - k0 : KSEG;
+        const int32_t* base = w + j * G * f->C + c;
+        // count pointer for chunk k = cnt[(k >> 2) * C]: offset the base
+        // so in-segment chunk indices stay 0-based multiples of 4
+        row = chan_feed_sb(f, &f->ch[c], c,
+                           base + (2 * k0) * f->C,
+                           base + (sym_words + (k0 >> 2)) * f->C,
                            seg, f->C, t5, meta, row, cap);
       }
   return row;

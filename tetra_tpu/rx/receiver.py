@@ -50,6 +50,55 @@ def _wideband_step(dstate, wr, wi, hr, hi, n_ch: int, t36: int,
     return dstate, outs, hr, hi
 
 
+def sb_rows_per_cycle(n_chunks: int) -> tuple[int, int]:
+    """(symbol words, count words) per cycle of the superblock layout (see
+    pack_cycle_tc): Tp/16 two-bit-packed symbol rows + ceil(n_chunks/4)
+    count rows."""
+    from . import demod_fast
+    Tp = n_chunks * demod_fast.K_SYM
+    return Tp // 16, -(-n_chunks // 4)
+
+
+def pack_cycle_tc(dib_tc, v32, dist_tc, n_ch: int, n_chunks: int):
+    """Pack ONE demod cycle's time-major outputs into the superblock
+    fleet-feed rows: (sym_words + cnt_words, C) int32.
+
+      * symbol rows: 16 consecutive symbol slots per int32, 2-bit dibit
+        fields (lowest bits first) -- no per-symbol valid bit;
+      * count rows: per demod chunk (K_SYM symbols) the VALID-symbol count,
+        4 chunk counts per int32 (8-bit fields).  Validity within a chunk
+        is always a PREFIX in both demod paths (XLA: valid = ipos < T with
+        ipos nondecreasing; Pallas kernel: additionally ANDed with a
+        per-chunk-constant reachability), so a count reconstructs the
+        exact valid set -- asserted against the per-symbol flags by
+        tests/test_fleet.py.
+
+    2 bits/symbol + ~0.27 bits/symbol of counts vs the 4-bit nibble form:
+    the superblock output fetch -- the dominant e2e term on tunneled hosts
+    and real PCIe bytes in production -- shrinks another ~44%."""
+    from . import demod_fast
+    Ks = demod_fast.K_SYM
+    Tp = n_chunks * Ks
+    dib = dib_tc & 3
+    w = dib.reshape(Tp // 16, 16, n_ch)
+    sh2 = (jnp.arange(16, dtype=jnp.int32) * 2)[None, :, None]
+    sym_rows = jnp.sum(w << sh2, axis=1, dtype=jnp.int32)
+    counts = jnp.sum(v32.reshape(n_chunks, Ks, n_ch), axis=1,
+                     dtype=jnp.int32)                      # (n_chunks, C)
+    cnt_words = -(-n_chunks // 4)
+    pad = cnt_words * 4 - n_chunks
+    if pad:
+        counts = jnp.concatenate(
+            [counts, jnp.zeros((pad, n_ch), jnp.int32)], axis=0)
+    wc = counts.reshape(cnt_words, 4, n_ch)
+    sh8 = (jnp.arange(4, dtype=jnp.int32) * 8)[None, :, None]
+    cnt_rows = jnp.sum(wc << sh8, axis=1, dtype=jnp.int32)
+    packed = jnp.concatenate([sym_rows, cnt_rows], axis=0)
+    vacc_inc = jnp.sum(v32, axis=0).astype(jnp.float32)
+    dacc_inc = jnp.sum(jnp.where(v32.astype(bool), dist_tc, 0.0), axis=0)
+    return packed, vacc_inc, dacc_inc
+
+
 @partial(jax.jit, static_argnames=("n_ch", "t36", "n_chunks", "up", "upmm",
                                    "i16", "kw"))
 def _wideband_step_scan(dstate, wrk, wik, hr, hi, n_ch: int, t36: int,
@@ -57,24 +106,20 @@ def _wideband_step_scan(dstate, wrk, wik, hr, hi, n_ch: int, t36: int,
                         kw: int):
     """K-cycle superblock: kw overlapping windows (kw, wide_len) run the
     fused front-end + demod under lax.scan and return ONE int32 output
-    array of shape (kw*Tp/8 + 2, C), TIME-MAJOR and nibble-packed:
-
-      * rows [j*Tp/8, (j+1)*Tp/8) hold cycle j; each int32 packs 8
-        consecutive symbol slots of one channel as 4-bit fields
-        (bit 2 = valid, bits 1:0 = dibit, lowest nibble first);
-      * row [-2] / [-1] carry the f32-bitcast per-channel vcount / dsum
-        quality sums.
+    array of shape (kw*G + 2, C), TIME-MAJOR in the pack_cycle_tc layout
+    (G = sym_words + cnt_words rows per cycle; 2-bit symbols + per-chunk
+    valid counts); rows [-2]/[-1] carry the f32-bitcast per-channel
+    vcount/dsum quality sums.
 
     Motivation: on remote/tunneled hosts every device->host fetch pays a
     fixed round trip; one dispatch + one fetch per kw cycles amortizes it
     (and one PCIe transaction per superblock in production).  The layout is
-    the stage-2 kernel's NATIVE (T, C) orientation: the previous
+    the stage-2 kernel's NATIVE (T, C) orientation: the round-2
     channel-major uint8 form paid per-cycle (T, C) -> (C, T) byte
     transposes (gather-class relayouts on this backend, the bulk of the
-    round-2 9x superblock-vs-bench_wideband device gap), and 8 bits per
-    symbol slot where 4 suffice -- nibble packing also halves the
-    device->host bytes.  FleetEngine.process_packed32 consumes this form
-    directly (fleet_feed_tc reads the nibble stream in C++)."""
+    round-2 9x superblock-vs-bench_wideband device gap) and 8 bits per
+    symbol slot where ~2.3 suffice.  FleetEngine.process_packed2 consumes
+    this form directly (fleet_feed_sb reads the streams in C++)."""
     from ..parallel import channelizer as CH
     from . import demod_fast
 
@@ -88,17 +133,10 @@ def _wideband_step_scan(dstate, wrk, wik, hr, hi, n_ch: int, t36: int,
             wr, wi, hr, hi, n_ch, t36, CH._resolve_pallas(CH.USE_PALLAS))
         dstate, outs = demod_fast._demod_block_impl(
             dstate, rr.T, ri.T, n_chunks, up, upmm, tc_out=True)
-        dib = outs["dibits_tc"] & 3                       # (Tp, C) int32
-        v32 = outs["valid_tc"]                            # (Tp, C) int32 0/1
-        field = dib | (v32 << 2)
-        Tp = field.shape[0]
-        w = field.reshape(Tp // 8, 8, n_ch)
-        sh = (jnp.arange(8, dtype=jnp.int32) * 4)[None, :, None]
-        packed = jnp.sum(w << sh, axis=1, dtype=jnp.int32)  # (Tp/8, C)
-        vacc = vacc + jnp.sum(v32, axis=0).astype(jnp.float32)
-        dacc = dacc + jnp.sum(
-            jnp.where(v32.astype(bool), outs["dist_tc"], 0.0), axis=0)
-        return (dstate, hr, hi, vacc, dacc), packed
+        packed, vinc, dinc = pack_cycle_tc(
+            outs["dibits_tc"], outs["valid_tc"], outs["dist_tc"], n_ch,
+            n_chunks)
+        return (dstate, hr, hi, vacc + vinc, dacc + dinc), packed
 
     zero = jnp.zeros((n_ch,), jnp.float32)
     (dstate, hr, hi, vacc, dacc), packed_k = jax.lax.scan(
@@ -427,14 +465,15 @@ class TetraReceiver:
             self.sym_quality[nz] = (dsum[nz] / vcount[nz]).astype(np.float32)
 
     def _post_demod_fused(self, fused: np.ndarray) -> None:
-        """Superblock output of _wideband_step_scan: (K*Tp/8 + 2, C) int32,
-        time-major nibble-packed (see its docstring); the last two rows
-        carry the f32-bitcast per-channel vcount/dsum quality sums."""
+        """Superblock output of _wideband_step_scan: (K*G + 2, C) int32 in
+        the pack_cycle_tc layout; the last two rows carry the f32-bitcast
+        per-channel vcount/dsum quality sums."""
         vcount = fused[-2].copy().view(np.float32)
         dsum = fused[-1].copy().view(np.float32)
         self._apply_quality(vcount, dsum)
         self._const = None
-        self.fleet.process_packed32(fused[:-2], self.wb_k)
+        self.fleet.process_packed2(fused[:-2], self.wb_k,
+                                   self._wb["n_chunks"])
 
     def _post_demod(self, outs) -> None:
         """Shared bit pipeline: demod outputs -> burst sync -> batched
