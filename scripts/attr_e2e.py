@@ -1,7 +1,7 @@
 """Per-stage attribution of the resident e2e superblock cycle (round 3).
 
 Replays the exact production per-superblock flow of
-TetraReceiver.process_wideband_staged + FleetEngine.process_packed32 with a
+TetraReceiver.process_wideband_staged + FleetEngine.process_packed2 with a
 timer around each stage, so BENCH_DETAIL's attribution table is measured,
 not estimated.  Run alone on the TPU host.
 """
