@@ -178,3 +178,7 @@ def main():
             "unit": "wideband Msamples/s/chip", "vs_baseline": 0,
             "error": repr(e)[:200],
         }))
+
+
+if __name__ == "__main__":
+    main()
