@@ -163,7 +163,7 @@ def main():
         os.path.abspath(__file__)), "scripts"))
     try:
         from bench_e2e import measure_resident
-        r = measure_resident(channels=256, t50=6400, k=32, seconds=5.0)
+        r = measure_resident(channels=256, t50=6400, k=32, seconds=16.0)
         print(json.dumps({
             "metric": "e2e_wideband_iq_to_pdu_throughput",
             "value": r["wideband_msps"],

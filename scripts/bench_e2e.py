@@ -98,6 +98,9 @@ def measure_resident(channels: int = 256, t50: int = 6400, k: int = 16,
     # warmup: compile + FLL pull-in + scrambling acquisition (~1.5 s air)
     fs = channels * 25_000
     warm_super = max(1, int(1.5 * fs / sb_adv) + 1)
+    assert n_super - warm_super >= 2, (
+        f"seconds={seconds} too short: {n_super} superblocks total, "
+        f"{warm_super} needed for warmup at k={k}")
     for s in range(warm_super):
         rx.process_wideband_staged(*staged[s])
     rx.flush_wideband()
