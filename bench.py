@@ -157,11 +157,16 @@ def main():
     # locks, CRC-clean dominated) so it cannot be gamed by a broken
     # pipeline.  vs_baseline = real-time TETRA channels (reference floor =
     # one channel per desktop CPU, BASELINE.md).
+    import gc
     import os
     import sys
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "scripts"))
     try:
+        # release the demod phase's device/host arrays before the e2e
+        # measurement (2048-channel fleet buffers otherwise pressure the
+        # 2-core host and HBM during the timed loop)
+        gc.collect()
         from bench_e2e import measure_resident
         r = measure_resident(channels=256, t50=6400, k=32, seconds=16.0)
         print(json.dumps({

@@ -89,8 +89,9 @@ def main():
                                            t36, n_chunks, up, upmm, False, K)
         return out
 
+    g_rows = 2 * n_chunks + -(-n_chunks // 4)   # pack_cycle_tc rows/cycle
     timeit("sb_full", sb_full, lambda r: np.asarray(r),
-           extra=dict(fetch_mb=round(K * (t36 // 2 // 8) * C * 4 / 1e6, 2)))
+           extra=dict(fetch_mb=round((K * g_rows + 2) * C * 4 / 1e6, 2)))
 
     import functools
 
