@@ -50,15 +50,6 @@ def _wideband_step(dstate, wr, wi, hr, hi, n_ch: int, t36: int,
     return dstate, outs, hr, hi
 
 
-def sb_rows_per_cycle(n_chunks: int) -> tuple[int, int]:
-    """(symbol words, count words) per cycle of the superblock layout (see
-    pack_cycle_tc): Tp/16 two-bit-packed symbol rows + ceil(n_chunks/4)
-    count rows."""
-    from . import demod_fast
-    Tp = n_chunks * demod_fast.K_SYM
-    return Tp // 16, -(-n_chunks // 4)
-
-
 def pack_cycle_tc(dib_tc, v32, dist_tc, n_ch: int, n_chunks: int):
     """Pack ONE demod cycle's time-major outputs into the superblock
     fleet-feed rows: (sym_words + cnt_words, C) int32.
