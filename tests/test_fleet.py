@@ -463,3 +463,23 @@ def test_pipelined_superblock_matches_sync_after_flush():
         assert piped.locked(c) == base.locked(c), c
         assert piped.crc_counts(c) == base.crc_counts(c), c
         assert piped.display(c).as_dict() == base.display(c).as_dict(), c
+
+
+def test_decode_rows_mixed_packed_chunking_matches_unchunked():
+    """min_bucket smaller than the batch must CHUNK over the same program
+    with identical results (the overflow path production relies on to
+    never recompile)."""
+    from tetra_tpu.rx import fec as rx_fec
+
+    rng = np.random.default_rng(13)
+    ks_host = np.zeros((16, 432), np.uint8)
+    ks_host[0] = rx_fec.keystream(P.SCRAMB_INIT, 432)
+    ks_dev = jnp.asarray(ks_host)
+    N = 21
+    t5p = rng.integers(0, 256, (N, 54)).astype(np.uint8)
+    types = rng.integers(0, 4, N).astype(np.int64)
+    idx = np.zeros(N, np.int32)
+    a_t1, a_ok = rx_fec.decode_rows_mixed_packed(t5p, types, idx, ks_dev)
+    b_t1, b_ok = rx_fec.decode_rows_mixed_packed(t5p, types, idx, ks_dev,
+                                                 min_bucket=8)
+    assert (a_ok == b_ok).all() and (a_t1 == b_t1).all()
