@@ -571,3 +571,34 @@ def test_codec_runtime_tables_roundtrip(tmp_path):
     finally:
         clear_codec_tables()
     assert _load().tetra_acelp_tables_loaded() == 0
+
+
+def test_codec_profile_half_slot_crc4_calibration():
+    """Stolen-half slots carry their own CRC-4 assumption: the calibrator
+    must resolve it independently from repeated half-slot CRC failure
+    (alternate CRC-4 generator on the TX side), after which halves decode
+    clean and bit-exact."""
+    from tetra_tpu.rx.tdma import TdmaTime
+    from tetra_tpu.voice.pipeline import VoicePipeline
+
+    default = vch.get_profile()
+    alt = vch.CodecProfile(crc4_poly=0x9, name="alt-crc4")
+    assert alt.crc4_poly != default.crc4_poly
+    frames = RNG.integers(0, 2, (12, 137)).astype(np.uint8)
+    halves = [vch.encode_half_slot(f, profile=alt) for f in frames]
+    try:
+        vp = VoicePipeline(calibrate=True)
+        msgs = []
+        vp.calibrator.log = msgs.append
+        for i, h in enumerate(halves):
+            t = TdmaTime(mn=4, fn=(i % 18) + 1, tn=3, sn=1)
+            vp.half(t, h)
+        resolved = vp.calibrator.resolved_half
+        assert resolved is not None, "half-slot calibration never fired"
+        assert resolved.crc4_poly == alt.crc4_poly
+        assert msgs and "crc4" in msgs[0]
+        dec, bfi = vch.decode_half_slot(np.stack(halves[-3:]))
+        assert not bfi.any()
+        assert (dec == frames[-3:]).all()
+    finally:
+        vch.set_profile(default)

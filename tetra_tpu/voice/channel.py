@@ -433,6 +433,9 @@ class ProfileCalibrator:
         self.buf: list[np.ndarray] = []
         self.consec_fails = 0
         self.resolved: CodecProfile | None = None
+        self.half_buf: list[np.ndarray] = []
+        self.half_fails = 0
+        self.resolved_half: CodecProfile | None = None
         self.log = log if log is not None else (lambda msg: None)
 
     def observe(self, type4: np.ndarray, bfi: bool) -> CodecProfile | None:
@@ -474,4 +477,46 @@ class ProfileCalibrator:
                      f"({passes}/{len(self.buf)} buffered slots CRC-clean)")
             return cand
         self.consec_fails = 0   # keep observing; retry on the next streak
+        return None
+
+    # -- stolen-half slots: independent CRC-4 resolution ---------------------
+    # The half-slot interleaver follows the resolved full-slot convention
+    # (same 5.5.3 matrix, 12 lines), but the CRC-4 generator is its own
+    # assumption; resolve it from stolen-half traffic the same way.
+
+    def observe_half(self, type4: np.ndarray,
+                     bfi: bool) -> CodecProfile | None:
+        if self.resolved_half is not None:
+            return None
+        if not bfi:
+            # no consecutive-streak reset here: a WRONG 4-bit CRC still
+            # passes ~1/16 of random halves, which would starve a
+            # consecutive trigger; cumulative failures are the signal
+            # (a correct profile fails only on noise, far below trigger
+            # rate, and an unproductive search resets the count below)
+            return None
+        self.half_fails += 1
+        self.half_buf.append(np.asarray(type4, np.uint8).copy())
+        del self.half_buf[:-self.window]
+        if self.half_fails < self.trigger:
+            return None
+        batch = np.stack(self.half_buf)
+        base = get_profile()
+        best: tuple[int, CodecProfile] | None = None
+        for poly in self.CRC4_SHORTLIST:
+            cand = replace(base, crc4_poly=poly,
+                           name=f"calibrated(crc4={poly:#x})")
+            _, bfi_c = decode_half_slot(batch, profile=cand)
+            passes = int((~bfi_c).sum())
+            if best is None or passes > best[0]:
+                best = (passes, cand)
+        passes, cand = best
+        if passes >= max(2, len(self.half_buf) // 2):
+            self.resolved_half = cand
+            set_profile(cand)
+            self.log(f"voice codec profile resolved: {cand.name} "
+                     f"({passes}/{len(self.half_buf)} buffered stolen "
+                     f"halves CRC-clean)")
+            return cand
+        self.half_fails = 0
         return None

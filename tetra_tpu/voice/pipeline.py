@@ -57,6 +57,11 @@ class VoicePipeline:
             return
         frame, bfi = vchannel.decode_half_slot(np.asarray(type4)[None])
         is_bad = bool(bfi[0])
+        if (self.calibrator is not None and self.crypto_state is None
+                and self.calibrator.observe_half(type4, is_bad) is not None):
+            # CRC-4 generator just resolved: re-decode this half under it
+            frame, bfi = vchannel.decode_half_slot(np.asarray(type4)[None])
+            is_bad = bool(bfi[0])
         self.slots_decoded += 1
         if is_bad:
             self.bad_frames += 1
