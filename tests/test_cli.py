@@ -358,3 +358,22 @@ def test_cli_tx_wideband_rx_channelized(tmp_path):
     for s in summary:
         if s["channel"] in (1, 5):
             assert s["mcc"] == 310 and s["mnc"] == 77 and s["crc_ok"] > 30
+
+
+def test_cli_fleet_wideband_superblock(tmp_path):
+    """--fleet --wb-k exposes the production fleet/superblock path from the
+    CLI: same capture as the python-path wideband test, locked + decoded
+    through the native engine."""
+    out = str(tmp_path / "widef.cf32")
+    r = _run_tx([out, "--slots", "220", "--wideband", "8",
+                 "--channels", "1,5", "--mcc", "310", "--mnc", "77"])
+    assert r.returncode == 0, r.stderr[-500:]
+    rx = _run_cli([out, "--wideband", "8", "--fleet", "--wb-k", "2",
+                   "--status-every", "100"])
+    assert rx.returncode == 0, rx.stderr[-500:]
+    summary = json.loads(rx.stdout.strip().splitlines()[-1])
+    locked = {s["channel"] for s in summary if s["locked"]}
+    assert {1, 5} <= locked
+    for s in summary:
+        if s["channel"] in (1, 5):
+            assert s["mcc"] == 310 and s["mnc"] == 77 and s["crc_ok"] > 30

@@ -308,6 +308,15 @@ def main(argv=None):
     ap.add_argument("--status-every", type=float, default=1.0,
                     help="seconds of air time between status lines")
     ap.add_argument("--demod", choices=("fast", "ff", "exact"), default="fast")
+    ap.add_argument("--fleet", action="store_true",
+                    help="native fleet engine: whole bit pipeline (burst "
+                         "sync + MAC + display) in C++ around batched "
+                         "device FEC -- the production path at scale "
+                         "(implies no event log / no --keystore)")
+    ap.add_argument("--wb-k", type=int, default=1, metavar="K",
+                    help="with --fleet --wideband: superblock depth "
+                         "(demod cycles per device dispatch+fetch; "
+                         "bench_e2e's best is 32)")
     ap.add_argument("--mac-workers", type=int, default=0, metavar="N",
                     help="shard host MAC dispatch over N worker processes "
                          "(rx.hostpool; for 100+ channel configs)")
@@ -455,6 +464,19 @@ def main(argv=None):
                                        voice=bool(args.voice),
                                        keystore=args.keystore,
                                        events=args.verbose, wideband=wb)
+                elif args.fleet:
+                    # production fleet path: whole bit pipeline in the
+                    # native engine around batched device FEC, superblock
+                    # depth wb_k (the bench_e2e configuration)
+                    if args.verbose:
+                        print("# --fleet: event log unavailable "
+                              "(native dispatch)", flush=True)
+                    assert not args.keystore, \
+                        "--fleet excludes --keystore (crypto needs the " \
+                        "Python MAC path)"
+                    rx = TetraReceiver(C, voice_cb=voice, mode=args.demod,
+                                       events=False, wideband=wb,
+                                       fleet=True, wb_k=args.wb_k)
                 else:
                     rx = TetraReceiver(C, voice_cb=voice, mode=args.demod,
                                        events=args.verbose, wideband=wb)
