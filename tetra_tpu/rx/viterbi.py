@@ -43,14 +43,22 @@ def _trellis_tables(polys: np.ndarray):
     prev0 = ns >> 1
     prev1 = (ns >> 1) + 8
     b_of = ns & 1
-    return (jnp.asarray(E), jnp.asarray(prev0, jnp.int32),
-            jnp.asarray(prev1, jnp.int32), jnp.asarray(b_of, jnp.int32))
+    # NUMPY results: module-level jnp arrays captured inside a shard_map
+    # trace become tracers (per-device broadcast lifting), which crashed
+    # _acs_tables' host-side reindexing on a cold cache; keep the tables
+    # host-side and convert at the jit boundary instead
+    return (E, prev0.astype(np.int32), prev1.astype(np.int32),
+            b_of.astype(np.int32))
 
 
 _CCH_TABLES = _trellis_tables(P.CONV_CCH_POLYS)
 _TCH_TABLES = _trellis_tables(P.CONV_TCH_POLYS)
 
-_NEG = jnp.float32(-1e9)
+# plain python float: a module-level jnp scalar (and scatter-built
+# init constants) can leak mesh-stamped avals between shard_map
+# contexts through the jax literal pool (seen in dryrun_multichip:
+# 2-D superblock trace then 1-D fec trace in one process)
+_NEG = -1e9
 
 # lax.scan unroll factor for the ACS/traceback loops (read at trace time).
 # The mixed-FEC program's per-call latency is dominated by the 288
@@ -109,7 +117,8 @@ def _viterbi(soft: jnp.ndarray, n_out: int, use_tch: bool,
         mask = jnp.sum(jnp.where(take1, bitw, 0), axis=1, dtype=jnp.int32)
         return new, mask
 
-    init = jnp.full((B, N_STATES), _NEG, jnp.float32).at[:, 0].set(0.0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, N_STATES), 1)
+    init = jnp.where(lane == 0, 0.0, _NEG).astype(jnp.float32)
     final, decisions = jax.lax.scan(acs, init, jnp.swapaxes(soft, 0, 1),
                                     unroll=SCAN_UNROLL)
     # decisions: (T, B) int32 bitmask of take1 per state
@@ -194,7 +203,8 @@ def _viterbi_generic(soft: jnp.ndarray, polys: tuple, term: str):
         mid, _ = jax.lax.scan(acs, init, seq)
         final, decisions = jax.lax.scan(acs, mid, seq)
     else:
-        init = jnp.full((B, S), _NEG, jnp.float32).at[:, 0].set(0.0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+        init = jnp.where(lane == 0, 0.0, _NEG).astype(jnp.float32)
         final, decisions = jax.lax.scan(acs, init, seq)
 
     def trace(state, dec_t):
