@@ -336,3 +336,26 @@ def test_sharded_demod_pallas_interpret_matches_xla():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(s1.fll_freq),
                                np.asarray(s2.fll_freq), atol=1e-5)
+
+
+def test_dryrun_multichip_fresh_process():
+    """The driver runs __graft_entry__.dryrun_multichip in a FRESH process;
+    in-process tests mask cold-cache bugs (a shard_map trace once turned
+    module-level jnp tables into mesh-stamped tracers that only crashed
+    with cold lru_caches).  Run the real entry point in a subprocess."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu');"
+         "from __graft_entry__ import dryrun_multichip;"
+         "dryrun_multichip(8); print('DRYRUN-OK')"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "DRYRUN-OK" in r.stdout
