@@ -359,3 +359,40 @@ def test_dryrun_multichip_fresh_process():
         cwd=repo, env=env, capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stderr[-800:]
     assert "DRYRUN-OK" in r.stdout
+
+
+def test_dryrun_faults_propagate():
+    """A regression in the sharded-output-to-fleet hand-off must FAIL the
+    dryrun (VERDICT r3 weak #2: a blanket except once swallowed real
+    process_packed2 crashes, making MULTICHIP ok=true weaker evidence than
+    it looked).  Inject a fault into FleetEngine.process_packed2 and assert
+    dryrun_multichip raises; also assert the locked-stream feed actually
+    decodes rows (a zero-row feed must fail too)."""
+    import pytest
+
+    from tetra_tpu.rx import fleet as fleet_mod
+    from tetra_tpu.rx.fleet import FleetEngine
+    import __graft_entry__ as graft
+
+    if fleet_mod.load() is None:
+        pytest.skip("native fleet engine unavailable")
+
+    orig = FleetEngine.process_packed2
+    def boom(self, words, K, n_chunks):
+        raise RuntimeError("injected hand-off fault")
+    FleetEngine.process_packed2 = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected hand-off fault"):
+            graft.dryrun_multichip(8)
+    finally:
+        FleetEngine.process_packed2 = orig
+
+    # zero-row hand-off (layout consumed but nothing decodes) must also fail
+    def zero(self, words, K, n_chunks):
+        return 0
+    FleetEngine.process_packed2 = zero
+    try:
+        with pytest.raises(AssertionError, match="decoded no rows"):
+            graft.dryrun_multichip(8)
+    finally:
+        FleetEngine.process_packed2 = orig
