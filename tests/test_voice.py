@@ -50,8 +50,14 @@ def test_codec_profile_calibration_converges():
         assert resolved.crc8_poly == alt.crc8_poly
         assert resolved.il_transposed == alt.il_transposed
         assert msgs and "resolved" in msgs[0]
-        # post-resolution slots decode clean and bit-exact
-        dec, bfi = vch.decode_slot(np.stack(slots[-3:]))
+        # resolution lands in THE PIPELINE's profile; the process global is
+        # untouched (ADVICE r3: concurrent per-channel calibrators must not
+        # flip the convention for every channel)
+        assert vp.profile is resolved
+        assert vch.get_profile() is default
+        assert vp.calibration_status()["full"] == "resolved"
+        # post-resolution slots decode clean and bit-exact under it
+        dec, bfi = vch.decode_slot(np.stack(slots[-3:]), profile=vp.profile)
         assert not bfi.any()
         assert (dec == frames[-3:]).all()
         # the first decodes failed under the default profile, later ones
@@ -597,8 +603,124 @@ def test_codec_profile_half_slot_crc4_calibration():
         assert resolved is not None, "half-slot calibration never fired"
         assert resolved.crc4_poly == alt.crc4_poly
         assert msgs and "crc4" in msgs[0]
-        dec, bfi = vch.decode_half_slot(np.stack(halves[-3:]))
+        assert vp.profile is resolved and vch.get_profile() is default
+        assert vp.calibration_status()["half"] == "resolved"
+        dec, bfi = vch.decode_half_slot(np.stack(halves[-3:]),
+                                        profile=vp.profile)
         assert not bfi.any()
         assert (dec == frames[-3:]).all()
     finally:
         vch.set_profile(default)
+
+
+def test_calibration_is_per_pipeline_and_reports_exhaustion():
+    """Two pipelines calibrating concurrently: channel A's resolution must
+    not leak into channel B's decoding (the old global set_profile meant
+    last-writer-wins across every channel); and a network whose generator
+    is OUTSIDE the shortlist must be visibly diagnosed as exhausted, not
+    silently re-searched forever."""
+    from tetra_tpu.rx.tdma import TdmaTime
+    from tetra_tpu.voice.pipeline import VoicePipeline
+
+    default = vch.get_profile()
+    alt = vch.CodecProfile(crc8_poly=0x07, il_transposed=True, name="alt-tx")
+    frames = RNG.integers(0, 2, (14, 2, 137)).astype(np.uint8)
+    slots_alt = [vch.encode_slot(f.reshape(-1), profile=alt) for f in frames]
+    slots_def = [vch.encode_slot(f.reshape(-1)) for f in frames]
+    try:
+        vp_a = VoicePipeline(calibrate=True)
+        vp_b = VoicePipeline(calibrate=True)
+        for i in range(len(frames)):
+            t = TdmaTime(mn=3, fn=(i % 18) + 1, tn=2, sn=1)
+            vp_a(t, slots_alt[i])
+            vp_b(t, slots_def[i])
+        assert vp_a.calibrator.resolved is not None
+        assert vp_a.profile.crc8_poly == alt.crc8_poly
+        # B's traffic decodes clean under the default; A's resolution must
+        # not have touched B's profile or the global
+        assert vp_b.profile is None and vp_b.calibrator.resolved is None
+        assert vp_b.bad_frames == 0
+        assert vch.get_profile() is default
+
+        # out-of-shortlist generator: status must report exhausted
+        far = vch.CodecProfile(crc8_poly=0xD5, name="off-list")
+        assert far.crc8_poly not in vch.ProfileCalibrator.CRC8_SHORTLIST
+        slots_far = [vch.encode_slot(f.reshape(-1), profile=far)
+                     for f in frames]
+        vp_c = VoicePipeline(calibrate=True)
+        for i, s in enumerate(slots_far):
+            t = TdmaTime(mn=5, fn=(i % 18) + 1, tn=2, sn=1)
+            vp_c(t, s)
+        st = vp_c.calibration_status()
+        assert st["full"] == "exhausted" and st["searches"] >= 1
+        assert vp_c.calibrator.resolved is None
+    finally:
+        vch.set_profile(default)
+
+
+def test_codec_tables_tooling(tmp_path):
+    """VERDICT r3 item 6: a user holding the real ETSI tables must get a
+    working drop-in with zero code reading.  Drive scripts/codec_tables.py
+    end to end: template -> validate (ok), a synthetic ETSI-style C source
+    through from-c with Q13/Q14 conversions -> validate (ok), and a
+    wrong-units file must be diagnosed, not silently accepted."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "codec_tables", os.path.join(os.path.dirname(__file__), "..",
+                                     "scripts", "codec_tables.py"))
+    ct = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ct)
+
+    tpl = tmp_path / "demo.npz"
+    ct.make_template(str(tpl))
+    assert ct.validate(str(tpl))
+
+    # synthetic "ETSI source": Q13 normalized-frequency LSF tables + Q14
+    # pitch / Q0 code gains as C initializer lists (comments, 2-D braces)
+    rng = np.random.default_rng(5)
+    means = np.array([0.24, 0.47, 0.81, 1.12, 1.44, 1.78, 2.09, 2.40,
+                      2.68, 2.94])
+    q13 = 8192 / np.pi
+    def carr(name, arr, as_int=True):
+        rows = [", ".join(str(int(round(v)) if as_int else float(v))
+                          for v in row) for row in arr]
+        inner = ",\n  ".join("{" + r + "}" for r in rows)
+        return f"static const Word16 {name}[{len(arr)}][{arr.shape[1]}] " \
+               f"= {{\n  {inner}\n}};\n"
+    cb1 = (means[:3] + rng.normal(0, 0.05, (256, 3))) * q13
+    cb2 = (means[3:6] + rng.normal(0, 0.05, (512, 3))) * q13
+    cb3 = (means[6:] + rng.normal(0, 0.05, (512, 4))) * q13
+    gains = np.stack([rng.uniform(0, 1.2, 64) * 16384,
+                      np.exp(rng.uniform(2.0, 7.0, 64))], 1)
+    src = tmp_path / "tab_lsp.c"
+    src.write_text("/* ETSI-style table file */\n"
+                   + carr("dico1_lsf", cb1) + carr("dico2_lsf", cb2)
+                   + carr("dico3_lsf", cb3) + carr("gain_table", gains))
+    out = tmp_path / "etsi.npz"
+    rc = ct.main(["from-c", str(src), "--lsf1", "dico1_lsf",
+                  "--lsf2", "dico2_lsf", "--lsf3", "dico3_lsf",
+                  "--gain", "gain_table", "-o", str(out),
+                  "--scale", str(np.pi / 8192),
+                  "--gain-pitch-scale", str(1 / 16384)])
+    assert rc == 0
+    z = np.load(out)
+    assert z["lsf_cb1"].shape == (256, 3)
+    np.testing.assert_allclose(z["lsf_cb2"],
+                               np.round(cb2) * np.pi / 8192, atol=1e-5)
+    assert ct.validate(str(out))
+
+    # wrong units (raw Q13 without --scale) must be diagnosed via warnings
+    rc2 = ct.main(["from-c", str(src), "--lsf1", "dico1_lsf",
+                   "--lsf2", "dico2_lsf", "--lsf3", "dico3_lsf",
+                   "--gain", "gain_table", "-o", str(tmp_path / "bad.npz")])
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ct.validate(str(tmp_path / "bad.npz"))
+    import json as _json
+    verdict = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert any("fixed-point" in w or "(0, pi)" in w
+               for w in verdict["warnings"]), verdict

@@ -221,11 +221,21 @@ def _quality_meter(q: float, width: int = 12) -> str:
     return (color + "█" * fill + "\x1b[0m" + "░" * (width - fill))
 
 
-def _render_dashboard(rx, C, constellation=True):
+def _render_dashboard(rx, C, constellation=True, voice=None):
     """Terminal panel with the reference status GUI's field set
     (menuHandler, main.cpp:199-374) rendered from DisplayState, with ANSI
     lamp/meter widgets standing in for BoxIndicator/SigQualityMeter."""
     lines = ["\x1b[2J\x1b[H=== tetra_tpu receiver status ==="]
+    if voice is not None:
+        cal = voice.calibration_status()
+        vline = (f"voice: {voice.slots_decoded} slots, "
+                 f"{voice.bad_frames} bad")
+        if cal is not None:
+            vline += (f"  codec-cal {cal['full']}"
+                      + (f" [{cal['profile']}]" if cal["profile"] else "")
+                      + (f" half={cal['half']}"
+                         if cal["half"] != "idle" else ""))
+        lines.append(vline)
     tc_names = {0: "-", 1: "CTRL", 2: "NDB2", 3: "SYNC", 4: "VOICE"}
     for c in range(C):
         d = rx.display(c)
@@ -350,6 +360,12 @@ def main(argv=None):
                     help="runtime ACELP quantizer tables (LSF split-VQ + "
                          "gain codebooks; voice.acelp.load_codec_tables "
                          "format)")
+    ap.add_argument("--calibrate-codec", action="store_true",
+                    help="with --voice: auto-resolve the codec CRC/"
+                         "interleave conventions on live clear traffic "
+                         "(voice.channel.ProfileCalibrator); progress is "
+                         "logged and surfaced in --metrics/--dashboard as "
+                         "calibration searching/resolved/exhausted")
     ap.add_argument("--config", default=None, metavar="JSON",
                     help="per-instance settings file: loaded as defaults, "
                          "saved back on exit (the plugin's config "
@@ -408,7 +424,10 @@ def main(argv=None):
         return 0
 
     pooled = args.mac_workers > 0
-    voice = VoicePipeline() if (args.voice and not pooled) else None
+    voice = VoicePipeline(calibrate=args.calibrate_codec) \
+        if (args.voice and not pooled) else None
+    if voice is not None and voice.calibrator is not None:
+        voice.calibrator.log = lambda msg: print(f"[voice] {msg}")
     rx = None
     status_blocks = max(1, int(args.status_every * P.SAMPLE_RATE / args.block))
     if args._fused:  # fused blocks advance 6400*hop wideband samples
@@ -525,8 +544,16 @@ def main(argv=None):
                                    crc_ok=oks, crc_fail=fails,
                                    **rx.display(c).as_dict())
                         mf.write(json.dumps(rec) + "\n")
+                    if voice is not None:
+                        vrec = dict(ts=_time.time(), record="voice",
+                                    slots=voice.slots_decoded,
+                                    bad_frames=voice.bad_frames)
+                        cal = voice.calibration_status()
+                        if cal is not None:
+                            vrec["calibration"] = cal
+                        mf.write(json.dumps(vrec) + "\n")
             if args.dashboard and (i + 1) % status_blocks == 0:
-                _render_dashboard(rx, C)
+                _render_dashboard(rx, C, voice=voice)
             elif (i + 1) % status_blocks == 0:
                 for c in range(C):
                     d = rx.display(c)

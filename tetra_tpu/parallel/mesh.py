@@ -203,7 +203,9 @@ def sharded_wideband_superblock_step(mesh: Mesh, n_ch: int,
 
     Returns (jitted step, wide_len, advance).  step(state, wrk, wik) with
     wrk/wik (n_hosts, kw, wide_len) host-sharded float32 ->
-    (state, packed (kw*Tp/8 + 2, n_hosts*n_ch) int32, health (2,)).
+    (state, packed (kw*G + 2, n_hosts*n_ch) int32, health (2,)) where
+    G = n_chunks*2 + ceil(n_chunks/4) rows per cycle (the pack_cycle_tc
+    2-bit symbol words + per-chunk valid-count words).
     Rows [-2]/[-1] of `packed` are the f32-bitcast per-channel vcount/dsum
     (same contract as the single-chip superblock)."""
     from . import channelizer as CH

@@ -156,6 +156,16 @@ class FleetEngine:
         # recompiling -- so the buckets are sized at the steady-state row
         # rate, not the worst case
         self.split_fec = split_fec
+        # zero split buckets would derive the device batch shape from the
+        # LIVE row count (recompiles cost minutes per distinct shape on the
+        # remote backend whenever the per-cycle count crosses a 256
+        # boundary): default them to a fixed steady-state size instead --
+        # pad_rows when the caller sized it, else a 4096-row CCH bucket
+        # (~2 cycles of a 256-channel fleet) and a 1024-row BBK bucket
+        # (device BBK rows only exist on the rare local-decode bypass)
+        if split_fec:
+            cch_bucket = cch_bucket or pad_rows or 4096
+            bbk_bucket = bbk_bucket or max(1024, pad_rows // 4)
         self.cch_bucket = cch_bucket
         self.bbk_bucket = bbk_bucket
         y = np.ascontiguousarray(P.TRAIN_Y, np.uint8)

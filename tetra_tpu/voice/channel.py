@@ -427,7 +427,8 @@ class ProfileCalibrator:
     CRC8_SHORTLIST = (0x1D, 0x07, 0x31, 0x9B, 0xA6)
     CRC4_SHORTLIST = (0x3, 0x9, 0xB)
 
-    def __init__(self, trigger: int = 6, window: int = 8, log=None):
+    def __init__(self, trigger: int = 6, window: int = 8, log=None,
+                 base=None):
         self.trigger = trigger
         self.window = window
         self.buf: list[np.ndarray] = []
@@ -437,6 +438,46 @@ class ProfileCalibrator:
         self.half_fails = 0
         self.resolved_half: CodecProfile | None = None
         self.log = log if log is not None else (lambda msg: None)
+        # base: callable returning the profile to search FROM (the owning
+        # pipeline's active profile).  Resolution no longer mutates the
+        # process-global profile (ADVICE r3: concurrent per-channel
+        # calibrators mutating _PROFILE meant one noisy channel could flip
+        # the convention for every channel, last writer wins); the caller
+        # adopts the returned profile into ITS state and may promote to the
+        # global explicitly once channels agree.
+        self.base = base if base is not None else get_profile
+        # observability (VERDICT r3 weak #5: silent-by-default searching):
+        # searches = completed search passes; exhausted = at least one
+        # FULL-shortlist search found no candidate clearing the acceptance
+        # threshold -- on a real network that means the generator is
+        # outside the shortlist and must be supplied via --codec-profile
+        self.searches = 0
+        self.half_searches = 0
+        self.exhausted = False
+        self.half_exhausted = False
+
+    def status(self) -> dict:
+        """Operator-visible calibration state (surfaced in the CLI metrics
+        JSONL and dashboard): idle until failures accumulate, searching
+        while streaks trigger re-search, resolved on success, exhausted
+        once a full-shortlist pass failed (out-of-shortlist network)."""
+        def st(resolved, searches, exhausted, fails):
+            if resolved is not None:
+                return "resolved"
+            if exhausted:
+                return "exhausted"
+            return "searching" if (searches or fails) else "idle"
+        return {
+            "full": st(self.resolved, self.searches, self.exhausted,
+                       self.consec_fails),
+            "half": st(self.resolved_half, self.half_searches,
+                       self.half_exhausted, self.half_fails),
+            "profile": self.resolved.name if self.resolved else None,
+            "half_profile": (self.resolved_half.name
+                             if self.resolved_half else None),
+            "searches": self.searches,
+            "half_searches": self.half_searches,
+        }
 
     def observe(self, type4: np.ndarray, bfi: bool) -> CodecProfile | None:
         """Feed one decoded full traffic slot (type-4 bits + its bad-frame
@@ -457,7 +498,7 @@ class ProfileCalibrator:
 
     def _search(self) -> CodecProfile | None:
         batch = np.stack(self.buf)
-        base = get_profile()
+        base = self.base()
         best: tuple[int, CodecProfile] | None = None
         for transposed in (False, True):
             for poly in self.CRC8_SHORTLIST:
@@ -469,13 +510,18 @@ class ProfileCalibrator:
                 passes = int((~bfi).sum())
                 if best is None or passes > best[0]:
                     best = (passes, cand)
+        self.searches += 1
         passes, cand = best
         if passes >= max(2, len(self.buf) // 2):
             self.resolved = cand
-            set_profile(cand)
             self.log(f"voice codec profile resolved: {cand.name} "
                      f"({passes}/{len(self.buf)} buffered slots CRC-clean)")
             return cand
+        self.exhausted = True   # full shortlist searched, nothing cleared
+        self.log(f"voice codec calibration exhausted the shortlist "
+                 f"(best {passes}/{len(self.buf)}): generator outside the "
+                 f"search space -- supply the real profile via "
+                 f"load_profile/--codec-profile")
         self.consec_fails = 0   # keep observing; retry on the next streak
         return None
 
@@ -501,7 +547,7 @@ class ProfileCalibrator:
         if self.half_fails < self.trigger:
             return None
         batch = np.stack(self.half_buf)
-        base = get_profile()
+        base = self.base()
         best: tuple[int, CodecProfile] | None = None
         for poly in self.CRC4_SHORTLIST:
             cand = replace(base, crc4_poly=poly,
@@ -510,13 +556,17 @@ class ProfileCalibrator:
             passes = int((~bfi_c).sum())
             if best is None or passes > best[0]:
                 best = (passes, cand)
+        self.half_searches += 1
         passes, cand = best
         if passes >= max(2, len(self.half_buf) // 2):
             self.resolved_half = cand
-            set_profile(cand)
             self.log(f"voice codec profile resolved: {cand.name} "
                      f"({passes}/{len(self.half_buf)} buffered stolen "
                      f"halves CRC-clean)")
             return cand
+        self.half_exhausted = True
+        self.log(f"voice codec CRC-4 calibration exhausted the shortlist "
+                 f"(best {passes}/{len(self.half_buf)}): supply the real "
+                 f"profile via load_profile/--codec-profile")
         self.half_fails = 0
         return None

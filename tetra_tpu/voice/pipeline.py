@@ -32,10 +32,26 @@ class VoicePipeline:
     # CRC failure (vchannel.ProfileCalibrator; clear traffic only)
     calibrate: bool = False
     calibrator: object = None
+    # per-pipeline codec profile: None = the process default.  A resolved
+    # calibration lands HERE, not in the global (ADVICE r3: with one
+    # pipeline per channel, a mis-resolving noisy channel must not flip the
+    # convention for every other channel; promote to the global explicitly
+    # via vchannel.set_profile once channels agree).
+    profile: object = None
 
     def __post_init__(self):
         if self.calibrate and self.calibrator is None:
-            self.calibrator = vchannel.ProfileCalibrator()
+            self.calibrator = vchannel.ProfileCalibrator(base=self._base)
+
+    def _base(self):
+        return self.profile if self.profile is not None \
+            else vchannel.get_profile()
+
+    def calibration_status(self) -> dict | None:
+        """Operator-visible calibration state (None when calibration is
+        off); see ProfileCalibrator.status."""
+        return self.calibrator.status() if self.calibrator is not None \
+            else None
 
     def _gate(self, time: TdmaTime) -> bool:
         # active-timeslot gate (tetra_lower_mac.c:364-370)
@@ -55,13 +71,18 @@ class VoicePipeline:
         """
         if not self._gate(time):
             return
-        frame, bfi = vchannel.decode_half_slot(np.asarray(type4)[None])
+        frame, bfi = vchannel.decode_half_slot(np.asarray(type4)[None],
+                                               profile=self.profile)
         is_bad = bool(bfi[0])
-        if (self.calibrator is not None and self.crypto_state is None
-                and self.calibrator.observe_half(type4, is_bad) is not None):
-            # CRC-4 generator just resolved: re-decode this half under it
-            frame, bfi = vchannel.decode_half_slot(np.asarray(type4)[None])
-            is_bad = bool(bfi[0])
+        if self.calibrator is not None and self.crypto_state is None:
+            resolved = self.calibrator.observe_half(type4, is_bad)
+            if resolved is not None:
+                # CRC-4 generator just resolved: adopt it into THIS
+                # pipeline's profile and re-decode this half under it
+                self.profile = resolved
+                frame, bfi = vchannel.decode_half_slot(
+                    np.asarray(type4)[None], profile=self.profile)
+                is_bad = bool(bfi[0])
         self.slots_decoded += 1
         if is_bad:
             self.bad_frames += 1
@@ -73,13 +94,16 @@ class VoicePipeline:
         """LowerMac voice callback: one traffic slot's descrambled bits."""
         if not self._gate(time):
             return
-        frames, bfi = vchannel.decode_slot(type4[None])
+        frames, bfi = vchannel.decode_slot(type4[None], profile=self.profile)
         f2, is_bad = frames[0], bool(bfi[0])
-        if (self.calibrator is not None and self.crypto_state is None
-                and self.calibrator.observe(type4, is_bad) is not None):
-            # profile just resolved: re-decode this slot under it
-            frames, bfi = vchannel.decode_slot(type4[None])
-            f2, is_bad = frames[0], bool(bfi[0])
+        if self.calibrator is not None and self.crypto_state is None:
+            resolved = self.calibrator.observe(type4, is_bad)
+            if resolved is not None:
+                # profile just resolved: adopt into THIS pipeline, re-decode
+                self.profile = resolved
+                frames, bfi = vchannel.decode_slot(type4[None],
+                                                   profile=self.profile)
+                f2, is_bad = frames[0], bool(bfi[0])
         if self.crypto_state is not None:
             # encrypted traffic: XOR the CCK keystream off the decoded
             # codec frames (decrypt_voice_timeslot semantics -- the
