@@ -107,8 +107,11 @@ def measure_resident(channels: int = 256, t50: int = 6400, k: int = 16,
     ok0 = sum(rx.crc_counts(c)[0] for c in range(channels))
     fail0 = sum(rx.crc_counts(c)[1] for c in range(channels))
     t0 = _time.perf_counter()
+    sb_wall = []
     for s in range(warm_super, n_super):
+        ts = _time.perf_counter()
         rx.process_wideband_staged(*staged[s])
+        sb_wall.append(_time.perf_counter() - ts)
     rx.flush_wideband()
     dt = _time.perf_counter() - t0
     processed = (n_super - warm_super) * sb_adv
@@ -119,6 +122,16 @@ def measure_resident(channels: int = 256, t50: int = 6400, k: int = 16,
     rt = msps * 1e6 / fs
     assert n_locked > channels * 0.9, f"only {n_locked} locked"
     assert oks > 3 * fails, (oks, fails)
+    # LATENCY (VERDICT r3 item 8): a streaming receiver buffers one
+    # superblock of air (k cycles) before its first sample can decode, then
+    # pays the superblock's processing wall time; IQ->PDU latency for the
+    # FIRST sample of a superblock ~= sb_air + wall, for the LAST ~= wall.
+    # (wb_pipeline adds one more sb_air of lag -- part of why sync is the
+    # default.)  rt_margin is air-time/wall-time per superblock: > 1 means
+    # the receiver keeps up in real time with that factor of headroom.
+    sw = np.asarray(sb_wall)
+    sb_air = sb_adv / fs
+    lag_sb = 1 + (1 if pipeline else 0)
     return dict(channels=channels, t50=t50, resident=True, k=k,
                 pipeline=bool(pipeline),
                 wideband_msps=round(msps, 1),
@@ -127,7 +140,14 @@ def measure_resident(channels: int = 256, t50: int = 6400, k: int = 16,
                 locked=n_locked, crc_ok=oks, crc_fail=fails,
                 seconds_air=round(processed / fs, 2),
                 wall=round(dt, 2),
-                host_upload_MBps=round(up_bytes / up_s / 1e6, 1))
+                host_upload_MBps=round(up_bytes / up_s / 1e6, 1),
+                sb_air_ms=round(sb_air * 1e3, 1),
+                sb_wall_ms=round(float(sw.mean()) * 1e3, 1),
+                sb_wall_p95_ms=round(float(np.percentile(sw, 95)) * 1e3, 1),
+                latency_first_ms=round(
+                    (lag_sb * sb_air + float(sw.mean())) * 1e3, 1),
+                latency_last_ms=round(float(sw.mean()) * 1e3, 1),
+                rt_margin=round(sb_air / float(sw.mean()), 2))
 
 
 def main():

@@ -483,3 +483,86 @@ def test_decode_rows_mixed_packed_chunking_matches_unchunked():
     b_t1, b_ok = rx_fec.decode_rows_mixed_packed(t5p, types, idx, ks_dev,
                                                  min_bucket=8)
     assert (a_ok == b_ok).all() and (a_t1 == b_t1).all()
+
+
+def test_decode_rows_typed_packed_matches_mixed():
+    """The round-4 per-length FEC programs (SB1/NDB 144-step trellis with
+    17-byte result rows, SCH-F full width, BBK RM3014) must be bit-exact
+    vs the single mixed program on every row's type-1 bits and ok flag --
+    including forced chunking over undersized buckets.  Short rows'
+    17-byte form must reproduce the mixed rows' 16-byte HEAD exactly
+    (consumers only read each type's t1 bits)."""
+    from tetra_tpu.rx import fec as rx_fec
+
+    rng = np.random.default_rng(10)
+    scr = P.scramb_get_init(262, 4321, 3)
+    ks_host = np.zeros((16, 432), np.uint8)
+    ks_host[0] = rx_fec.keystream(P.SCRAMB_INIT, 432)
+    ks_host[1] = rx_fec.keystream(scr, 432)
+    ks_dev = jnp.asarray(ks_host)
+    t5m, types, idx = [], [], []
+    for bt, t345 in ((P.TPSAP_T_SB1, 120), (P.TPSAP_T_BBK, 30),
+                     (P.TPSAP_T_SB2, 216), (P.TPSAP_T_NDB, 216),
+                     (P.TPSAP_T_SCH_F, 432)) * 6:
+        bits = rng.integers(0, 2, t345).astype(np.uint8)
+        pad = np.zeros(432, np.uint8)
+        pad[:t345] = bits
+        t5m.append(np.packbits(pad))
+        types.append(bt)
+        idx.append(0 if bt == P.TPSAP_T_SB1 else 1)
+    t5p = np.stack(t5m)
+    types = np.asarray(types)
+    idx = np.asarray(idx, np.int32)
+    want_t1, want_ok = rx_fec.decode_rows_mixed_packed(
+        t5p, types, idx, ks_dev)
+    # per-type meaningful byte spans (ceil(t1/8)): SB1 60 -> 8, BBK 14 -> 2,
+    # NDB/SB2 124 -> 16, SCH-F 268 -> 34
+    nbytes = {P.TPSAP_T_SB1: 8, P.TPSAP_T_BBK: 2, P.TPSAP_T_SB2: 16,
+              P.TPSAP_T_NDB: 16, P.TPSAP_T_SCH_F: 34}
+    for sb, fb, bb in ((0, 0, 0), (8, 4, 4)):   # defaults + forced chunking
+        got_t1, got_ok = rx_fec.decode_rows_typed_packed(
+            t5p, types, idx, ks_dev, short_bucket=sb, schf_bucket=fb,
+            bbk_bucket=bb)
+        assert (got_ok == want_ok).all(), (sb, fb, bb)
+        for r in range(len(types)):
+            nb = nbytes[int(types[r])]
+            assert (got_t1[r, :nb] == want_t1[r, :nb]).all(), \
+                (sb, r, int(types[r]))
+        # short rows: the full 16-byte head is byte-exact (CRC bits
+        # included), bytes beyond are zero by construction
+        short = np.isin(types, (P.TPSAP_T_SB1, P.TPSAP_T_SB2,
+                                P.TPSAP_T_NDB))
+        assert (got_t1[short, :16] == want_t1[short, :16]).all()
+        assert (got_t1[short, 16:] == 0).all()
+
+
+def test_fleet_engine_typed_fec_matches_split():
+    """Engine-level A/B: the typed-FEC default must produce identical
+    decode state (locks, CRC tallies, display, MAC) to a split-FEC engine
+    on a multi-cell stream with SYNC + NDB + traffic(SCH-F) slots."""
+    from tetra_tpu.rx.fleet import FleetEngine
+
+    C, T = 3, 30 * 255
+    streams = []
+    for c in range(C):
+        vslots = {2: (lambda f=c: np.full(274, f % 2, np.uint8))}
+        bits, _ = cell.downlink_bits(
+            cell.CellConfig(mcc=262, mnc=50 + c, cc=2 + c), 2 * T // 255 + 2,
+            start=START, voice_slots=vslots)
+        streams.append(bits)
+    packed = np.stack([
+        ((s[0::2] << 1) | s[1::2]).astype(np.uint8)[:T] | 0x80
+        for s in streams])
+    f_typed = FleetEngine(C)                      # typed default
+    f_split = FleetEngine(C, split_fec=True)
+    assert f_typed.typed_fec and not f_split.typed_fec
+    for i in range(0, T, 2400):
+        f_typed.process_packed(packed[:, i:i + 2400])
+        f_split.process_packed(packed[:, i:i + 2400])
+    for c in range(C):
+        a, b = f_typed.chan(c), f_split.chan(c)
+        assert a.state == b.state == 2, c
+        assert f_typed.crc_counts(c) == f_split.crc_counts(c), c
+        assert f_typed.crc_counts(c)[0] > 0, c
+        assert f_typed.display(c).as_dict() == f_split.display(c).as_dict()
+        assert bytes(a.mac) == bytes(b.mac), c

@@ -506,6 +506,147 @@ def decode_rows_split_packed(t5p: np.ndarray, blk_types: np.ndarray,
     return out[:, :_T1_BYTES], out[:, _T1_BYTES].astype(bool)
 
 
+# ---------------------------------------------------------------------------
+# Type-split packed decode (round 4): the wideband fleet's device batches
+# are ~all SB1/NDB rows (BBK decodes natively at feed time; SCH-F exists
+# only on traffic slots), yet the mixed program charged every row the
+# SCH-F-sized costs: a 288-step trellis, a 54-byte upload and a 35-byte
+# result row where SB1/NDB need 144 steps, 27 and 17 bytes
+# (tetra_lower_mac.c:58-105 type-1 lengths: 60/124 vs 268).  Splitting by
+# type halves the dominant FEC fetch AND the trellis work on
+# signalling-heavy traffic, and the SCH-F program isn't even compiled
+# until a traffic row appears.
+# ---------------------------------------------------------------------------
+
+_SHORT_T345 = 216              # max type-5 bits over SB1/SB2/NDB
+_SHORT_T5_BYTES = 27
+_SHORT_T2 = 144                # NDB trellis length (SB1 pads 80 -> 144)
+_SHORT_T1 = 124
+_SHORT_T1_BYTES = 16           # 124 bits + 4 pad
+_SHORT_VARIANTS = _MIX_VARIANTS[:2]    # (120, 80, 60, 11), (216, 144, 124, 101)
+
+
+@jax.jit
+def _decode_short_packed_jit(t5p: jnp.ndarray, ks_table: jnp.ndarray,
+                             scramb_idx: jnp.ndarray, tsel: jnp.ndarray):
+    """SB1/SB2/NDB-only packed decode: t5p (B, 27) bit-packed rows, tsel
+    (B,) in {_MIX_SB1, _MIX_NDB}.  Returns ONE (B, 17) uint8 array:
+    [16 bytes = type-1 bits 0..123 packed MSB-first (4 pad bits) | ok].
+    Bit-exact vs the mixed program's leading 124 type-1 bits (same
+    depuncture/trellis/CRC math; the _MIX_PAD_AMP argument covers the
+    SB1 80 -> 144 step padding exactly as it covered 80 -> 288)."""
+    B = t5p.shape[0]
+    type4 = _unpack_rows(t5p, _SHORT_T345) \
+        ^ _ks_from_table(ks_table, scramb_idx)[:, :_SHORT_T345]
+    softs = []
+    for t345, t2, t1, ia in _SHORT_VARIANTS:
+        t3 = type4[:, :t345][:, jnp.asarray(_deinterleave_idx(t345, ia))]
+        soft = depuncture_soft(t3, P.PUNCT_2_3, t2 * 4, 4)
+        if t2 < _SHORT_T2:
+            pad = jnp.full((B, _SHORT_T2 - t2, 4), _MIX_PAD_AMP,
+                           jnp.float32)
+            soft = jnp.concatenate([soft, pad], axis=1)
+        softs.append(soft)
+    soft = jnp.where(tsel[:, None, None] == _MIX_SB1, softs[0], softs[1])
+    type2 = viterbi_decode(soft, "cch")
+    ok = jnp.where(tsel == _MIX_SB1,
+                   crc16_check(type2[..., : 60 + 16]),
+                   crc16_check(type2[..., : 124 + 16]))
+    # pack the first 128 (not 124) decoded bits: bits 124..127 are the
+    # leading CRC bits of an NDB row, so the 16-byte head stays BYTE-EXACT
+    # with the mixed program's rows (consumers only read t1 bits; tests
+    # compare heads exactly)
+    t1b = type2[:, :_SHORT_T1_BYTES * 8].astype(jnp.uint8)
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    weights = (jnp.uint8(1) << shifts).astype(jnp.uint8)
+    packed = jnp.sum(t1b.reshape(B, _SHORT_T1_BYTES, 8) *
+                     weights[None, None, :], axis=-1, dtype=jnp.uint8)
+    return jnp.concatenate([packed, ok[:, None].astype(jnp.uint8)], axis=1)
+
+
+@jax.jit
+def _decode_schf_packed_jit(t5p: jnp.ndarray, ks_table: jnp.ndarray,
+                            scramb_idx: jnp.ndarray):
+    """SCH-F-only packed decode (full 432-bit rows, 288-step trellis);
+    output ABI matches the mixed program ((B, 35) = packed 268-bit type1 |
+    ok).  Compiled lazily: a signalling-only receiver never pays it."""
+    B = t5p.shape[0]
+    type4 = _unpack_rows(t5p, _MIX_T345) ^ _ks_from_table(ks_table,
+                                                          scramb_idx)
+    t345, t2, t1, ia = _MIX_VARIANTS[2]
+    t3 = type4[:, jnp.asarray(_deinterleave_idx(t345, ia))]
+    soft = depuncture_soft(t3, P.PUNCT_2_3, t2 * 4, 4)
+    type2 = viterbi_decode(soft, "cch")
+    ok = crc16_check(type2[..., : t1 + 16])
+    pad = jnp.zeros((B, _T1_BYTES * 8 - _MIX_T1), jnp.uint8)
+    return _pack_t1(jnp.concatenate(
+        [type2[:, :_MIX_T1].astype(jnp.uint8), pad], axis=1), ok)
+
+
+def decode_rows_typed_packed(t5p: np.ndarray, blk_types: np.ndarray,
+                             scramb_idx: np.ndarray, ks_table: jnp.ndarray,
+                             short_bucket: int = 0, schf_bucket: int = 0,
+                             bbk_bucket: int = 0
+                             ) -> tuple[np.ndarray, np.ndarray]:
+    """Packed-transfer decode via the per-length programs above: SB1/NDB
+    rows upload 27 bytes and fetch 17, SCH-F rows keep the 54/35-byte
+    forms, BBK rows (rare here: the fleet engine decodes them natively at
+    feed time) go to the existing RM3014 program.  Oversize batches CHUNK
+    over the same compiled programs (fixed shapes; remote compiles cost
+    minutes).  Returns (packed type1 (N, 34) uint8, ok (N,) bool) in input
+    row order, bit-exact vs decode_rows_mixed_packed (tests/test_fleet.py).
+    """
+    N = len(blk_types)
+    tsel = _MIX_TSEL_OF[np.asarray(blk_types, np.int64)]
+    assert (tsel >= 0).all(), "row type outside the fused variant table"
+    idx = np.where(np.asarray(blk_types) == P.TPSAP_T_SB1, 0,
+                   np.asarray(scramb_idx)).astype(np.int32)
+    out = np.zeros((N, _T1_BYTES + 1), np.uint8)
+    si = np.nonzero((tsel == _MIX_SB1) | (tsel == _MIX_NDB))[0]
+    fi = np.nonzero(tsel == _MIX_SCHF)[0]
+    bi = np.nonzero(tsel == _MIX_BBK)[0]
+    if len(si):
+        bucket = short_bucket or _round_up(len(si), 256)
+        for s in range(0, len(si), bucket):
+            rows = si[s:s + bucket]
+            pad = bucket - len(rows)
+            tc = np.concatenate([np.ascontiguousarray(
+                t5p[rows, :_SHORT_T5_BYTES]),
+                np.zeros((pad, _SHORT_T5_BYTES), np.uint8)])
+            ic = np.concatenate([idx[rows], np.zeros(pad, np.int32)])
+            sc = np.concatenate([tsel[rows],
+                                 np.full(pad, _MIX_SB1, np.int32)])
+            r = np.asarray(_decode_short_packed_jit(
+                jnp.asarray(tc), ks_table, jnp.asarray(ic),
+                jnp.asarray(sc)))
+            out[rows, :_SHORT_T1_BYTES] = r[:len(rows), :_SHORT_T1_BYTES]
+            out[rows, _T1_BYTES] = r[:len(rows), _SHORT_T1_BYTES]
+    if len(fi):
+        bucket = schf_bucket or _round_up(len(fi), 256)
+        for s in range(0, len(fi), bucket):
+            rows = fi[s:s + bucket]
+            pad = bucket - len(rows)
+            tc = np.concatenate([t5p[rows],
+                                 np.zeros((pad, _T5_BYTES), np.uint8)])
+            ic = np.concatenate([idx[rows], np.zeros(pad, np.int32)])
+            r = np.asarray(_decode_schf_packed_jit(
+                jnp.asarray(tc), ks_table, jnp.asarray(ic)))
+            out[rows] = r[:len(rows)]
+    if len(bi):
+        bucket = bbk_bucket or _round_up(len(bi), 256)
+        for s in range(0, len(bi), bucket):
+            rows = bi[s:s + bucket]
+            pad = bucket - len(rows)
+            tb = np.concatenate([
+                np.ascontiguousarray(t5p[rows, :4]),
+                np.zeros((pad, 4), np.uint8)])
+            ib = np.concatenate([idx[rows], np.zeros(pad, np.int32)])
+            r = np.asarray(_decode_bbk_packed_jit(
+                jnp.asarray(tb), ks_table, jnp.asarray(ib)))
+            out[rows] = r[:len(rows)]
+    return out[:, :_T1_BYTES], out[:, _T1_BYTES].astype(bool)
+
+
 def decode_rows_mixed_packed(t5p: np.ndarray, blk_types: np.ndarray,
                              scramb_idx: np.ndarray, ks_table: jnp.ndarray,
                              min_bucket: int = 0

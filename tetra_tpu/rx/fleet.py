@@ -138,7 +138,8 @@ class FleetEngine:
 
     def __init__(self, channels: int, voice_cb=None, pad_rows: int = 0,
                  cch_bucket: int = 0, bbk_bucket: int = 0,
-                 split_fec: bool = True):
+                 split_fec: bool = False, typed_fec: bool = True,
+                 short_bucket: int = 0, schf_bucket: int = 0):
         lib = load()
         if lib is None:
             raise RuntimeError("native fleet engine unavailable "
@@ -150,24 +151,33 @@ class FleetEngine:
         # receiver then compiles exactly one mixed-decode program (remote
         # compiles are minutes per distinct shape; rx/fec.decode_rows_mixed)
         self.pad_rows = pad_rows
-        # split per-kind programs (rx/fec.decode_rows_split_packed): CCH
-        # rows pay the Viterbi, BBK rows only the RM3014 correlation, and
-        # oversize batches chunk over the same compiled programs instead of
-        # recompiling -- so the buckets are sized at the steady-state row
-        # rate, not the worst case
+        # FEC program choice (precedence: split > typed > mixed):
+        #   typed (DEFAULT, round 4): per-length programs -- SB1/NDB rows
+        #     pay a 144-step trellis and 27/17-byte transfers, SCH-F rows
+        #     their full 288/54/35-byte forms (compiled only if traffic
+        #     appears).  Halves the dominant FEC result fetch AND the
+        #     trellis work on signalling-heavy traffic.
+        #   split (legacy, explicit): CCH-vs-BBK split at full width.
+        #   mixed: the single all-variant program (the sharded path's ABI).
         self.split_fec = split_fec
-        # zero split buckets would derive the device batch shape from the
-        # LIVE row count (recompiles cost minutes per distinct shape on the
+        self.typed_fec = typed_fec and not split_fec
+        # zero buckets would derive the device batch shape from the LIVE
+        # row count (recompiles cost minutes per distinct shape on the
         # remote backend whenever the per-cycle count crosses a 256
-        # boundary): default them to a fixed steady-state size instead --
-        # pad_rows when the caller sized it, else a 4096-row CCH bucket
-        # (~2 cycles of a 256-channel fleet) and a 1024-row BBK bucket
-        # (device BBK rows only exist on the rare local-decode bypass)
+        # boundary): default every bucket to a fixed steady-state size --
+        # pad_rows when the caller sized it, else 1024 rows (chunking
+        # covers overflow on the same compiled program)
         if split_fec:
-            cch_bucket = cch_bucket or pad_rows or 4096
-            bbk_bucket = bbk_bucket or max(1024, pad_rows // 4)
+            cch_bucket = cch_bucket or pad_rows or 1024
+            bbk_bucket = bbk_bucket or max(512, pad_rows // 4)
         self.cch_bucket = cch_bucket
         self.bbk_bucket = bbk_bucket
+        if self.typed_fec:
+            # short rows are <= 2/slot (every burst type), SCH-F <= 1/slot
+            short_bucket = short_bucket or pad_rows or 1024
+            schf_bucket = schf_bucket or max(512, pad_rows // 2)
+        self.short_bucket = short_bucket
+        self.schf_bucket = schf_bucket
         y = np.ascontiguousarray(P.TRAIN_Y, np.uint8)
         n = np.ascontiguousarray(P.TRAIN_N, np.uint8)
         p = np.ascontiguousarray(P.TRAIN_P, np.uint8)
@@ -327,6 +337,12 @@ class FleetEngine:
                         rows_t5p, rows_types, idx, self._ks_dev,
                         cch_bucket=self.cch_bucket,
                         bbk_bucket=self.bbk_bucket)
+                if self.typed_fec:
+                    return rx_fec.decode_rows_typed_packed(
+                        rows_t5p, rows_types, idx, self._ks_dev,
+                        short_bucket=self.short_bucket,
+                        schf_bucket=self.schf_bucket,
+                        bbk_bucket=self.bbk_bucket or 512)
                 return rx_fec.decode_rows_mixed_packed(
                     rows_t5p, rows_types, idx, self._ks_dev,
                     min_bucket=self.pad_rows)

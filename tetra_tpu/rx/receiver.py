@@ -208,18 +208,21 @@ class TetraReceiver:
             # SB1+SB2 and NORM_2's two NDBs hit exactly 2 -- plus ~10%
             # headroom); rare overflow beyond that (a post-acquisition
             # ring-backlog drain) CHUNKS over the same compiled program
-            # instead of recompiling.  Round-3 TPU
-            # ablation (scripts/ablate_superblock.py): with the gather-free
-            # Viterbi the per-dispatch overhead dominates the FEC step, so
-            # one right-sized mixed dispatch beats the split CCH/BBK pair
-            # (71 ms vs 75 ms at the (256, k=16) shapes) -- split_fec stays
-            # available but off.
+            # instead of recompiling.  FEC program: the round-4 TYPED split
+            # (FleetEngine default) -- SB1/NDB rows on a 144-step-trellis
+            # program with 27-byte uploads and 17-byte result rows, SCH-F
+            # rows on their own full-width program compiled only when
+            # traffic appears (tetra_lower_mac.c:58-105 type-1 lengths).
+            # The round-3 CCH/BBK split (full-width, 288 steps both) lost
+            # to one mixed dispatch (71 vs 75 ms); the typed split halves
+            # the trellis work AND the dominant result fetch instead of
+            # merely partitioning them.
             if wideband and channels >= 64:
                 slots = (t50 * 18 // 25) / 510.0
                 K = max(1, wb_k)
                 pad_rows = -(-int(channels * K * slots * 2.2) // 1024) * 1024
                 self.fleet = FleetEngine(channels, voice_cb=voice_cb,
-                                         pad_rows=pad_rows, split_fec=False)
+                                         pad_rows=pad_rows)
             else:
                 # narrowband fleet feeds have caller-defined block lengths:
                 # size from the historical worst-case formula
@@ -227,8 +230,7 @@ class TetraReceiver:
                                         - 1).bit_length()) \
                     if channels >= 64 else 0
                 self.fleet = FleetEngine(channels, voice_cb=voice_cb,
-                                         pad_rows=pad_rows,
-                                         split_fec=channels < 64)
+                                         pad_rows=pad_rows)
             self.mac = []
             self.sym_quality = np.zeros(channels, np.float32)
             self.wideband = wideband
