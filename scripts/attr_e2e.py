@@ -94,29 +94,49 @@ def main():
         didx = np.nonzero(~local)[0]
         t5p_d, blk_d, idx_d = t5p[didx], blk_types[didx], idx[didx]
         t0 = lap("bbk_local_filter", t0)
-        # FEC: dispatch vs fetch split (chunked over the fixed bucket,
-        # exactly as decode_rows_mixed_packed)
+        # FEC: dispatch vs fetch split.  Typed path (round 4, the
+        # production default): SB1/NDB rows on the 144-step short program
+        # (27-byte uploads, 17-byte result rows); SCH-F rows (if any) on
+        # the full-width program.  Chunked over the fixed buckets exactly
+        # as decode_rows_typed_packed.
         N = len(blk_d)
         tsel = rx_fec._MIX_TSEL_OF[np.asarray(blk_d, np.int64)]
         idx2 = np.where(blk_d == 0, 0, idx_d).astype(np.int32)
         t5p = t5p_d
-        bucket = fleet.pad_rows
-        out = np.empty((N, 35), np.uint8)
-        for s0 in range(0, N, bucket):
-            nn = min(bucket, N - s0)
-            pad = bucket - nn
-            tc = np.concatenate([t5p[s0:s0 + nn],
-                                 np.zeros((pad, 54), np.uint8)])
-            ic = np.concatenate([idx2[s0:s0 + nn], np.zeros(pad, np.int32)])
-            sc = np.concatenate([tsel[s0:s0 + nn],
-                                 np.full(pad, 3, np.int32)])
+        out = np.zeros((N, 35), np.uint8)
+        si = np.nonzero((tsel == rx_fec._MIX_SB1)
+                        | (tsel == rx_fec._MIX_NDB))[0]
+        fi = np.nonzero(tsel == rx_fec._MIX_SCHF)[0]
+        t0 = lap("fec_partition", t0)
+        bucket = fleet.short_bucket or fleet.pad_rows
+        for s0 in range(0, len(si), bucket):
+            rows = si[s0:s0 + bucket]
+            pad = bucket - len(rows)
+            tc = np.concatenate([np.ascontiguousarray(t5p[rows, :27]),
+                                 np.zeros((pad, 27), np.uint8)])
+            ic = np.concatenate([idx2[rows], np.zeros(pad, np.int32)])
+            sc = np.concatenate([tsel[rows], np.zeros(pad, np.int32)])
             t0 = lap("fec_pad", t0)
-            out_dev = rx_fec._decode_mixed_packed_jit(
+            out_dev = rx_fec._decode_short_packed_jit(
                 jnp.asarray(tc), fleet._ks_dev, jnp.asarray(ic),
                 jnp.asarray(sc))
             t0 = lap("fec_dispatch", t0)
-            out[s0:s0 + nn] = np.asarray(out_dev)[:nn]
+            r = np.asarray(out_dev)
+            out[rows, :16] = r[:len(rows), :16]
+            out[rows, 34] = r[:len(rows), 16]
             t0 = lap("fec_fetch", t0)
+        fbucket = fleet.schf_bucket or max(512, (fleet.pad_rows or 0) // 2)
+        for s0 in range(0, len(fi), fbucket):
+            rows = fi[s0:s0 + fbucket]
+            pad = fbucket - len(rows)
+            tc = np.concatenate([t5p[rows], np.zeros((pad, 54), np.uint8)])
+            ic = np.concatenate([idx2[rows], np.zeros(pad, np.int32)])
+            t0 = lap("fec_pad", t0)
+            out_dev = rx_fec._decode_schf_packed_jit(
+                jnp.asarray(tc), fleet._ks_dev, jnp.asarray(ic))
+            t0 = lap("fec_dispatch_schf", t0)
+            out[rows] = np.asarray(out_dev)[:len(rows)]
+            t0 = lap("fec_fetch_schf", t0)
         type1p = np.zeros((n, 34), np.uint8)
         ok = np.zeros(n, np.uint8)
         type1p[didx] = out[:N, :34]
