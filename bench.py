@@ -117,7 +117,7 @@ def main():
     from tetra_tpu.rx import demod_fast as demod_mod
 
     def run_config(channels, block, k):
-        n_chunks = int(np.ceil(block / (demod_mod.K_SYM * 1.96))) + 1
+        n_chunks = demod_mod.n_chunks_for(block)
 
         def body(state, xs):
             xr, xi = xs

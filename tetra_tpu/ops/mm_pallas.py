@@ -10,14 +10,24 @@ gather, so the data-dependent window extraction is restructured gather-free:
      position;
   2. each channel's column is aligned to its own integer offset with a
      log2(SHIFT_RANGE) barrel shifter (static row shifts + per-lane selects);
-  3. within the chunk, symbol k of channel c sits at row 2k + d (d in
-     [-2, 2] because |omega - 2| <= 2%), handled by 5 static stride-2 slices
-     + selects;
+  3. within the chunk, symbol k of channel c sits at row 2k + d (d bounded
+     by |omega - 2| <= 2% drift over the group), handled by static stride-2
+     slices + selects;
   4. interpolation/derivative coefficients come from the degree-5 Horner
      polynomials in mu (rx/demod_fast._bank_polys) - no table, no lookup.
 
-Loop updates are identical to rx/demod_fast._mm_costas_chunked; equivalence
-is checked in interpret mode by tests/test_pallas.py.
+PAIR MODE (round 4, VERDICT r3 item 4): with even n_chunks the kernel
+processes TWO K_SYM chunks per group -- one window cut / barrel / selection
+matmul / interpolation over 2*K_SYM symbols extrapolated from the frozen
+group-start state (cross-chunk position prediction), with ONE loop update
+per group at the pair-scaled gains (rx/demod_fast._PAIR_*: timing at the
+1/K law, Costas at the sqrt compromise -- the measured-optimal scaling,
+see the table at their definition).  This HALVES the sequential chain
+length, the demod throughput bound since round 1.
+
+Loop updates are identical to rx/demod_fast._mm_costas_chunked (pair=
+n_chunks even); equivalence is checked in interpret mode by
+tests/test_pallas.py.
 
 Layout: time on sublanes, channels on lanes: mf inputs are (T + 7, C).
 """
@@ -36,43 +46,59 @@ from .. import params as P
 from ..rx.demod_fast import (_COSTAS_ALPHA, _COSTAS_BETA,
                              _COSTAS_FREQ_LIM_CHUNKED, _MM_MU_GAIN,
                              _MM_OMEGA_GAIN, _OMEGA_MAX, _OMEGA_MIN,
-                             K_SYM, _bank_polys, rot_ramp)
+                             _PAIR_CA, _PAIR_CB, _PAIR_CLIM, _PAIR_MU,
+                             _PAIR_OM, K_SYM, _bank_polys, rot_ramp)
 
 NTAPS = P.INTERP_TAP_COUNT            # 8
-# window: 2*K_SYM nominal span + taps + +-2 slip margin + barrel range
 SHIFT_RANGE = 512                      # max per-channel offset from base
-_D_MARGIN = 2                          # intra-chunk slip candidates [-2, 2]
-WIN = 2 * K_SYM + NTAPS + 2 * _D_MARGIN + SHIFT_RANGE  # rows of the window
-
-_N_OFF = NTAPS + 2 * _D_MARGIN            # distinct window offsets
-# rows of the ALIGNED window the selection stage can actually touch:
-# o + 2k <= (N_OFF - 1) + 2 (K_SYM - 1), rounded up to the 8-row sublane tile
-_NEED = ((_N_OFF - 1 + 2 * (K_SYM - 1) + 1 + 7) // 8) * 8
 
 
-def _selection_mats() -> np.ndarray:
-    """(N_OFF * K_SYM, _NEED) stacked 0/1 matrix: row o*K+k has its 1 at
+def _geom(pair: bool):
+    """Group geometry: (H halves, G symbols/group, slip margin, N_OFF
+    distinct window offsets, NEED aligned-window rows, WIN window rows).
+
+    margin bounds the intra-group integer slip vs the nominal 2k grid:
+    |omega - 2| <= 0.02 * 2 -> drift <= 0.04 * (G - 1), so 2 covers G = 32
+    and 3 covers G = 64."""
+    H = 2 if pair else 1
+    G = H * K_SYM
+    margin = int(np.ceil(0.0401 * (G - 1)))
+    n_off = NTAPS + 2 * margin
+    need = ((n_off - 1 + 2 * (G - 1) + 1 + 7) // 8) * 8
+    win = 2 * G + NTAPS + 2 * margin + SHIFT_RANGE
+    return H, G, margin, n_off, need, win
+
+
+_SEL_CACHE = {}
+
+
+def _selection_mats(pair: bool) -> np.ndarray:
+    """(N_OFF * G, NEED) stacked 0/1 matrix: row o*G + k has its 1 at
     column o + 2k (Mosaic supports neither gathers nor stride-2 slices; ONE
     matmul against a constant selection matrix extracts every offset's
-    stride-2 row set at once on the MXU).  Operating on the _NEED-row head
+    stride-2 row set at once on the MXU).  Operating on the NEED-row head
     of the aligned window instead of all WIN rows cuts the selection FLOPs
-    ~7x -- the barrel shifter guarantees nothing beyond row _NEED-1 is
+    -- the barrel shifter guarantees nothing beyond row NEED-1 is
     selectable."""
-    S = np.zeros((_N_OFF * K_SYM, _NEED), np.float32)
-    for o in range(_N_OFF):
-        for k in range(K_SYM):
-            S[o * K_SYM + k, o + 2 * k] = 1.0
-    return S
+    if pair not in _SEL_CACHE:
+        _, G, _, n_off, need, _ = _geom(pair)
+        S = np.zeros((n_off * G, need), np.float32)
+        for o in range(n_off):
+            for k in range(G):
+                S[o * G + k, o + 2 * k] = 1.0
+        _SEL_CACHE[pair] = S
+    return _SEL_CACHE[pair]
 
 
-def _chunk_body(T, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
+def _chunk_body(T, pair, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
                 wbuf_r, wbuf_i,
                 pos, omega, cphase, cfreq, ph2, prev_sym):
-    """One K_SYM-symbol chunk of the timing/Costas/slicer loop.
+    """One group (K_SYM or 2*K_SYM symbols) of the timing/Costas/slicer
+    loop.
 
     Pure function of the carried loop state plus the VMEM-resident stream
-    refs; returns (new_state..., per-chunk outputs).  Factored out so the
-    grid kernel can unroll U chunks per grid step: TPU grid steps run
+    refs; returns (new_state..., per-group outputs).  Factored out so the
+    grid kernel can unroll U groups per grid step: TPU grid steps run
     sequentially and carry a fixed per-step overhead, which dominated the
     chain at 1 chunk/step (BENCH_DETAIL.md roofline).
 
@@ -81,9 +107,10 @@ def _chunk_body(T, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
     (wrong results when non-empty, same shapes/structure).
     """
     C = mfr_ref.shape[1]          # channels in this tile
+    H, G, margin, n_off, need_rows, win = _geom(pair)
 
-    kk = jax.lax.broadcasted_iota(jnp.int32, (K_SYM, 1), 0).astype(jnp.float32)
-    p = pos[None, :] + omega[None, :] * kk                 # (K, C)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0).astype(jnp.float32)
+    p = pos[None, :] + omega[None, :] * kk                 # (G, C)
     ipos = jnp.floor(p)
     mu = p - ipos
     ipos = ipos.astype(jnp.int32)
@@ -92,8 +119,6 @@ def _chunk_body(T, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
     # ---- window cut + per-channel alignment (gather-free) ----
     # (the input's WIN-row tail padding guarantees base + WIN stays in range
     # without clamping, so r is bounded by the cross-channel spread alone)
-    # base aligned down to the 8-row sublane tile: unaligned dynamic DMA row
-    # offsets fault this TPU backend; the barrel range absorbs the <=7 slack
     base = jnp.clip(jnp.min(ipos[0, :]), 0, T - 1)
     base = (base // 8) * 8
     base = pl.multiple_of(base, 8)
@@ -105,8 +130,8 @@ def _chunk_body(T, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
     # dynamic-slice the window out of the VMEM-resident stream (an HBM DMA
     # variant faulted this backend; VMEM residency caps T*C per call at
     # ~1.8M samples - tile channels for larger blocks)
-    wbuf_r[:, :] = mfr_ref[pl.ds(base, WIN), :]
-    wbuf_i[:, :] = mfi_ref[pl.ds(base, WIN), :]
+    wbuf_r[:, :] = mfr_ref[pl.ds(base, win), :]
+    wbuf_i[:, :] = mfi_ref[pl.ds(base, win), :]
     # Barrel shifter, in scratch so every pass can be PREDICATED on the
     # actual cross-channel spread: pass s is an exact identity when
     # max(r) < s (power-of-2 s means no channel has that bit set), and the
@@ -115,11 +140,11 @@ def _chunk_body(T, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
     # early (largest) passes off.  The barrel was 62% of stage-2 kernel
     # time when run unconditionally (scripts/ablate_mm.py).  Each pass also
     # shrinks its window: after applying shift s, later stages only read
-    # the first _NEED + (s - 1) rows (remaining shifts sum to s - 1).
+    # the first NEED + (s - 1) rows (remaining shifts sum to s - 1).
     rmax = jnp.max(r)
     shift = 0 if "barrel" in ablate else SHIFT_RANGE // 2
     while shift >= 1:
-        need_in = min(WIN, _NEED + 2 * shift - 1)   # valid rows before pass
+        need_in = min(win, need_rows + 2 * shift - 1)  # valid rows pre-pass
 
         @pl.when(rmax >= shift)
         def _pass(shift=shift, need_in=need_in):
@@ -132,18 +157,18 @@ def _chunk_body(T, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
                 bit[None, :], src_i, wbuf_i[:need_in - shift, :])
 
         shift //= 2
-    wr = wbuf_r[:_NEED, :]
-    wi = wbuf_i[:_NEED, :]
-    # now row j (< _NEED) of channel c = mf[ipos[0, c] + j]
+    wr = wbuf_r[:need_rows, :]
+    wi = wbuf_i[:need_rows, :]
+    # now row j (< NEED) of channel c = mf[ipos[0, c] + j]
 
-    # intra-chunk integer slip vs the nominal 2k grid
-    dsel = ipos - ipos[0:1, :] - (2 * kk).astype(jnp.int32)  # (K, C) in [-2,2]
+    # intra-group integer slip vs the nominal 2k grid
+    dsel = ipos - ipos[0:1, :] - (2 * kk).astype(jnp.int32)  # in [-m, m]
 
     # ---- interpolation + ML derivative via Horner polynomials ----
     # every offset's stride-2 row set in ONE stacked selection matmul pair
     if "select" in ablate:
-        ex_r = [jnp.broadcast_to(wr[:1, :], (K_SYM, C))] * _N_OFF
-        ex_i = [jnp.broadcast_to(wi[:1, :], (K_SYM, C))] * _N_OFF
+        ex_r = [jnp.broadcast_to(wr[:1, :], (G, C))] * n_off
+        ex_i = [jnp.broadcast_to(wi[:1, :], (G, C))] * n_off
     else:
         # Two bit-exact reformulations of this product measured NO win:
         # a 3-pass bf16 Dekker split (124 vs 118 ms/dispatch -- the f32
@@ -152,26 +177,26 @@ def _chunk_body(T, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
         # with the 12 offset windows as static slices, 4.8x fewer MXU
         # FLOPs (122.7 vs 122.5 ms, identical checksums -- the selection
         # matmul overlaps other kernel work and is not the bound).
-        S = sel_ref[:, :]                              # (N_OFF*K, _NEED)
+        S = sel_ref[:, :]                              # (n_off*G, NEED)
         exs_r = jnp.dot(S, wr, preferred_element_type=jnp.float32)
         exs_i = jnp.dot(S, wi, preferred_element_type=jnp.float32)
-        ex_r = [exs_r[o * K_SYM:(o + 1) * K_SYM, :] for o in range(_N_OFF)]
-        ex_i = [exs_i[o * K_SYM:(o + 1) * K_SYM, :] for o in range(_N_OFF)]
-    f0r = jnp.zeros((K_SYM, C), jnp.float32)
-    f0i = jnp.zeros((K_SYM, C), jnp.float32)
-    d_r = jnp.zeros((K_SYM, C), jnp.float32)
-    d_i = jnp.zeros((K_SYM, C), jnp.float32)
+        ex_r = [exs_r[o * G:(o + 1) * G, :] for o in range(n_off)]
+        ex_i = [exs_i[o * G:(o + 1) * G, :] for o in range(n_off)]
+    f0r = jnp.zeros((G, C), jnp.float32)
+    f0i = jnp.zeros((G, C), jnp.float32)
+    d_r = jnp.zeros((G, C), jnp.float32)
+    d_i = jnp.zeros((G, C), jnp.float32)
     for t in range(NTAPS if "interp" not in ablate else 1):
         cb = polys_ref[0, 0, t]
         cd = polys_ref[1, 0, t]
         for j in range(1, 6):
             cb = cb * mu + polys_ref[0, j, t]
             cd = cd * mu + polys_ref[1, j, t]
-        # window value at row 2k + t + d for d in [-2..2]
-        xr = jnp.zeros((K_SYM, C), jnp.float32)
-        xi_ = jnp.zeros((K_SYM, C), jnp.float32)
-        for d in range(-_D_MARGIN, _D_MARGIN + 1):
-            off = t + d + _D_MARGIN
+        # window value at row 2k + t + d for d in [-margin..margin]
+        xr = jnp.zeros((G, C), jnp.float32)
+        xi_ = jnp.zeros((G, C), jnp.float32)
+        for d in range(-margin, margin + 1):
+            off = t + d + margin
             sl_r = ex_r[off]
             sl_i = ex_i[off]
             m = dsel == d
@@ -185,30 +210,42 @@ def _chunk_body(T, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
     sgn = lambda v: jnp.where(v > 0, 1.0, -1.0)
     err = jnp.clip(sgn(f0r) * d_r + sgn(f0i) * d_i, -4.0, 4.0)
     err = jnp.where(valid, err, 0.0)
+    # ONE loop update per group at the K-scaled gains (mu ~ 1/H,
+    # omega ~ 1/H^2): the loops run as tuned-for-K=G chunked loops --
+    # identical equations to rx/demod_fast._mm_costas_chunked pair mode
+    pair_on = H > 1
     err_sum = jnp.sum(err, axis=0)
-    n_valid = jnp.sum(valid.astype(jnp.float32), axis=0)
-    omega_n = jnp.clip(omega + _MM_OMEGA_GAIN * err_sum, _OMEGA_MIN, _OMEGA_MAX)
-    pos = pos + omega * n_valid + _MM_MU_GAIN * err_sum
+    n_valid_g = jnp.sum(valid.astype(jnp.float32), axis=0)
+    om_g = np.float32(_MM_OMEGA_GAIN * (_PAIR_OM if pair_on else 1.0))
+    mu_g = np.float32(_MM_MU_GAIN * (_PAIR_MU if pair_on else 1.0))
+    omega_n = jnp.clip(omega + om_g * err_sum, _OMEGA_MIN, _OMEGA_MAX)
+    pos = pos + omega * n_valid_g + mu_g * err_sum
     omega = omega_n
 
-    # ---- Costas (frozen freq across the chunk) ----
+    # ---- Costas (freq frozen across the group) ----
     # ang = (ph2 - pi/4 - cphase) + k * (-pi/4 - cfreq): linear ramp via
     # the rotator recurrence (no per-symbol transcendentals)
     ca, sa = rot_ramp(ph2 - np.float32(np.pi / 4.0) - cphase,
-                      -np.float32(np.pi / 4.0) - cfreq, K_SYM,
+                      -np.float32(np.pi / 4.0) - cfreq, G,
                       time_first=True)
     sr = f0r * ca - f0i * sa
     si = f0i * ca + f0r * sa
     cerr = jnp.clip(sgn(sr) * si - sgn(si) * sr, -1.0, 1.0)
     cerr = jnp.where(valid, cerr, 0.0)
-    cerr_sum = jnp.sum(cerr, axis=0)
     # rail-gated leak: mirrors rx/demod_fast (leak only near the rail, else
     # a sustained FLL residual becomes a standing constellation offset)
-    leak = jnp.where(jnp.abs(cfreq) > 0.3 * _COSTAS_FREQ_LIM_CHUNKED,
-                     0.05, 0.0)
-    cfreq = jnp.clip((1.0 - leak) * cfreq + _COSTAS_BETA * cerr_sum,
-                     -_COSTAS_FREQ_LIM_CHUNKED, _COSTAS_FREQ_LIM_CHUNKED)
-    cphase_n = cphase + cfreq * n_valid + _COSTAS_ALPHA * cerr_sum
+    clim = np.float32(_COSTAS_FREQ_LIM_CHUNKED
+                      * (_PAIR_CLIM if pair_on else 1.0))
+    cerr_sum = jnp.sum(cerr, axis=0)
+    leak = jnp.where(jnp.abs(cfreq) > np.float32(0.3) * clim, 0.05, 0.0)
+    cfreq = jnp.clip((1.0 - leak) * cfreq
+                     + np.float32(_COSTAS_BETA
+                                  * (_PAIR_CB if pair_on else 1.0))
+                     * cerr_sum,
+                     -clim, clim)
+    cphase_n = cphase + cfreq * n_valid_g \
+        + np.float32(_COSTAS_ALPHA
+                     * (_PAIR_CA if pair_on else 1.0)) * cerr_sum
     cphase = cphase_n - 2 * np.float32(np.pi) * jnp.floor(
         (cphase_n + np.float32(np.pi)) / np.float32(2 * np.pi))
     dph2 = jnp.sum(jnp.where(valid, np.float32(np.pi / 4.0), 0.0), axis=0)
@@ -223,12 +260,12 @@ def _chunk_body(T, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
     # remap {0,1,2,3} -> {0,1,3,2} without a table: swap the two MSB cases
     dibit = jnp.where(diff == 2, 3, jnp.where(diff == 3, 2, diff))
     # carry last valid quadrant
-    last_q = quad[K_SYM - 1, :]
+    n_valid = jnp.sum(valid.astype(jnp.float32), axis=0)
     any_valid = n_valid > 0
     # positions after the last valid one keep prev via masking: since invalid
     # slots are a suffix, the last valid quadrant is quad[n_valid-1]; select
     # it with a mask-sum
-    kidx = jax.lax.broadcasted_iota(jnp.int32, (K_SYM, 1), 0)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
     is_last = (kidx + 1).astype(jnp.float32) == n_valid[None, :]
     last_valid_q = jnp.sum(jnp.where(is_last, quad.astype(jnp.float32), 0.0),
                            axis=0).astype(jnp.int32)
@@ -246,21 +283,21 @@ def _chunk_body(T, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
             sr, si, dibit, valid.astype(jnp.int32), dist)
 
 
-def _kernel(T, U, ablate, mfr_ref, mfi_ref, st0_ref, polys_ref, sel_ref,
-            symr_ref, symi_ref, dib_ref, val_ref, dist_ref, st_out_ref,
-            state, wbuf_r, wbuf_i, sem):
-    """Grid: (n_tiles, n_chunks // U); U chunks unrolled per grid step.
+def _kernel(T, U, pair, ablate, mfr_ref, mfi_ref, st0_ref, polys_ref,
+            sel_ref, symr_ref, symi_ref, dib_ref, val_ref, dist_ref,
+            st_out_ref, state, wbuf_r, wbuf_i, sem):
+    """Grid: (n_tiles, n_groups // U); U groups unrolled per grid step.
 
-    mfr/mfi:  (_D_MARGIN + T + NTAPS - 1, C) zero-pad + history + stream
+    mfr/mfi:  (margin + T + NTAPS - 1, C) zero-pad + history + stream
     st0:      (8, C) initial state rows [pos, omega, cphase, cfreq, ph2,
               prev_sym, 0, 0]
     polys:    (2, 6, NTAPS) Horner coefficients (bank, dbank)
-    outputs:  per-step (U*K, C) blocks + final state (8, C)
+    outputs:  per-step (U*G, C) blocks + final state (8, C)
     scratch:  state (8, C)
     """
+    _, G, *_ = _geom(pair)
     i = pl.program_id(1)          # grid step (inner, sequential)
     n = pl.num_programs(1)
-    # input rows: [_D_MARGIN zero pad | NTAPS-1 hist | T stream | WIN pad]
 
     @pl.when(i == 0)
     def _init():
@@ -276,15 +313,15 @@ def _kernel(T, U, ablate, mfr_ref, mfi_ref, st0_ref, polys_ref, sel_ref,
     for u in range(U):
         (pos, omega, cphase, cfreq, ph2, prev_sym,
          sr, si, dibit, val, dist) = _chunk_body(
-            T, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
+            T, pair, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
             wbuf_r, wbuf_i,
             pos, omega, cphase, cfreq, ph2, prev_sym)
-        r0 = u * K_SYM
-        symr_ref[r0:r0 + K_SYM, :] = sr
-        symi_ref[r0:r0 + K_SYM, :] = si
-        dib_ref[r0:r0 + K_SYM, :] = dibit
-        val_ref[r0:r0 + K_SYM, :] = val
-        dist_ref[r0:r0 + K_SYM, :] = dist
+        r0 = u * G
+        symr_ref[r0:r0 + G, :] = sr
+        symi_ref[r0:r0 + G, :] = si
+        dib_ref[r0:r0 + G, :] = dibit
+        val_ref[r0:r0 + G, :] = val
+        dist_ref[r0:r0 + G, :] = dist
 
     state[0, :] = pos
     state[1, :] = omega
@@ -300,7 +337,7 @@ def _kernel(T, U, ablate, mfr_ref, mfi_ref, st0_ref, polys_ref, sel_ref,
 
 
 CHAN_TILE = 128
-# chunks unrolled per grid step: must divide n_chunks; auto-pick caps here
+# groups unrolled per grid step: must divide n_groups; auto-pick caps here
 UNROLL_MAX = 8
 
 
@@ -309,21 +346,28 @@ def mm_costas(mfr_ext, mfi_ext, st0, n_chunks: int, interpret=False,
               ablate: tuple = ()):
     """mf_ext: (T + NTAPS - 1, C) float pair (history-extended matched-filter
     stream); st0: (8, C) state rows.  Returns (sym_re, sym_im, dibits, valid,
-    dist) each (n_chunks*K, C) + final state (8, C)."""
-    # leading pad: d = -_D_MARGIN slip slices; trailing pad: window cuts near
+    dist) each (n_chunks*K, C) + final state (8, C).
+
+    Pair mode engages automatically when n_chunks is even, mirroring
+    rx/demod_fast._mm_costas_chunked (the XLA twin the equivalence tests
+    compare against)."""
+    pair = (n_chunks % 2 == 0)
+    H, G, margin, n_off, need_rows, win = _geom(pair)
+    # leading pad: d = -margin slip slices; trailing pad: window cuts near
     # the block end never need a base clamp (keeps the barrel range = the
     # cross-channel spread only)
     C = mfr_ext.shape[1]
     T = mfr_ext.shape[0] - (NTAPS - 1)
-    zpad = jnp.zeros((_D_MARGIN, C), jnp.float32)
-    tpad = jnp.zeros((WIN, C), jnp.float32)
+    zpad = jnp.zeros((margin, C), jnp.float32)
+    tpad = jnp.zeros((win, C), jnp.float32)
     mfr_ext = jnp.concatenate([zpad, mfr_ext, tpad], axis=0)
     mfi_ext = jnp.concatenate([zpad, mfi_ext, tpad], axis=0)
     Text = mfr_ext.shape[0]
     Pb, Pd = _bank_polys()
     polys = jnp.asarray(np.stack([Pb, Pd]))      # (2, 6, NTAPS)
-    sel = jnp.asarray(_selection_mats())         # (N_OFF*K, _NEED)
+    sel = jnp.asarray(_selection_mats(pair))     # (n_off*G, NEED)
     S = n_chunks * K_SYM
+    n_groups = n_chunks // H
     out_shape = [
         jax.ShapeDtypeStruct((S, C), jnp.float32),
         jax.ShapeDtypeStruct((S, C), jnp.float32),
@@ -333,41 +377,41 @@ def mm_costas(mfr_ext, mfi_ext, st0, n_chunks: int, interpret=False,
         jax.ShapeDtypeStruct((8, C), jnp.float32),
     ]
     # channel tiling: tiles on the outer grid dim keep the VMEM-resident
-    # stream block bounded while chunks iterate sequentially per tile
+    # stream block bounded while groups iterate sequentially per tile
     CT = CHAN_TILE if C % CHAN_TILE == 0 and C > CHAN_TILE else C
     n_tiles = C // CT
-    # unroll U chunks per grid step (largest divisor of n_chunks within the
+    # unroll U groups per grid step (largest divisor of n_groups within the
     # cap): pure regrouping of the sequential chain -- identical math, U x
     # fewer grid steps, so the fixed per-step overhead amortizes
-    U = max(u for u in range(1, min(UNROLL_MAX, n_chunks) + 1)
-            if n_chunks % u == 0)
+    U = max(u for u in range(1, min(UNROLL_MAX, n_groups) + 1)
+            if n_groups % u == 0)
     ctile = lambda c, i: (0, c)
     chunk = lambda c, i: (i, c)
     const = lambda c, i: (0, 0, 0)
     return pl.pallas_call(
-        partial(_kernel, T, U, frozenset(ablate)),
-        grid=(n_tiles, n_chunks // U),
+        partial(_kernel, T, U, pair, frozenset(ablate)),
+        grid=(n_tiles, n_groups // U),
         in_specs=[
             pl.BlockSpec((Text, CT), ctile, memory_space=pltpu.VMEM),
             pl.BlockSpec((Text, CT), ctile, memory_space=pltpu.VMEM),
             pl.BlockSpec((8, CT), ctile, memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 6, NTAPS), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_N_OFF * K_SYM, _NEED), lambda c, i: (0, 0),
+            pl.BlockSpec((n_off * G, need_rows), lambda c, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((U * K_SYM, CT), chunk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((U * K_SYM, CT), chunk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((U * K_SYM, CT), chunk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((U * K_SYM, CT), chunk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((U * K_SYM, CT), chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U * G, CT), chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U * G, CT), chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U * G, CT), chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U * G, CT), chunk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U * G, CT), chunk, memory_space=pltpu.VMEM),
             pl.BlockSpec((8, CT), ctile, memory_space=pltpu.VMEM),
         ],
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((8, CT), jnp.float32),
-            pltpu.VMEM((WIN, CT), jnp.float32),
-            pltpu.VMEM((WIN, CT), jnp.float32),
+            pltpu.VMEM((win, CT), jnp.float32),
+            pltpu.VMEM((win, CT), jnp.float32),
             pltpu.SemaphoreType.REGULAR,
         ],
         interpret=interpret,

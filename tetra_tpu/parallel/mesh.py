@@ -42,7 +42,7 @@ def sharded_demod_step(mesh: Mesh, block_len: int):
     local channels.  State is sharded identically so no resharding happens
     between blocks.
     """
-    n_chunks = int(np.ceil(block_len / (demod_mod.K_SYM * 1.96))) + 1
+    n_chunks = demod_mod.n_chunks_for(block_len)
     use_pallas = demod_mod._resolve_pallas(demod_mod.USE_PALLAS)
     use_pallas_mm = demod_mod._resolve_pallas(demod_mod.USE_PALLAS_MM)
 
@@ -156,7 +156,7 @@ def sharded_wideband_demod_step(mesh: Mesh, n_ch: int, t50_new: int = 6400):
         f"chunk K_SAMP={demod_mod.K_SAMP}")
     wide_len = (t50_new - 1) * hop + L
     advance = t50_new * hop
-    n_chunks = int(np.ceil(t36 / (demod_mod.K_SYM * 1.96))) + 1
+    n_chunks = demod_mod.n_chunks_for(t36)
     use_pallas = demod_mod._resolve_pallas(demod_mod.USE_PALLAS)
     use_pallas_mm = demod_mod._resolve_pallas(demod_mod.USE_PALLAS_MM)
 
@@ -220,7 +220,7 @@ def sharded_wideband_superblock_step(mesh: Mesh, n_ch: int,
     assert t36 % demod_mod.K_SAMP == 0
     wide_len = (t50_new - 1) * hop + L
     advance = t50_new * hop
-    n_chunks = int(np.ceil(t36 / (demod_mod.K_SYM * 1.96))) + 1
+    n_chunks = demod_mod.n_chunks_for(t36)
     use_pallas = demod_mod._resolve_pallas(demod_mod.USE_PALLAS)
     use_pallas_mm = demod_mod._resolve_pallas(demod_mod.USE_PALLAS_MM)
 

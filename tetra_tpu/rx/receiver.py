@@ -287,7 +287,7 @@ class TetraReceiver:
         self._wb = dict(
             t50=t50, t36=t36, hop=hop, L=L,
             wide_len=(t50 - 1) * hop + L, advance=t50 * hop,
-            n_chunks=int(np.ceil(t36 / (self.demod.K_SYM * 1.96))) + 1,
+            n_chunks=self.demod.n_chunks_for(t36),
             buf=np.zeros(0, np.complex64),
             hist_r=jnp.zeros((pad, channels), jnp.float32),
             hist_i=jnp.zeros((pad, channels), jnp.float32))
