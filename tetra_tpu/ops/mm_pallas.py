@@ -337,8 +337,12 @@ def _kernel(T, U, pair, ablate, mfr_ref, mfi_ref, st0_ref, polys_ref,
 
 
 CHAN_TILE = 128
-# groups unrolled per grid step: must divide n_groups; auto-pick caps here
+# groups unrolled per grid step: must divide n_groups; auto-pick caps here.
+# Pair mode halves the cap so the unrolled output block stays U*G = 256
+# rows -- U=8 x G=64 overflows the 16 MB scoped-VMEM stack (measured:
+# 16.27M request at (2048, 4608, U=8 paired))
 UNROLL_MAX = 8
+UNROLL_MAX_PAIR = 4
 
 
 @partial(jax.jit, static_argnames=("n_chunks", "interpret", "ablate"))
@@ -383,7 +387,8 @@ def mm_costas(mfr_ext, mfi_ext, st0, n_chunks: int, interpret=False,
     # unroll U groups per grid step (largest divisor of n_groups within the
     # cap): pure regrouping of the sequential chain -- identical math, U x
     # fewer grid steps, so the fixed per-step overhead amortizes
-    U = max(u for u in range(1, min(UNROLL_MAX, n_groups) + 1)
+    u_cap = UNROLL_MAX_PAIR if pair else UNROLL_MAX
+    U = max(u for u in range(1, min(u_cap, n_groups) + 1)
             if n_groups % u == 0)
     ctile = lambda c, i: (0, c)
     chunk = lambda c, i: (i, c)

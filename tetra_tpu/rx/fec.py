@@ -607,6 +607,13 @@ def decode_rows_typed_packed(t5p: np.ndarray, blk_types: np.ndarray,
     bi = np.nonzero(tsel == _MIX_BBK)[0]
     if len(si):
         bucket = short_bucket or _round_up(len(si), 256)
+        # dispatch EVERY chunk before fetching any: device dispatch is
+        # async, so chunk j+1's input upload + trellis compute overlap
+        # chunk j's result fetch -- on tunneled/remote links the per-call
+        # upload is the whole in-context-vs-isolated FEC cost gap
+        # (scripts/attr_fec_gap.py: 78 ms device-resident vs 124 ms with
+        # per-call host staging at 81920 rows; no queueing interaction)
+        pend = []
         for s in range(0, len(si), bucket):
             rows = si[s:s + bucket]
             pad = bucket - len(rows)
@@ -616,9 +623,11 @@ def decode_rows_typed_packed(t5p: np.ndarray, blk_types: np.ndarray,
             ic = np.concatenate([idx[rows], np.zeros(pad, np.int32)])
             sc = np.concatenate([tsel[rows],
                                  np.full(pad, _MIX_SB1, np.int32)])
-            r = np.asarray(_decode_short_packed_jit(
+            pend.append((rows, _decode_short_packed_jit(
                 jnp.asarray(tc), ks_table, jnp.asarray(ic),
-                jnp.asarray(sc)))
+                jnp.asarray(sc))))
+        for rows, dev in pend:
+            r = np.asarray(dev)
             out[rows, :_SHORT_T1_BYTES] = r[:len(rows), :_SHORT_T1_BYTES]
             out[rows, _T1_BYTES] = r[:len(rows), _SHORT_T1_BYTES]
     if len(fi):

@@ -173,7 +173,15 @@ class FleetEngine:
         self.cch_bucket = cch_bucket
         self.bbk_bucket = bbk_bucket
         if self.typed_fec:
-            # short rows are <= 2/slot (every burst type), SCH-F <= 1/slot
+            # short rows are <= 2/slot (every burst type), SCH-F <= 1/slot.
+            # ONE chunk per steady-state batch: decode_rows_typed_packed
+            # dispatches all chunks before fetching any, so on real PCIe a
+            # half-bucket would overlap chunk j+1's upload+trellis with
+            # chunk j's fetch -- but on THIS tunneled link the overlap
+            # CONTENDS on the single serialized pipe and loses (measured:
+            # sb wall 583 -> 725 ms at (256, k=32) with 2 chunks -- the
+            # wb_pipeline lesson again).  Set short_bucket explicitly to
+            # ~half the steady row rate on PCIe deployments.
             short_bucket = short_bucket or pad_rows or 1024
             schf_bucket = schf_bucket or max(512, pad_rows // 2)
         self.short_bucket = short_bucket
