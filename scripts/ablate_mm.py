@@ -9,7 +9,10 @@ Usage: python scripts/ablate_mm.py [k] [iters]
 """
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np
@@ -27,7 +30,7 @@ def main():
     from tetra_tpu.rx import demod_fast as DF
 
     C, T = 2048, 4608
-    n_chunks = int(np.ceil(T / (DF.K_SYM * 1.96))) + 1
+    n_chunks = DF.n_chunks_for(T)
     rng = np.random.default_rng(0)
 
     def time_it(jit_step, carry, xs):

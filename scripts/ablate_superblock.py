@@ -52,7 +52,7 @@ def main():
     hop = C // 2
     L = C * CH.TAPS_PER_BRANCH
     wide_len = (t50 - 1) * hop + L
-    n_chunks = int(np.ceil(t36 / (DF.K_SYM * 1.96))) + 1
+    n_chunks = DF.n_chunks_for(t36)
     up = DF._resolve_pallas(DF.USE_PALLAS)
     upmm = DF._resolve_pallas(DF.USE_PALLAS_MM)
     pad = CH.RS_TAPS_PER_PHASE - 1

@@ -41,7 +41,7 @@ def main():
     assert t50 % 25 == 0 and t36 % demod_mod.K_SAMP == 0
     wide_len = (t50 - 1) * hop + L
     advance = t50 * hop
-    n_chunks = int(np.ceil(t36 / (demod_mod.K_SYM * 1.96))) + 1
+    n_chunks = demod_mod.n_chunks_for(t36)
 
     if mode == "foldonly":   # polyphase fold only (no DFT): the 96-slice
         import jax.numpy as jnp2

@@ -8,7 +8,10 @@ Run alone (host CPU contention skews timings; CLAUDE.md).
 """
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np
@@ -32,11 +35,12 @@ def main():
         MP.CHAN_TILE = ct
     if um is not None:
         MP.UNROLL_MAX = um
+        MP.UNROLL_MAX_PAIR = um
     if s1u is not None:
         DP.UNROLL_MAX = s1u
 
     channels, block = 2048, 4608
-    n_chunks = int(np.ceil(block / (demod_mod.K_SYM * 1.96))) + 1
+    n_chunks = demod_mod.n_chunks_for(block)
 
     def body(state, xs):
         xr, xi = xs

@@ -36,7 +36,7 @@ def main():
     from tetra_tpu.rx import demod_fast as DF
 
     def probe(channels, block, use_pallas, k=2):
-        n_chunks = int(np.ceil(block / (DF.K_SYM * 1.96))) + 1
+        n_chunks = DF.n_chunks_for(block)
 
         def body(state, xs):
             xr, xi = xs

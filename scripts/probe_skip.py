@@ -20,7 +20,7 @@ def main():
     from tetra_tpu.rx import demod_fast as DF
 
     C, T, k, iters = 2048, 4608, 32, 4
-    n_chunks = int(np.ceil(T / (DF.K_SYM * 1.96))) + 1
+    n_chunks = DF.n_chunks_for(T)
     rng = np.random.default_rng(0)
 
     def step(st, xs):
