@@ -92,8 +92,8 @@ def load():
             src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_DEP))
             if not os.path.exists(_SO) or os.path.getmtime(_SO) < src_mtime:
                 subprocess.run(["g++", "-O2", "-std=c++17", "-shared",
-                                "-fPIC", "-I", _DIR, "-o", _SO, _SRC],
-                               check=True)
+                                "-fPIC", "-pthread", "-I", _DIR, "-o", _SO,
+                                _SRC], check=True)
             lib = ctypes.CDLL(_SO)
             lib.fleet_create.restype = ctypes.c_void_p
             lib.fleet_create.argtypes = [
@@ -124,6 +124,8 @@ def load():
             lib.fleet_rm_redecode.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_void_p]
+            lib.fleet_set_threads.argtypes = [ctypes.c_void_p,
+                                              ctypes.c_int64]
             assert lib.fleet_chan_size() == ctypes.sizeof(FleetChanStruct), (
                 lib.fleet_chan_size(), ctypes.sizeof(FleetChanStruct))
             _lib = lib
@@ -139,7 +141,14 @@ class FleetEngine:
     def __init__(self, channels: int, voice_cb=None, pad_rows: int = 0,
                  cch_bucket: int = 0, bbk_bucket: int = 0,
                  split_fec: bool = False, typed_fec: bool = True,
-                 short_bucket: int = 0, schf_bucket: int = 0):
+                 short_bucket: int = 0, schf_bucket: int = 0,
+                 threads: int | None = None):
+        """threads: worker threads for the native per-channel loops
+        (fleet_feed/fleet_feed_sb/fleet_dispatch; channels are fully
+        independent and ctypes releases the GIL, so workers use real
+        cores).  None = TETRA_FLEET_THREADS env; 0/auto = cores-1 (one
+        core stays with the device-dispatch loop); 1 = sequential.
+        Bit-exact vs sequential (tests/test_fleet.py)."""
         lib = load()
         if lib is None:
             raise RuntimeError("native fleet engine unavailable "
@@ -147,6 +156,14 @@ class FleetEngine:
         self.lib = lib
         self.channels = channels
         self.voice_cb = voice_cb
+        if threads is None:
+            threads = int(os.environ.get("TETRA_FLEET_THREADS", "0"))
+        if threads == 0:
+            # auto: leave ONE core for the device-dispatch/IO loop -- on
+            # the 2-core tunneled bench host 2 workers contend with the
+            # tunnel thread and LOSE (measured 45.6 vs 52.6 Msps e2e);
+            # production many-core hosts get cores-1 workers
+            threads = max(1, (os.cpu_count() or 2) - 1)
         # pad the per-cycle FEC batch to one fixed bucket: a steady-state
         # receiver then compiles exactly one mixed-decode program (remote
         # compiles are minutes per distinct shape; rx/fec.decode_rows_mixed)
@@ -200,6 +217,8 @@ class FleetEngine:
         for t in P.SCRAMB_TAPS:
             tapmask |= 1 << (32 - t)
         lib.fleet_set_rm(self.h, parity.ctypes.data, tapmask)
+        if threads != 1:
+            lib.fleet_set_threads(self.h, threads)  # 0 = hw concurrency
         self.scramb = np.ctypeslib.as_array(
             ctypes.cast(lib.fleet_scramb_ptr(self.h),
                         ctypes.POINTER(ctypes.c_int64)), (channels,))

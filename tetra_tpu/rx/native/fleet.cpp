@@ -25,6 +25,10 @@
 //
 // Built together with macparse.cpp (included below) into libtetra_fleet.so.
 
+#include <functional>
+#include <thread>
+#include <vector>
+
 #include "macparse.cpp"
 
 namespace {
@@ -113,6 +117,11 @@ struct Fleet {
   uint64_t scramb_tapmask = 0;
   uint16_t rm_rows[14];        // parity row i as 16-bit mask (bit j)
   uint32_t rm_syn[1 << 16];    // syndrome -> 30-bit error mask; ~0u invalid
+  // worker threads for the per-channel loops (channels are fully
+  // independent: chan_feed* take const Fleet* and own FleetChan;
+  // chan_dispatch writes only its channel's state + disjoint per-row
+  // outputs).  1 = sequential (default); fleet_set_threads() enables.
+  int64_t nthreads = 1;
 };
 
 // TETRA scrambling sequence p(k) (8.2.5; tx/fec_enc.scramb_keystream):
@@ -640,6 +649,48 @@ void* fleet_scramb_ptr(Fleet* f) { return f->scramb; }
 // can drain a full FLEET_BUFCAP ring backlog per channel ON TOP of the fed
 // bits, so cap must be >= C * ((T*2 + FLEET_BUFCAP)/510 + 2) * 3 -- the
 // backlog-inclusive formula FleetEngine.process_packed_cycles uses.
+// Channel-partitioned parallel driver: worker w owns channels
+// [w*C/n, (w+1)*C/n) and a proportional REGION of the output row buffer
+// (the cap formulas are per-channel-linear, so an even channel split gets
+// proportional capacity).  After the join the regions compact left into
+// the dense layout the sequential path emits.  Row ORDER across channels
+// differs from sequential, which is immaterial: per-channel rows stay
+// chronological and every consumer either re-sorts stably by channel
+// (FleetEngine._decode_dispatch) or groups by channel (fleet_dispatch).
+static int64_t run_partitioned(
+    const Fleet* f, uint8_t* t5, int64_t* meta, int64_t cap,
+    const std::function<int64_t(int64_t, int64_t, uint8_t*, int64_t*,
+                                int64_t)>& body) {
+  int64_t n = f->nthreads;
+  if (n > f->C) n = f->C;
+  if (n <= 1) return body(0, f->C, t5, meta, cap);
+  std::vector<int64_t> counts(n);
+  std::vector<std::thread> ws;
+  // region size proportional to the worker's CHANNEL count (the cap
+  // formulas are per-channel-linear; an uneven split must not starve the
+  // worker holding the extra channel)
+  for (int64_t w = 0; w < n; w++)
+    ws.emplace_back([&, w]() {
+      int64_t c0 = w * f->C / n, c1 = (w + 1) * f->C / n;
+      int64_t r0 = c0 * cap / f->C, r1 = c1 * cap / f->C;
+      counts[w] =
+          body(c0, c1, t5 + r0 * T5P_BYTES, meta + r0 * META_COLS, r1 - r0);
+    });
+  for (auto& t : ws) t.join();
+  int64_t row = counts[0];
+  for (int64_t w = 1; w < n; w++) {
+    int64_t r0 = (w * f->C / n) * cap / f->C;
+    if (row != r0) {
+      std::memmove(t5 + row * T5P_BYTES, t5 + r0 * T5P_BYTES,
+                   (size_t)(counts[w] * T5P_BYTES));
+      std::memmove(meta + row * META_COLS, meta + r0 * META_COLS,
+                   (size_t)(counts[w] * META_COLS) * sizeof(int64_t));
+    }
+    row += counts[w];
+  }
+  return row;
+}
+
 int64_t fleet_feed(Fleet* f, const uint8_t* packed, int64_t T, uint8_t* t5,
                    int64_t* meta, int64_t cap) {
   // Large superblocks (wb_k deep) can carry more bits per call than the
@@ -649,14 +700,19 @@ int64_t fleet_feed(Fleet* f, const uint8_t* packed, int64_t T, uint8_t* t5,
   // smaller chunks (pinned by the superblock batching-equivalence test);
   // without this a worst-case slice overran c->buf.
   const int64_t TSEG = FLEET_BUFCAP / 4;  // 2 bits/slot worst case
-  int64_t row = 0;
-  for (int64_t c = 0; c < f->C; c++)
-    for (int64_t t0 = 0; t0 < T; t0 += TSEG) {
-      int64_t seg = T - t0 < TSEG ? T - t0 : TSEG;
-      row = chan_feed(f, &f->ch[c], c, packed + c * T + t0, seg, t5, meta,
-                      row, cap);
-    }
-  return row;
+  return run_partitioned(
+      f, t5, meta, cap,
+      [&](int64_t c0, int64_t c1, uint8_t* t5w, int64_t* metaw,
+          int64_t capw) {
+        int64_t row = 0;
+        for (int64_t c = c0; c < c1; c++)
+          for (int64_t t0 = 0; t0 < T; t0 += TSEG) {
+            int64_t seg = T - t0 < TSEG ? T - t0 : TSEG;
+            row = chan_feed(f, &f->ch[c], c, packed + c * T + t0, seg, t5w,
+                            metaw, row, capw);
+          }
+        return row;
+      });
 }
 
 // TIME-MAJOR superblock feed (rx/receiver.pack_cycle_tc layout): w is
@@ -665,7 +721,7 @@ int64_t fleet_feed(Fleet* f, const uint8_t* packed, int64_t T, uint8_t* t5,
 // fleet_feed calls on the unpacked channel-major bytes; rows come out in
 // (cycle, channel) order -- the Python caller re-sorts channel-major as it
 // does for process_packed_cycles.  Same cap rule as fleet_feed.
-int64_t fleet_feed_sb(Fleet* f, const int32_t* w, int64_t K,
+int64_t fleet_feed_sb(Fleet* f, const int32_t* wds, int64_t K,
                       int64_t n_chunks, uint8_t* t5, int64_t* meta,
                       int64_t cap) {
   const int64_t sym_words = n_chunks * 2;
@@ -673,20 +729,27 @@ int64_t fleet_feed_sb(Fleet* f, const int32_t* w, int64_t K,
   const int64_t G = sym_words + cnt_words;
   // segment so one slice never exceeds the ring (64 bits/chunk worst case)
   const int64_t KSEG = FLEET_BUFCAP / 128;
-  int64_t row = 0;
-  for (int64_t j = 0; j < K; j++)
-    for (int64_t c = 0; c < f->C; c++)
-      for (int64_t k0 = 0; k0 < n_chunks; k0 += KSEG) {
-        int64_t seg = n_chunks - k0 < KSEG ? n_chunks - k0 : KSEG;
-        const int32_t* base = w + j * G * f->C + c;
-        // count pointer for chunk k = cnt[(k >> 2) * C]: offset the base
-        // so in-segment chunk indices stay 0-based multiples of 4
-        row = chan_feed_sb(f, &f->ch[c], c,
-                           base + (2 * k0) * f->C,
-                           base + (sym_words + (k0 >> 2)) * f->C,
-                           seg, f->C, t5, meta, row, cap);
-      }
-  return row;
+  return run_partitioned(
+      f, t5, meta, cap,
+      [&](int64_t c0, int64_t c1, uint8_t* t5w, int64_t* metaw,
+          int64_t capw) {
+        int64_t row = 0;
+        // cycle j stays OUTER within the worker: each channel's rows come
+        // out chronological, exactly as the sequential path emits them
+        for (int64_t j = 0; j < K; j++)
+          for (int64_t c = c0; c < c1; c++)
+            for (int64_t k0 = 0; k0 < n_chunks; k0 += KSEG) {
+              int64_t seg = n_chunks - k0 < KSEG ? n_chunks - k0 : KSEG;
+              const int32_t* base = wds + j * G * f->C + c;
+              // count pointer for chunk k = cnt[(k >> 2) * C]: offset the
+              // base so in-segment chunk indices stay 0-based multiples
+              // of 4
+              row = chan_feed_sb(f, &f->ch[c], c, base + (2 * k0) * f->C,
+                                 base + (sym_words + (k0 >> 2)) * f->C,
+                                 seg, f->C, t5w, metaw, row, capw);
+            }
+        return row;
+      });
 }
 
 // decoded rows -> per-channel MAC dispatch.  Rows are channel-major (as
@@ -695,23 +758,48 @@ int64_t fleet_feed_sb(Fleet* f, const int32_t* w, int64_t K,
 void fleet_dispatch(Fleet* f, const uint8_t* type1, const uint8_t* ok,
                     const int64_t* meta, int64_t nrows, int64_t have_voice,
                     int64_t have_half, uint8_t* actions, int64_t* times) {
-  int64_t i = 0;
-  // rows of one channel are contiguous; build the per-channel row lists on
-  // the fly (meta[:,0] is nondecreasing)
-  static thread_local int64_t* rows = nullptr;
-  static thread_local int64_t rows_cap = 0;
-  if (nrows > rows_cap) {
-    delete[] rows;
-    rows = new int64_t[nrows];
-    rows_cap = nrows;
+  // rows of one channel are contiguous (meta[:,0] is nondecreasing);
+  // dispatch channel segment [i0, i1) on this thread's scratch list
+  auto run_span = [&](int64_t i0, int64_t i1) {
+    static thread_local std::vector<int64_t> rows;
+    if ((int64_t)rows.size() < i1 - i0) rows.resize(i1 - i0);
+    int64_t i = i0;
+    while (i < i1) {
+      int64_t chan = meta[i * META_COLS];
+      int64_t k = 0;
+      while (i < i1 && meta[i * META_COLS] == chan) rows[k++] = i++;
+      chan_dispatch(&f->ch[chan], &f->scramb[chan], type1, ok, meta,
+                    rows.data(), k, have_voice, have_half, actions, times);
+    }
+  };
+  int64_t n = f->nthreads;
+  if (n <= 1 || nrows < 2 * n) {
+    run_span(0, nrows);
+    return;
   }
-  while (i < nrows) {
-    int64_t chan = meta[i * META_COLS];
-    int64_t k = 0;
-    while (i < nrows && meta[i * META_COLS] == chan) rows[k++] = i++;
-    chan_dispatch(&f->ch[chan], &f->scramb[chan], type1, ok, meta, rows, k,
-                  have_voice, have_half, actions, times);
+  // split at channel boundaries near the even row split (channels are
+  // independent; per-row outputs are disjoint)
+  std::vector<int64_t> cuts{0};
+  for (int64_t w = 1; w < n; w++) {
+    int64_t i = w * nrows / n;
+    while (i > cuts.back() &&
+           meta[i * META_COLS] == meta[(i - 1) * META_COLS])
+      i--;                     // back up to this channel's first row
+    if (i > cuts.back()) cuts.push_back(i);
   }
+  cuts.push_back(nrows);
+  std::vector<std::thread> ws;
+  for (size_t w = 0; w + 1 < cuts.size(); w++)
+    ws.emplace_back(run_span, cuts[w], cuts[w + 1]);
+  for (auto& t : ws) t.join();
+}
+
+// Enable the per-channel worker pool (0 = hardware concurrency).  The
+// per-channel loops are embarrassingly parallel; Python's ctypes calls
+// release the GIL, so workers use real cores even under one interpreter.
+void fleet_set_threads(Fleet* f, int64_t n) {
+  if (n <= 0) n = (int64_t)std::thread::hardware_concurrency();
+  f->nthreads = n < 1 ? 1 : n;
 }
 
 }  // extern "C"
