@@ -607,3 +607,57 @@ def test_fleet_threads_bitexact():
         assert f_seq.crc_counts(c)[0] > 0, c
         assert f_seq.display(c).as_dict() == f_par.display(c).as_dict(), c
         assert bytes(a.mac) == bytes(b.mac), c
+
+
+def test_pipelined_lag_contract_mid_stream():
+    """VERDICT r3 weak #6: the wb_pipeline state-visibility CONTRACT,
+    stressed mid-stream -- without flush, every observable lags the sync
+    path by EXACTLY the rows of one deferred superblock (never more, never
+    stale-forever); flush_wideband() at ANY point reconciles exactly and
+    is idempotent; resuming after a mid-stream flush keeps the lag
+    contract.  Uses matched superblock feeds into a sync twin as the
+    ground truth at every step."""
+    from tetra_tpu.tx.wideband import synthesize_wideband
+
+    N = 8
+    bits, _ = cell.downlink_bits(
+        cell.CellConfig(mcc=262, mnc=77, cc=3), 220,
+        start=TdmaTime(mn=2, fn=14, tn=1))
+    bitmat = np.stack([bits] * N)
+    wide = synthesize_wideband(bitmat, N, cfo_hz=90.0, snr_db=25.0, seed=5)
+
+    piped = TetraReceiver(wideband=N, fleet=True, events=False, wb_k=2,
+                          wb_pipeline=True)
+    sync = TetraReceiver(wideband=N, fleet=True, events=False, wb_k=2)
+    adv, wl = piped._wb["advance"], piped._wb["wide_len"]
+    sb = 2 * adv                       # samples per superblock feed
+    n_super = (len(wide) - (wl - adv)) // sb
+    assert n_super >= 6
+
+    def counts(rx):
+        return [rx.crc_counts(c) for c in range(N)]
+
+    flushed_at = {2, 4}                # mid-stream reconciliation points
+    prev_sync = counts(sync)
+    for s in range(n_super):
+        chunk = wide[s * sb: (s + 1) * sb + (wl - adv)][:sb]
+        piped.process_wideband(chunk)
+        sync.process_wideband(chunk)
+        cur_sync = counts(sync)
+        if s in flushed_at:
+            piped.flush_wideband()
+            piped.flush_wideband()     # idempotent
+            assert counts(piped) == cur_sync, s
+        else:
+            # unflushed state == the sync path one superblock AGO (the
+            # deferred superblock's rows are the exact difference) -- and
+            # after a mid-stream flush the same one-superblock lag resumes
+            # immediately on the next feed
+            assert counts(piped) == prev_sync, s
+        prev_sync = cur_sync
+    piped.flush_wideband()
+    assert counts(piped) == counts(sync)
+    for c in range(N):
+        assert piped.locked(c) == sync.locked(c)
+        assert piped.display(c).as_dict() == sync.display(c).as_dict()
+        assert sync.crc_counts(c)[0] > 0
