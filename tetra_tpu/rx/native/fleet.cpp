@@ -677,6 +677,14 @@ static int64_t run_partitioned(
           body(c0, c1, t5 + r0 * T5P_BYTES, meta + r0 * META_COLS, r1 - r0);
     });
   for (auto& t : ws) t.join();
+  // a worker that overflowed its region returns count > region size with
+  // the excess rows unwritten (the emit guard stops at cap): propagate
+  // the overflow signal so the Python-side capacity assert fires instead
+  // of compacting a short region as if complete
+  for (int64_t w = 0; w < n; w++) {
+    int64_t c0 = w * f->C / n, c1 = (w + 1) * f->C / n;
+    if (counts[w] > c1 * cap / f->C - c0 * cap / f->C) return cap + 1;
+  }
   int64_t row = counts[0];
   for (int64_t w = 1; w < n; w++) {
     int64_t r0 = (w * f->C / n) * cap / f->C;
