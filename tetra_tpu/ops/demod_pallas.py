@@ -6,16 +6,28 @@ run sequentially on a core, so VMEM scratch carries the loop state and the
 filter history), channels ride the lane dimension, and all filtering is
 banded matmuls on the MXU.  Per grid step:
 
-    y     = x * gain                      (AGC, gain frozen per chunk)
+    y     = x * gain                      (AGC, gain frozen per group)
     rot   = y * exp(-j(phase + freq n))   (FLL derotation ramp)
-    lo,hi = band-edge filters(rot)        (banded matmul over [hist|chunk])
-    err   = sum fastamp(hi) - fastamp(lo) -> one freq/phase update
+    lo,hi = band-edge filters(rot)        (banded matmul over [hist|group])
+    err   = sum fastamp(hi) - fastamp(lo) -> freq/gain updates
     mf    = RRC(rot)                      (banded matmul, same history)
-    gain update from mean amplitude
+
+PAIR MODE (round 4, default OFF -- rx/demod_fast.PAIR_STAGE1): with the
+flag on and T a multiple of 2*K_SAMP the kernel processes a
+2*K_SAMP-sample GROUP per sequential step -- gain/rotation frozen over
+the group, the five banded filters as one (5*2K, HIST+2K) matmul pair
+((HIST+K)/K -> (HIST+2K)/2K ops per sample-tap), then TWO sequential loop
+updates from the per-half error/amplitude sums (FRESH measurements: the
+tuned K_SAMP=64 dynamics are kept; a single update per 128 samples
+measurably fails 600 Hz pull-in).  Measured a LOSS on this TPU (see the
+flag's note: the doubled stacked-matmul intermediates force CHAN_TILE
+down to 1024, keeping the grid-step chain length unchanged, and stage 1
+is VPU-elementwise bound) -- kept as a knob for other geometries.
 
 Semantics match rx/demod_fast._agc_fll_chunked + fir_stream_pair exactly
-(same chunk size and update rules), validated by tests/test_pallas.py.
-Layout: time on sublanes, channels on lanes -> inputs are (T, C) float32.
+(same grouping rule and update equations), validated by
+tests/test_pallas.py.  Layout: time on sublanes, channels on lanes ->
+inputs are (T, C) float32.
 """
 
 from __future__ import annotations
@@ -31,40 +43,64 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import params as P
 from ..rx.demod import _FLL_FREQ_LIM, _tables
 from ..rx.demod_fast import _FLL_BETA
-from ..rx.demod_fast import K_SAMP, rot_ramp
+from ..rx.demod_fast import K_SAMP, PAIR_STAGE1, rot_ramp
 
 M = P.RRC_TAP_COUNT              # 65
 HIST = M - 1                     # 64
-ROWS = HIST + K_SAMP             # rows of the banded matrices
 
 
-def _band_matrix(h: np.ndarray) -> np.ndarray:
-    """(ROWS, K) matrix with y[k] = sum_j ext[j] H[j, k] = causal conv."""
-    H = np.zeros((ROWS, K_SAMP), np.float32)
-    for k in range(K_SAMP):
-        H[k:k + M, k] = h[::-1]
-    return H
+def _geom(pair: bool):
+    """(halves per group, group samples, banded-matrix rows)."""
+    H = 2 if pair else 1
+    KG = H * K_SAMP
+    return H, KG, HIST + KG
 
 
-def _chunk_body(xr, xi, Hs_ref, ext_r, ext_i, gain, phase, freq):
-    """One K_SAMP-sample AGC/FLL/RRC chunk over the (K, C) block xr/xi.
+def _band_matrix(h: np.ndarray, KG: int) -> np.ndarray:
+    """(HIST+KG, KG) matrix with y[k] = sum_j ext[j] H[j, k] = causal conv."""
+    rows = HIST + KG
+    Hm = np.zeros((rows, KG), np.float32)
+    for k in range(KG):
+        Hm[k:k + M, k] = h[::-1]
+    return Hm
 
-    ext_r/ext_i hold the rotated [history | chunk] rows and must contain the
-    current history in rows [:HIST] on entry; on exit rows [K_SAMP:] hold
-    this chunk's tail (the next chunk's history).  Returns the matched-filter
-    chunk and the updated loop state.  Factored out so the grid kernel can
-    unroll U chunks per grid step (fixed per-step overhead dominates the
-    sequential chain; BENCH_DETAIL.md roofline).
+
+_HS = {}
+
+
+def _band_stack(pair: bool):
+    """(5*KG, HIST+KG): transposed banded matrices for the five filters
+    stacked along rows [lo_r, lo_i, hi_r, hi_i, rrc] -- the single left
+    operand of the fused stage-1 matmul pair."""
+    if pair not in _HS:
+        _, KG, _ = _geom(pair)
+        rrc, be, _ = _tables()
+        lo_r, lo_i, hi_r, hi_i = be
+        _HS[pair] = np.concatenate(
+            [_band_matrix(lo_r, KG).T, _band_matrix(lo_i, KG).T,
+             _band_matrix(hi_r, KG).T, _band_matrix(hi_i, KG).T,
+             _band_matrix(rrc, KG).T], axis=0)
+    return _HS[pair]
+
+
+def _chunk_body(pair, xr, xi, Hs_ref, ext_r, ext_i, gain, phase, freq):
+    """One group (K_SAMP or 2*K_SAMP samples) of the AGC/FLL/RRC loop.
+
+    ext_r/ext_i hold the rotated [history | group] rows and must contain
+    the current history in rows [:HIST] on entry; on exit rows [KG:] hold
+    this group's tail (the next group's history).  Returns the
+    matched-filter group and the updated loop state.
     """
-    # AGC apply (frozen gain)
+    H_g, KG, _ = _geom(pair)
+    # AGC apply (frozen gain over the group)
     yr = xr * gain[None, :]
     yi = xi * gain[None, :]
     amp = jnp.sqrt(yr * yr + yi * yi)
 
     # FLL derotation ramp via the rotator recurrence (2 transcendental
-    # pairs per chunk instead of per sample -- the VPU special-function
+    # pairs per group instead of per sample -- the VPU special-function
     # unit is the chain's binding resource, BENCH_DETAIL.md roofline)
-    c, s = rot_ramp(phase, freq, K_SAMP, time_first=True)
+    c, s = rot_ramp(phase, freq, KG, time_first=True)
     rr = yr * c + yi * s
     ri = yi * c - yr * s
 
@@ -75,14 +111,14 @@ def _chunk_body(xr, xi, Hs_ref, ext_r, ext_i, gain, phase, freq):
     ei = ext_i[:, :]
 
     # ALL five filters (band-edge lo/hi complex pairs + RRC) in two stacked
-    # matmuls: Hs is (5K, ROWS) with the per-filter banded matrices stacked
-    # along rows, so one (5K, ROWS) @ (ROWS, C) pair replaces ten separate
-    # (K, ROWS) @ (ROWS, C) products -- same FLOPs, 5x fewer MXU ops and
+    # matmuls: Hs is (5KG, HIST+KG) with the per-filter banded matrices
+    # stacked along rows, so one (5KG, HIST+KG) @ (HIST+KG, C) pair
+    # replaces ten separate products -- same FLOPs, 5x fewer MXU ops and
     # full 128-row tile occupancy instead of half
-    Hall = Hs_ref[:, :]                  # (5K, ROWS)
-    ar = jnp.dot(Hall, er, preferred_element_type=jnp.float32)   # (5K, C)
+    Hall = Hs_ref[:, :]                  # (5KG, HIST+KG)
+    ar = jnp.dot(Hall, er, preferred_element_type=jnp.float32)   # (5KG, C)
     ai = jnp.dot(Hall, ei, preferred_element_type=jnp.float32)
-    K = K_SAMP
+    K = KG
     lo_r = ar[0 * K:1 * K] - ai[1 * K:2 * K]
     lo_i = ar[1 * K:2 * K] + ai[0 * K:1 * K]
     hi_r = ar[2 * K:3 * K] - ai[3 * K:4 * K]
@@ -92,36 +128,44 @@ def _chunk_body(xr, xi, Hs_ref, ext_r, ext_i, gain, phase, freq):
         aa, ab = jnp.abs(a), jnp.abs(b)
         return jnp.maximum(aa, ab) + 0.4 * jnp.minimum(aa, ab)
 
-    err = jnp.sum(fastamp(hi_r, hi_i) - fastamp(lo_r, lo_i), axis=0)
+    err = fastamp(hi_r, hi_i) - fastamp(lo_r, lo_i)        # (KG, C)
 
-    # loop updates (identical to demod_fast._agc_fll_chunked, incl. the
+    # per-K_SAMP sequential updates from FRESH per-half sums (identical
+    # equations to demod_fast._agc_fll_chunked pair mode, incl. the
     # multiplicative log-domain AGC step -- see the note there)
+    ramp_freq = freq                   # the frozen freq the ramp applied
     r_eff = 1.0 - (1.0 - P.AGC_RATE) ** K_SAMP
-    amp_mean = jnp.maximum(jnp.mean(amp, axis=0), 1e-9)
-    ratio = jnp.clip(P.AGC_SETPOINT / amp_mean, 0.25, 4.0)
-    ratio = jnp.where(amp_mean < 0.01 * P.AGC_SETPOINT, 1.0, ratio)
-    new_gain = jnp.minimum(gain * ratio ** r_eff, P.AGC_MAX_GAIN)
-    new_freq = jnp.clip(freq + _FLL_BETA * err, -_FLL_FREQ_LIM, _FLL_FREQ_LIM)
-    new_phase = phase + freq * K_SAMP
+    for h in range(H_g):
+        sl = slice(h * K_SAMP, (h + 1) * K_SAMP)
+        amp_mean = jnp.maximum(jnp.mean(amp[sl, :], axis=0), 1e-9)
+        ratio = jnp.clip(P.AGC_SETPOINT / amp_mean, 0.25, 4.0)
+        ratio = jnp.where(amp_mean < 0.01 * P.AGC_SETPOINT, 1.0, ratio)
+        gain = jnp.minimum(gain * ratio ** r_eff, P.AGC_MAX_GAIN)
+        err_sum = jnp.sum(err[sl, :], axis=0)
+        freq = jnp.clip(freq + _FLL_BETA * err_sum,
+                        -_FLL_FREQ_LIM, _FLL_FREQ_LIM)
+    # carried phase = the APPLIED rotation's end (continuity of the
+    # rotated stream into the next group)
+    new_phase = phase + ramp_freq * KG
     new_phase = new_phase - 2 * np.pi * jnp.floor(
         (new_phase + np.pi) / (2 * np.pi))
-    # RRC matched filter chunk (real taps)
-    return ar[4 * K:5 * K], ai[4 * K:5 * K], new_gain, new_phase, new_freq
+    # RRC matched filter group (real taps)
+    return ar[4 * K:5 * K], ai[4 * K:5 * K], gain, new_phase, freq
 
 
-def _kernel(U, xr_ref, xi_ref, gain0, phase0, freq0, hist_r0, hist_i0, Hs_ref,
-            mfr_ref, mfi_ref, gain_out, phase_out, freq_out,
+def _kernel(U, pair, xr_ref, xi_ref, gain0, phase0, freq0, hist_r0, hist_i0,
+            Hs_ref, mfr_ref, mfi_ref, gain_out, phase_out, freq_out,
             hist_r_out, hist_i_out,
             ext_r, ext_i, state, sem):
-    """Grid: (n_tiles, n_chunks // U); U chunks unrolled per step.  Refs:
-    xr/xi:   (U*K, C) chunk block
+    """Grid: (n_tiles, n_groups // U); U groups unrolled per step.  Refs:
+    xr/xi:   (U*KG, C) group block
     gain0/phase0/freq0: (1, C) initial state
     hist_r0/hist_i0: (HIST, C) rotated-sample history carried across blocks
-    Hs:      (5*K, ROWS) stacked transposed banded matrices
-             [lo_r, lo_i, hi_r, hi_i, rrc]
-    outputs: mf chunk (U*K, C); final state (1, C) x3; history (HIST, C) x2
-    scratch: ext_r/ext_i (ROWS, C) rotated history+chunk; state (3, C)
+    Hs:      (5*KG, HIST+KG) stacked transposed banded matrices
+    outputs: mf block (U*KG, C); final state (1, C) x3; history (HIST, C) x2
+    scratch: ext_r/ext_i (HIST+KG, C) rotated history+group; state (3, C)
     """
+    _, KG, _ = _geom(pair)
     i = pl.program_id(1)          # grid step (inner, sequential per tile)
     n = pl.num_programs(1)
 
@@ -138,24 +182,24 @@ def _kernel(U, xr_ref, xi_ref, gain0, phase0, freq0, hist_r0, hist_i0, Hs_ref,
     freq = state[2, :]
 
     for u in range(U):
-        # history shift: the previous chunk's tail becomes this chunk's
-        # history (rows 0..HIST-1 <- rows K..ROWS-1 do not overlap since
-        # HIST == K_SAMP); at the very first chunk _init loaded it instead
+        # history shift: the previous group's tail becomes this group's
+        # history (rows 0..HIST-1 <- rows KG..HIST+KG-1 do not overlap
+        # since HIST <= KG); at the very first group _init loaded it
         if u > 0:
-            ext_r[:HIST, :] = ext_r[K_SAMP:, :]
-            ext_i[:HIST, :] = ext_i[K_SAMP:, :]
+            ext_r[:HIST, :] = ext_r[KG:, :]
+            ext_i[:HIST, :] = ext_i[KG:, :]
         else:
             @pl.when(i > 0)
             def _shift_hist():
-                ext_r[:HIST, :] = ext_r[K_SAMP:, :]
-                ext_i[:HIST, :] = ext_i[K_SAMP:, :]
+                ext_r[:HIST, :] = ext_r[KG:, :]
+                ext_i[:HIST, :] = ext_i[KG:, :]
 
-        r0 = u * K_SAMP
+        r0 = u * KG
         mfr, mfi, gain, phase, freq = _chunk_body(
-            xr_ref[r0:r0 + K_SAMP, :], xi_ref[r0:r0 + K_SAMP, :],
+            pair, xr_ref[r0:r0 + KG, :], xi_ref[r0:r0 + KG, :],
             Hs_ref, ext_r, ext_i, gain, phase, freq)
-        mfr_ref[r0:r0 + K_SAMP, :] = mfr
-        mfi_ref[r0:r0 + K_SAMP, :] = mfi
+        mfr_ref[r0:r0 + KG, :] = mfr
+        mfi_ref[r0:r0 + KG, :] = mfi
 
     state[0, :] = gain
     state[1, :] = phase
@@ -166,38 +210,21 @@ def _kernel(U, xr_ref, xi_ref, gain0, phase0, freq0, hist_r0, hist_i0, Hs_ref,
         gain_out[0, :] = gain
         phase_out[0, :] = phase
         freq_out[0, :] = freq
-        hist_r_out[:, :] = ext_r[K_SAMP:, :]
-        hist_i_out[:, :] = ext_i[K_SAMP:, :]
+        hist_r_out[:, :] = ext_r[KG:, :]
+        hist_i_out[:, :] = ext_i[KG:, :]
 
 
-_HS = None
-
-
-def _band_stack():
-    """(5*K_SAMP, ROWS): transposed banded matrices for the five filters
-    stacked along rows [lo_r, lo_i, hi_r, hi_i, rrc] -- the single left
-    operand of the fused stage-1 matmul pair."""
-    global _HS
-    if _HS is None:
-        rrc, be, _ = _tables()
-        lo_r, lo_i, hi_r, hi_i = be
-        _HS = np.concatenate(
-            [_band_matrix(lo_r).T, _band_matrix(lo_i).T,
-             _band_matrix(hi_r).T, _band_matrix(hi_i).T,
-             _band_matrix(rrc).T], axis=0)
-    return _HS
-
-
-# channel tile for the outer grid dim: bounds the per-step VMEM working set
-# (K=128 x C=2048 blocks blew the 16 MB scoped-vmem limit at ~18 MB)
+# channel tile for the outer grid dim: bounds the per-step VMEM working set.
+# Pair mode halves the tile: the stacked-matmul intermediates (5*KG, CT)
+# double with the group size and blow the 16 MB scoped-VMEM limit at
+# CT=2048.
 CHAN_TILE = 2048
-# chunks unrolled per grid step (must divide n_chunks).  Stage 1's unroll
+CHAN_TILE_PAIR = 1024
+# groups unrolled per grid step (must divide n_groups).  Stage 1's unroll
 # MEASURED AS A REGRESSION at U=2/CT=2048 (full chain 2432 -> 2322 Msps:
 # the double-buffered (U*K, CT) in/out blocks cost ~4.2*U MB and push the
 # working set against the 16 MB scoped-VMEM limit), unlike stage 2 where
-# the same regrouping wins -- stage 1 is ~5% of chain time with big MXU
-# matmuls per step, so there is no per-step overhead worth amortizing.
-# Kept as a knob for future geometries; default off.
+# the same regrouping wins.  Kept as a knob for future geometries.
 UNROLL_MAX = 1
 
 
@@ -208,35 +235,40 @@ def agc_fll_rrc(xr_t, xi_t, gain, phase, freq, hist_r, hist_i,
     matched-filter output (T, C) pair, final (gain, phase, freq), and the new
     history (streaming continuity across blocks).
 
-    Channels tile on the outer grid dimension (chunks iterate sequentially
+    Channels tile on the outer grid dimension (groups iterate sequentially
     inside each tile, mirroring ops/mm_pallas) so VMEM stays bounded for
-    any C."""
+    any C.  Pair mode follows rx/demod_fast.PAIR_STAGE1 (measured a loss
+    on this TPU -- see that flag's note -- so off by default), mirroring
+    rx/demod_fast._agc_fll_chunked exactly."""
     T, C = xr_t.shape
     assert T % K_SAMP == 0
     assert K_SAMP >= HIST  # history shift assumes non-overlapping copy
-    n_chunks = T // K_SAMP
-    Hs = jnp.asarray(_band_stack())
-    CT = CHAN_TILE if C % CHAN_TILE == 0 and C > CHAN_TILE else C
+    pair = PAIR_STAGE1 and (T % (2 * K_SAMP) == 0)
+    _, KG, ROWS_G = _geom(pair)
+    n_groups = T // KG
+    Hs = jnp.asarray(_band_stack(pair))
+    ct0 = CHAN_TILE_PAIR if pair else CHAN_TILE
+    CT = ct0 if C % ct0 == 0 and C > ct0 else C
     n_tiles = C // CT
-    U = max(u for u in range(1, min(UNROLL_MAX, n_chunks) + 1)
-            if n_chunks % u == 0)
+    U = max(u for u in range(1, min(UNROLL_MAX, n_groups) + 1)
+            if n_groups % u == 0)
 
     chunk = lambda c, i: (i, c)
     ctile = lambda c, i: (0, c)
     const = lambda c, i: (0, 0)
     in_specs = [
-        pl.BlockSpec((U * K_SAMP, CT), chunk, memory_space=pltpu.VMEM),
-        pl.BlockSpec((U * K_SAMP, CT), chunk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((U * KG, CT), chunk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((U * KG, CT), chunk, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, CT), ctile, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, CT), ctile, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, CT), ctile, memory_space=pltpu.VMEM),
         pl.BlockSpec((HIST, CT), ctile, memory_space=pltpu.VMEM),
         pl.BlockSpec((HIST, CT), ctile, memory_space=pltpu.VMEM),
-        pl.BlockSpec((5 * K_SAMP, ROWS), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((5 * KG, ROWS_G), const, memory_space=pltpu.VMEM),
     ]
     out_specs = [
-        pl.BlockSpec((U * K_SAMP, CT), chunk, memory_space=pltpu.VMEM),
-        pl.BlockSpec((U * K_SAMP, CT), chunk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((U * KG, CT), chunk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((U * KG, CT), chunk, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, CT), ctile, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, CT), ctile, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, CT), ctile, memory_space=pltpu.VMEM),
@@ -253,14 +285,14 @@ def agc_fll_rrc(xr_t, xi_t, gain, phase, freq, hist_r, hist_i,
         jax.ShapeDtypeStruct((HIST, C), jnp.float32),
     ]
     return pl.pallas_call(
-        partial(_kernel, U),
-        grid=(n_tiles, n_chunks // U),
+        partial(_kernel, U, pair),
+        grid=(n_tiles, n_groups // U),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((ROWS, CT), jnp.float32),
-            pltpu.VMEM((ROWS, CT), jnp.float32),
+            pltpu.VMEM((ROWS_G, CT), jnp.float32),
+            pltpu.VMEM((ROWS_G, CT), jnp.float32),
             pltpu.VMEM((3, CT), jnp.float32),
             pltpu.SemaphoreType.REGULAR,
         ],

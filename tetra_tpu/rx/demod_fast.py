@@ -116,6 +116,16 @@ _PAIR_CA = 0.7
 _PAIR_CB = 0.5
 _PAIR_CLIM = 0.5
 
+# Stage-1 (AGC/FLL) pairing: implemented in both stage-1 paths (fresh
+# per-half measurements, sequential per-64 updates -- quality gates all
+# pass) but MEASURED AS A LOSS on the TPU (3,665 vs 3,800 Msps at (2048,
+# 4608, k=32)): the (5*2K, C) stacked-matmul intermediates force the
+# channel tile down to 1024, which keeps the sequential grid-step count
+# unchanged (2 tiles x 36 = the old 72), and stage 1 is VPU-elementwise
+# bound (rot ramp, amp, fastamp per sample), which pairing does not
+# reduce.  Off by default; the knob stays for PCIe/other geometries.
+PAIR_STAGE1 = False
+
 
 class FastDemodState(NamedTuple):
     agc_gain: jnp.ndarray     # (C,)
@@ -231,17 +241,17 @@ def max_symbols(block_len: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _band_matrices(be):
+def _band_matrices(be, K: int = K_SAMP):
     """Banded convolution matrices H (M+K-1, K) with
     y[k] = sum_j ext[j] H[j, k] = sum_m h[m] ext[k+M-1-m]: expresses the
     in-chunk band-edge filtering as dense MXU matmuls (gathers are extremely
     slow on this TPU backend)."""
     M = P.RRC_TAP_COUNT
-    rows = M + K_SAMP - 1
+    rows = M + K - 1
     mats = []
     for h in be:
-        H = np.zeros((rows, K_SAMP), np.float32)
-        for k in range(K_SAMP):
+        H = np.zeros((rows, K), np.float32)
+        for k in range(K):
             H[k:k + M, k] = h[::-1]
         mats.append(H)
     return mats
@@ -310,20 +320,38 @@ def rot_ramp_outer(phase, freq, K: int, chunk: int = 64):
     return c.reshape(C, K), s.reshape(C, K)
 
 
-def _agc_fll_chunked(xr, xi, gain, phase, freq, hre, him, be):
-    """Chunked AGC/FLL: one loop update per K_SAMP-sample chunk."""
+def _agc_fll_chunked(xr, xi, gain, phase, freq, hre, him, be,
+                     pair: bool | None = None):
+    """Chunked AGC/FLL: loop updates per K_SAMP-sample chunk.
+
+    pair (default auto: T a multiple of 2*K_SAMP, matching
+    ops/demod_pallas.agc_fll_rrc): apply gain/rotation FROZEN over a
+    2*K_SAMP group, run the banded filters over the whole group (ONE
+    (C, M-1+2K) @ (M-1+2K, 2K) matmul set: (M-1+K)/K -> (M-1+2K)/2K
+    ops per sample-tap, a 25% MXU-work cut at M-1 == K), then apply TWO
+    sequential loop updates from the per-half error/amplitude sums.
+    Unlike stage-2 pairing the half measurements are FRESH (the filters
+    see every sample); only the applied gain/rotation of the second half
+    is one update stale -- dynamics stay the tuned K_SAMP=64 loops'
+    (a single update per 128 was measured failing 600 Hz pull-in).
+    Halves the sequential chain, the post-stage-2-pairing demod bound."""
     C, T = xr.shape
     assert T % K_SAMP == 0
-    n_chunks = T // K_SAMP
+    if pair is None:
+        pair = PAIR_STAGE1 and (T % (2 * K_SAMP) == 0)
+    H_g = 2 if pair else 1
+    KG = H_g * K_SAMP
+    n_steps = T // KG
     M = P.RRC_TAP_COUNT
-    Hlo_r, Hlo_i, Hhi_r, Hhi_i = [jnp.asarray(H) for H in _band_matrices(be)]
+    Hlo_r, Hlo_i, Hhi_r, Hhi_i = [jnp.asarray(H)
+                                  for H in _band_matrices(be, KG)]
 
-    xr_c = jnp.swapaxes(xr.reshape(C, n_chunks, K_SAMP), 0, 1)
-    xi_c = jnp.swapaxes(xi.reshape(C, n_chunks, K_SAMP), 0, 1)
+    xr_c = jnp.swapaxes(xr.reshape(C, n_steps, KG), 0, 1)
+    xi_c = jnp.swapaxes(xi.reshape(C, n_steps, KG), 0, 1)
 
     def step(carry, xc):
         gain, phase, freq, hre, him = carry
-        cr, ci = xc                               # (C, K)
+        cr, ci = xc                               # (C, KG)
         yr, yi = cr * gain[:, None], ci * gain[:, None]
         amp = jnp.sqrt(yr * yr + yi * yi)
         # multiplicative (log-domain) chunk update.  Naively summing K raw
@@ -339,24 +367,14 @@ def _agc_fll_chunked(xr, xi, gain, phase, freq, hre, him, be):
         # (mean amp == setpoint), converges from any input level in a
         # couple of chunks with no cycling.  r matches the aggregate
         # per-sample convergence 1-(1-rate)^K.
-        r_eff = 1.0 - (1.0 - P.AGC_RATE) ** K_SAMP
-        amp_mean = jnp.maximum(jnp.mean(amp, axis=1), 1e-9)
-        ratio = jnp.clip(P.AGC_SETPOINT / amp_mean, 0.25, 4.0)
-        # dead-air squelch: when the chunk is essentially empty (signal
-        # gap), hold the gain instead of ramping to AGC_MAX_GAIN -- a
-        # maxed-out gain turns the first chunks after signal return into a
-        # ~1e7x overload that slams the FLL to its rail and stalls
-        # re-acquisition for seconds
-        ratio = jnp.where(amp_mean < 0.01 * P.AGC_SETPOINT, 1.0, ratio)
-        new_gain = jnp.minimum(gain * ratio ** r_eff, P.AGC_MAX_GAIN)
-        # frozen phase ramp across the chunk (rotator recurrence: no
+        # frozen phase ramp across the group (rotator recurrence: no
         # per-sample transcendentals, see rot_ramp)
-        c, s = rot_ramp(phase, freq, K_SAMP, time_first=False)
+        c, s = rot_ramp(phase, freq, KG, time_first=False)
         rr = yr * c + yi * s
         ri = yi * c - yr * s
-        # band-edge filters over [history | chunk] as banded matmuls:
-        # (C, M-1+K) @ (M-1+K, K) on the MXU, no gathers
-        er = jnp.concatenate([hre, rr], axis=1)   # (C, M-1+K)
+        # band-edge filters over [history | group] as banded matmuls:
+        # (C, M-1+KG) @ (M-1+KG, KG) on the MXU, no gathers
+        er = jnp.concatenate([hre, rr], axis=1)   # (C, M-1+KG)
         ei = jnp.concatenate([him, ri], axis=1)
         mm = lambda x, H: jnp.dot(x, H, preferred_element_type=jnp.float32)
         lo_re = mm(er, Hlo_r) - mm(ei, Hlo_i)
@@ -365,13 +383,32 @@ def _agc_fll_chunked(xr, xi, gain, phase, freq, hre, him, be):
         hi_im = mm(er, Hhi_i) + mm(ei, Hhi_r)
         fa = lambda re, im: jnp.maximum(jnp.abs(re), jnp.abs(im)) \
             + 0.4 * jnp.minimum(jnp.abs(re), jnp.abs(im))
-        err_sum = jnp.sum(fa(hi_re, hi_im) - fa(lo_re, lo_im), axis=1)
-        new_freq = jnp.clip(freq + _FLL_BETA * err_sum,
+        err = fa(hi_re, hi_im) - fa(lo_re, lo_im)          # (C, KG)
+        # per-K_SAMP sequential updates from FRESH per-half sums (the
+        # tuned K_SAMP dynamics; only the APPLIED gain/rotation above is
+        # one update stale for the second half)
+        ramp_freq = freq               # the frozen freq the ramp applied
+        r_eff = 1.0 - (1.0 - P.AGC_RATE) ** K_SAMP
+        for h in range(H_g):
+            sl = slice(h * K_SAMP, (h + 1) * K_SAMP)
+            amp_mean = jnp.maximum(jnp.mean(amp[:, sl], axis=1), 1e-9)
+            ratio = jnp.clip(P.AGC_SETPOINT / amp_mean, 0.25, 4.0)
+            # dead-air squelch: when the chunk is essentially empty
+            # (signal gap), hold the gain instead of ramping to
+            # AGC_MAX_GAIN -- a maxed-out gain turns the first chunks
+            # after signal return into a ~1e7x overload that slams the
+            # FLL to its rail and stalls re-acquisition for seconds
+            ratio = jnp.where(amp_mean < 0.01 * P.AGC_SETPOINT, 1.0, ratio)
+            gain = jnp.minimum(gain * ratio ** r_eff, P.AGC_MAX_GAIN)
+            err_sum = jnp.sum(err[:, sl], axis=1)
+            freq = jnp.clip(freq + _FLL_BETA * err_sum,
                             -_FLL_FREQ_LIM, _FLL_FREQ_LIM)
-        new_phase = phase + freq * K_SAMP
+        # carried phase = the APPLIED rotation's end (continuity of the
+        # rotated stream into the next group; uses the ramp's frozen freq)
+        new_phase = phase + ramp_freq * KG
         new_phase = new_phase - 2 * np.pi * jnp.floor(
             (new_phase + np.pi) / (2 * np.pi))
-        return ((new_gain, new_phase, new_freq, er[:, -(M - 1):],
+        return ((gain, new_phase, freq, er[:, -(M - 1):],
                  ei[:, -(M - 1):]), (rr, ri))
 
     (gain, phase, freq, hre, him), (outr, outi) = jax.lax.scan(
