@@ -267,12 +267,33 @@ def rot_ramp(phase, freq, K: int, time_first: bool):
     2 transcendental pairs per CHUNK (e^{j phase}, e^{j freq}) and the
     powers e^{j freq n} via binary decomposition of n -- log2(K) full-width
     complex multiply/select passes, identical shapes every pass (Mosaic
-    friendly; also used inside the Pallas stage-1 kernel).  fp32 error after
-    <= log2(K) chained unit-magnitude multiplies is ~1e-6, re-anchored at
-    every chunk by the exact e^{j phase}.
+    friendly; also used inside the Pallas kernels).  For K a multiple of 64
+    the doubling runs TWO-LEVEL (r4): e^{j(phase + freq*8 q)} over the 8
+    majors and e^{j freq r} over the 8 minors by small doublings, then one
+    repeat/tile complex multiply assembles the ramp -- the full-width
+    doubling passes drop from log2(K) to 1, cutting stage 1's dominant
+    VPU-elementwise term (the fp32 error stays ~1e-6: <= 3+3 chained
+    unit-magnitude multiplies plus one product, re-anchored per chunk by
+    the exact e^{j phase}).
 
     phase/freq: (C,).  Returns (K, C) pairs if time_first else (C, K).
     """
+    chunk = 8
+    if K % (chunk * chunk) == 0:
+        Q = K // chunk
+        cM, sM = rot_ramp(phase, freq * chunk, Q, time_first)
+        cm, sm = rot_ramp(jnp.zeros_like(phase), freq, chunk, time_first)
+        if time_first:
+            cMr = jnp.repeat(cM, chunk, axis=0)          # (K, C)
+            sMr = jnp.repeat(sM, chunk, axis=0)
+            cmr = jnp.tile(cm, (Q, 1))
+            smr = jnp.tile(sm, (Q, 1))
+        else:
+            cMr = jnp.repeat(cM, chunk, axis=1)          # (C, K)
+            sMr = jnp.repeat(sM, chunk, axis=1)
+            cmr = jnp.tile(cm, (1, Q))
+            smr = jnp.tile(sm, (1, Q))
+        return cMr * cmr - sMr * smr, sMr * cmr + cMr * smr
     c = jnp.cos(phase)
     s = jnp.sin(phase)
     wc = jnp.cos(freq)
