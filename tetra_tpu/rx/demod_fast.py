@@ -374,6 +374,10 @@ def _agc_fll_chunked(xr, xi, gain, phase, freq, hre, him, be,
         gain, phase, freq, hre, him = carry
         cr, ci = xc                               # (C, KG)
         yr, yi = cr * gain[:, None], ci * gain[:, None]
+        # exact per-sample amplitude: a max+0.4*min fastamp estimator was
+        # tried (r4) to drop the sqrt from the VPU-bound stage and FAILED
+        # the operating-point gate (BER 1.9% at 20 dB + 600 Hz on one data
+        # variant) -- the AGC level interacts with the FLL error scale
         amp = jnp.sqrt(yr * yr + yi * yi)
         # multiplicative (log-domain) chunk update.  Naively summing K raw
         # per-sample steps (rate * sum(setpoint - amp)) is an ADDITIVE step
