@@ -143,3 +143,36 @@ def test_demod_blocks_scan_equals_sequential():
                                np.asarray(st_seq.mm_pos), atol=1e-4)
     np.testing.assert_allclose(np.asarray(st_scan.cos_phase),
                                np.asarray(st_seq.cos_phase), atol=1e-3)
+
+
+def test_timing_phase_sweep_all_phases_decode():
+    """Every fractional timing phase must decode BER-0 with a quiet floor
+    (the quality grid only probes mu=0.5).  Context (r4): the decimated
+    band-edge error taps (_fll_tap_offsets) must balance sample parity --
+    an even-stride comb biased the FLL on adverse timing phases of the
+    BAND-LIMITED channelized soak stream (37% CRC failures on its worst
+    channel); that condition is netted by test_soak_stream, while this
+    sweep pins the broader all-phase invariant on full-band input.
+    (Recorded edge, all configs incl. FLL_DECIM=1: an EXACT integer-sample
+    offset with zero clock drift parks mu on a chunk-boundary basin and
+    costs ~1% BER transiently -- a measure-zero alignment any real ppm
+    walks off; fractional phases are the production-relevant set.)"""
+    bits = RNG.integers(0, 2, (1, 24000)).astype(np.uint8)
+    iq16 = np.asarray(modulate(jnp.asarray(bits), sps=16))[0]
+    chans = np.stack([iq16[k::8][:len(iq16[7::8])] for k in range(8)])
+    T = chans.shape[1] - chans.shape[1] % 4096
+    state = demod_fast.demod_init(8)
+    dibs, vals, dists = [], [], []
+    for i in range(T // 4096):
+        state, outs = demod_fast.demod_block(
+            state, chans[:, i * 4096:(i + 1) * 4096])
+        dibs.append(np.asarray(outs["dibits"]))
+        vals.append(np.asarray(outs["valid"]))
+        dists.append(np.asarray(outs["dist"]))
+    d = np.concatenate(dibs, 1)
+    v = np.concatenate(vals, 1)
+    dist = np.concatenate(dists, 1)
+    for c in range(8):
+        assert _ber(bits[0], _bits(d[c][v[c]]), skip=2000) == 0.0, c
+        steady = dist[c][v[c]][4000:]
+        assert steady.mean() < 0.08, (c, steady.mean())

@@ -42,7 +42,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import params as P
 from ..rx.demod import _FLL_FREQ_LIM, _tables
-from ..rx.demod_fast import _FLL_BETA
+from ..rx.demod_fast import _FLL_BETA, _AMP_KAPPA, AGC_RMS, FLL_DECIM
+from ..rx.demod_fast import _fll_tap_offsets
 from ..rx.demod_fast import K_SAMP, PAIR_STAGE1, rot_ramp
 
 M = P.RRC_TAP_COUNT              # 65
@@ -69,16 +70,22 @@ _HS = {}
 
 
 def _band_stack(pair: bool):
-    """(5*KG, HIST+KG): transposed banded matrices for the five filters
-    stacked along rows [lo_r, lo_i, hi_r, hi_i, rrc] -- the single left
-    operand of the fused stage-1 matmul pair."""
+    """(4*KG//D + KG, HIST+KG): transposed banded matrices for the five
+    filters stacked along rows [lo_r, lo_i, hi_r, hi_i, rrc] -- the single
+    left operand of the fused stage-1 matmul pair.  The four band-edge
+    blocks keep only every FLL_DECIM-th output tap (rx/demod_fast.FLL_DECIM:
+    the FLL consumes only the error SUM, so decimated taps carry ~the full
+    information at 1/D the matmul rows and per-tap VPU work)."""
     if pair not in _HS:
         _, KG, _ = _geom(pair)
         rrc, be, _ = _tables()
         lo_r, lo_i, hi_r, hi_i = be
+        offs = _fll_tap_offsets(KG)
         _HS[pair] = np.concatenate(
-            [_band_matrix(lo_r, KG).T, _band_matrix(lo_i, KG).T,
-             _band_matrix(hi_r, KG).T, _band_matrix(hi_i, KG).T,
+            [_band_matrix(lo_r, KG)[:, offs].T,
+             _band_matrix(lo_i, KG)[:, offs].T,
+             _band_matrix(hi_r, KG)[:, offs].T,
+             _band_matrix(hi_i, KG)[:, offs].T,
              _band_matrix(rrc, KG).T], axis=0)
     return _HS[pair]
 
@@ -92,10 +99,11 @@ def _chunk_body(pair, xr, xi, Hs_ref, ext_r, ext_i, gain, phase, freq):
     matched-filter group and the updated loop state.
     """
     H_g, KG, _ = _geom(pair)
+    Kd = KG // FLL_DECIM
+    npd = K_SAMP // FLL_DECIM
     # AGC apply (frozen gain over the group)
     yr = xr * gain[None, :]
     yi = xi * gain[None, :]
-    amp = jnp.sqrt(yr * yr + yi * yi)
 
     # FLL derotation ramp via the rotator recurrence (2 transcendental
     # pairs per group instead of per sample -- the VPU special-function
@@ -110,39 +118,48 @@ def _chunk_body(pair, xr, xi, Hs_ref, ext_r, ext_i, gain, phase, freq):
     er = ext_r[:, :]
     ei = ext_i[:, :]
 
-    # ALL five filters (band-edge lo/hi complex pairs + RRC) in two stacked
-    # matmuls: Hs is (5KG, HIST+KG) with the per-filter banded matrices
-    # stacked along rows, so one (5KG, HIST+KG) @ (HIST+KG, C) pair
-    # replaces ten separate products -- same FLOPs, 5x fewer MXU ops and
-    # full 128-row tile occupancy instead of half
-    Hall = Hs_ref[:, :]                  # (5KG, HIST+KG)
-    ar = jnp.dot(Hall, er, preferred_element_type=jnp.float32)   # (5KG, C)
+    # ALL five filters (band-edge lo/hi complex pairs decimated to Kd taps
+    # + full-rate RRC) in two stacked matmuls: Hs is (4Kd+KG, HIST+KG)
+    # with the per-filter banded matrices stacked along rows, so one
+    # (4Kd+KG, HIST+KG) @ (HIST+KG, C) pair replaces ten separate
+    # products -- 5x fewer MXU ops than the separate form and, with the
+    # FLL_DECIM tap cut, 40% of the full-rate stack's FLOPs
+    Hall = Hs_ref[:, :]                  # (4Kd+KG, HIST+KG)
+    ar = jnp.dot(Hall, er, preferred_element_type=jnp.float32)
     ai = jnp.dot(Hall, ei, preferred_element_type=jnp.float32)
-    K = KG
-    lo_r = ar[0 * K:1 * K] - ai[1 * K:2 * K]
-    lo_i = ar[1 * K:2 * K] + ai[0 * K:1 * K]
-    hi_r = ar[2 * K:3 * K] - ai[3 * K:4 * K]
-    hi_i = ar[3 * K:4 * K] + ai[2 * K:3 * K]
+    lo_r = ar[0 * Kd:1 * Kd] - ai[1 * Kd:2 * Kd]
+    lo_i = ar[1 * Kd:2 * Kd] + ai[0 * Kd:1 * Kd]
+    hi_r = ar[2 * Kd:3 * Kd] - ai[3 * Kd:4 * Kd]
+    hi_i = ar[3 * Kd:4 * Kd] + ai[2 * Kd:3 * Kd]
 
     def fastamp(a, b):
         aa, ab = jnp.abs(a), jnp.abs(b)
         return jnp.maximum(aa, ab) + 0.4 * jnp.minimum(aa, ab)
 
-    err = fastamp(hi_r, hi_i) - fastamp(lo_r, lo_i)        # (KG, C)
+    err = fastamp(hi_r, hi_i) - fastamp(lo_r, lo_i)        # (Kd, C)
 
     # per-K_SAMP sequential updates from FRESH per-half sums (identical
     # equations to demod_fast._agc_fll_chunked pair mode, incl. the
-    # multiplicative log-domain AGC step -- see the note there)
+    # multiplicative log-domain AGC step and the decimated-error scale /
+    # AGC sub-window -- see the notes there)
     ramp_freq = freq                   # the frozen freq the ramp applied
     r_eff = 1.0 - (1.0 - P.AGC_RATE) ** K_SAMP
+    beta_d = _FLL_BETA * FLL_DECIM
+    if AGC_RMS:
+        pw = yr * yr + yi * yi         # |y|^2, (KG, C)
     for h in range(H_g):
-        sl = slice(h * K_SAMP, (h + 1) * K_SAMP)
-        amp_mean = jnp.maximum(jnp.mean(amp[sl, :], axis=0), 1e-9)
+        sa = slice(h * K_SAMP, (h + 1) * K_SAMP)
+        if AGC_RMS:
+            amp_mean = _AMP_KAPPA * jnp.sqrt(jnp.mean(pw[sa, :], axis=0))
+        else:
+            awr, awi = yr[sa, :], yi[sa, :]
+            amp_mean = jnp.mean(jnp.sqrt(awr * awr + awi * awi), axis=0)
+        amp_mean = jnp.maximum(amp_mean, 1e-9)
         ratio = jnp.clip(P.AGC_SETPOINT / amp_mean, 0.25, 4.0)
         ratio = jnp.where(amp_mean < 0.01 * P.AGC_SETPOINT, 1.0, ratio)
         gain = jnp.minimum(gain * ratio ** r_eff, P.AGC_MAX_GAIN)
-        err_sum = jnp.sum(err[sl, :], axis=0)
-        freq = jnp.clip(freq + _FLL_BETA * err_sum,
+        err_sum = jnp.sum(err[h * npd:(h + 1) * npd, :], axis=0)
+        freq = jnp.clip(freq + beta_d * err_sum,
                         -_FLL_FREQ_LIM, _FLL_FREQ_LIM)
     # carried phase = the APPLIED rotation's end (continuity of the
     # rotated stream into the next group)
@@ -150,7 +167,8 @@ def _chunk_body(pair, xr, xi, Hs_ref, ext_r, ext_i, gain, phase, freq):
     new_phase = new_phase - 2 * np.pi * jnp.floor(
         (new_phase + np.pi) / (2 * np.pi))
     # RRC matched filter group (real taps)
-    return ar[4 * K:5 * K], ai[4 * K:5 * K], gain, new_phase, freq
+    return ar[4 * Kd:4 * Kd + KG], ai[4 * Kd:4 * Kd + KG], gain, \
+        new_phase, freq
 
 
 def _kernel(U, pair, xr_ref, xi_ref, gain0, phase0, freq0, hist_r0, hist_i0,
@@ -161,7 +179,7 @@ def _kernel(U, pair, xr_ref, xi_ref, gain0, phase0, freq0, hist_r0, hist_i0,
     xr/xi:   (U*KG, C) group block
     gain0/phase0/freq0: (1, C) initial state
     hist_r0/hist_i0: (HIST, C) rotated-sample history carried across blocks
-    Hs:      (5*KG, HIST+KG) stacked transposed banded matrices
+    Hs:      (4*KG//D+KG, HIST+KG) stacked transposed banded matrices
     outputs: mf block (U*KG, C); final state (1, C) x3; history (HIST, C) x2
     scratch: ext_r/ext_i (HIST+KG, C) rotated history+group; state (3, C)
     """
@@ -264,7 +282,8 @@ def agc_fll_rrc(xr_t, xi_t, gain, phase, freq, hist_r, hist_i,
         pl.BlockSpec((1, CT), ctile, memory_space=pltpu.VMEM),
         pl.BlockSpec((HIST, CT), ctile, memory_space=pltpu.VMEM),
         pl.BlockSpec((HIST, CT), ctile, memory_space=pltpu.VMEM),
-        pl.BlockSpec((5 * KG, ROWS_G), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((int(Hs.shape[0]), ROWS_G), const,
+                     memory_space=pltpu.VMEM),
     ]
     out_specs = [
         pl.BlockSpec((U * KG, CT), chunk, memory_space=pltpu.VMEM),

@@ -126,6 +126,60 @@ _PAIR_CLIM = 0.5
 # reduce.  Off by default; the knob stays for PCIe/other geometries.
 PAIR_STAGE1 = False
 
+# Band-edge error-tap DECIMATION (r4, the stage-1 VPU lever): only the
+# per-chunk SUM of the band-edge error drives the FLL (fll.cpp:135-149
+# integrates per sample; the chunked loop aggregates anyway), and adjacent
+# band-edge outputs are correlated over the 65-tap filter span, so
+# evaluating the error filters at every D-th sample keeps nearly the full
+# information content of the sum while cutting 4/5 of stage 1's stacked
+# matmul rows to 4K/D and the per-tap |.|/fastamp VPU work by D.  The
+# decimated sum is scaled by D so the aggregate loop gain stays at its
+# tuned value (same S-curve expectation).  Measured (quality_probe, r4):
+# decimation IMPROVES the full-band quality grid -- D=4: clean 0.0105 ->
+# 0.0040, mu_half 0.0179 -> 0.0093, ppm100 0.0192 -> 0.0099, op 0.0427
+# -> 0.0429 rad -- the decimated taps sum less correlated band-edge
+# pattern noise per update, so the FLL freq jitter the Costas must track
+# is lower.  D must divide K_SAMP.  1 = reference behavior.
+#
+# WHY D=2 AND NOT MORE -- two measured decimation pathologies (r4):
+#   * TAP PARITY: at 2 samples/symbol the band-edge error statistic is
+#     cyclostationary with period 2; a uniform even-stride comb samples
+#     ONE intra-symbol phase only, and channels whose timing lands
+#     adversely see a biased S-curve (the channelized soak's worst
+#     channel went ~0 -> 37% CRC failures).  _fll_tap_offsets therefore
+#     alternates the comb +-(j&1) so both parities contribute equally.
+#   * ALIASING on band-limited input: even parity-balanced, D=4 folds
+#     the error process at fs/4 (9 kHz) into DC; on CHANNELIZED 25 kHz
+#     channels the folded component is CFO/timing-dependent and one
+#     8-channel test carrier went from 0 to ~200 steady-state CRC
+#     failures (test_superblock_wideband_matches_per_cycle) while the
+#     full-band quality grid stayed clean -- full-band probes do NOT
+#     cover this.  D=2 folds at fs/2, outside the error bandwidth:
+#     the same carrier reads (267 ok, 0 fail), better than D=1's
+#     (54, 0) late lock.
+# Env-overridable (TETRA_FLL_DECIM / TETRA_AGC_RMS) for A/B measurement.
+import os as _os
+
+FLL_DECIM = int(_os.environ.get("TETRA_FLL_DECIM", "2"))
+
+# AGC amplitude estimator: the EXACT full-chunk mean |y| stays.  Three
+# cheaper estimators were built and MEASURED failing (r4) -- the AGC
+# level feeds every loop's error scale, so its estimator noise is a
+# loop-gain dither the chain is sensitive to:
+#   * max+0.4min fastamp: angle-dependent bias noise; BER 1.9% at the
+#     20 dB + 600 Hz operating point.
+#   * sub-windowing |.| (16 of 64 samples): unbiased, but the 4x
+#     estimator variance rides the nearly-unsmoothed r_eff loop as
+#     chunk-rate gain AM that stretches the acquisition transient ~8x
+#     (errors to bit ~2600 vs ~320 at 25 dB + 200 Hz).
+#   * kappa*RMS (one sqrt/chunk from mean |y|^2, kappa = E|y|/RMS =
+#     0.9547 of the clean TETRA pulse): quadruples the CLEAN dist floor
+#     (0.0105 -> 0.0423 rad) -- the |y|^2 pattern noise (envelope
+#     kurtosis) is worse than mean-|.|'s.  Kept behind TETRA_AGC_RMS=1
+#     with this evidence.
+AGC_RMS = _os.environ.get("TETRA_AGC_RMS", "0") == "1"
+_AMP_KAPPA = 0.9547
+
 
 class FastDemodState(NamedTuple):
     agc_gain: jnp.ndarray     # (C,)
@@ -239,6 +293,18 @@ def max_symbols(block_len: int) -> int:
 # ---------------------------------------------------------------------------
 # Stage 1: chunked AGC + FLL
 # ---------------------------------------------------------------------------
+
+
+def _fll_tap_offsets(KG: int) -> np.ndarray:
+    """Parity-balanced decimated band-edge tap positions in a KG-sample
+    group (see the FLL_DECIM note: even-stride combs at 2 sps sample one
+    cyclostationary phase only and bias the FLL on half the timing
+    offsets)."""
+    D = FLL_DECIM
+    if D == 1:
+        return np.arange(KG)
+    j = np.arange(KG // D)
+    return D * j + D // 2 - 1 + (j & 1)
 
 
 def _band_matrices(be, K: int = K_SAMP):
@@ -364,7 +430,11 @@ def _agc_fll_chunked(xr, xi, gain, phase, freq, hre, him, be,
     KG = H_g * K_SAMP
     n_steps = T // KG
     M = P.RRC_TAP_COUNT
-    Hlo_r, Hlo_i, Hhi_r, Hhi_i = [jnp.asarray(H)
+    D = FLL_DECIM
+    assert K_SAMP % D == 0
+    npd = K_SAMP // D                     # error taps per K_SAMP chunk
+    offs = _fll_tap_offsets(KG)           # parity-balanced tap positions
+    Hlo_r, Hlo_i, Hhi_r, Hhi_i = [jnp.asarray(H[:, offs])
                                   for H in _band_matrices(be, KG)]
 
     xr_c = jnp.swapaxes(xr.reshape(C, n_steps, KG), 0, 1)
@@ -374,11 +444,6 @@ def _agc_fll_chunked(xr, xi, gain, phase, freq, hre, him, be,
         gain, phase, freq, hre, him = carry
         cr, ci = xc                               # (C, KG)
         yr, yi = cr * gain[:, None], ci * gain[:, None]
-        # exact per-sample amplitude: a max+0.4*min fastamp estimator was
-        # tried (r4) to drop the sqrt from the VPU-bound stage and FAILED
-        # the operating-point gate (BER 1.9% at 20 dB + 600 Hz on one data
-        # variant) -- the AGC level interacts with the FLL error scale
-        amp = jnp.sqrt(yr * yr + yi * yi)
         # multiplicative (log-domain) chunk update.  Naively summing K raw
         # per-sample steps (rate * sum(setpoint - amp)) is an ADDITIVE step
         # whose size does not scale with the gain: whenever the converged
@@ -408,15 +473,30 @@ def _agc_fll_chunked(xr, xi, gain, phase, freq, hre, him, be,
         hi_im = mm(er, Hhi_i) + mm(ei, Hhi_r)
         fa = lambda re, im: jnp.maximum(jnp.abs(re), jnp.abs(im)) \
             + 0.4 * jnp.minimum(jnp.abs(re), jnp.abs(im))
-        err = fa(hi_re, hi_im) - fa(lo_re, lo_im)          # (C, KG)
+        err = fa(hi_re, hi_im) - fa(lo_re, lo_im)          # (C, KG//D)
         # per-K_SAMP sequential updates from FRESH per-half sums (the
         # tuned K_SAMP dynamics; only the APPLIED gain/rotation above is
-        # one update stale for the second half)
+        # one update stale for the second half).  The decimated error sum
+        # is scaled by D (same aggregate gain as the full sum); the exact
+        # per-tap amplitude comes from the AGC_SUBWIN leading samples of
+        # each chunk (see the constants' notes -- a fastamp |.| estimate
+        # was measured failing the operating-point gate, BER 1.9% at
+        # 20 dB + 600 Hz: the AGC level interacts with the FLL error
+        # scale, so the estimator must stay unbiased).
         ramp_freq = freq               # the frozen freq the ramp applied
         r_eff = 1.0 - (1.0 - P.AGC_RATE) ** K_SAMP
+        beta_d = _FLL_BETA * D
+        if AGC_RMS:
+            pw = yr * yr + yi * yi     # |y|^2, (C, KG)
         for h in range(H_g):
-            sl = slice(h * K_SAMP, (h + 1) * K_SAMP)
-            amp_mean = jnp.maximum(jnp.mean(amp[:, sl], axis=1), 1e-9)
+            sa = slice(h * K_SAMP, (h + 1) * K_SAMP)
+            if AGC_RMS:
+                amp_mean = _AMP_KAPPA * jnp.sqrt(
+                    jnp.mean(pw[:, sa], axis=1))
+            else:
+                awr, awi = yr[:, sa], yi[:, sa]
+                amp_mean = jnp.mean(jnp.sqrt(awr * awr + awi * awi), axis=1)
+            amp_mean = jnp.maximum(amp_mean, 1e-9)
             ratio = jnp.clip(P.AGC_SETPOINT / amp_mean, 0.25, 4.0)
             # dead-air squelch: when the chunk is essentially empty
             # (signal gap), hold the gain instead of ramping to
@@ -425,8 +505,8 @@ def _agc_fll_chunked(xr, xi, gain, phase, freq, hre, him, be,
             # FLL to its rail and stalls re-acquisition for seconds
             ratio = jnp.where(amp_mean < 0.01 * P.AGC_SETPOINT, 1.0, ratio)
             gain = jnp.minimum(gain * ratio ** r_eff, P.AGC_MAX_GAIN)
-            err_sum = jnp.sum(err[:, sl], axis=1)
-            freq = jnp.clip(freq + _FLL_BETA * err_sum,
+            err_sum = jnp.sum(err[:, h * npd:(h + 1) * npd], axis=1)
+            freq = jnp.clip(freq + beta_d * err_sum,
                             -_FLL_FREQ_LIM, _FLL_FREQ_LIM)
         # carried phase = the APPLIED rotation's end (continuity of the
         # rotated stream into the next group; uses the ramp's frozen freq)
