@@ -477,12 +477,9 @@ def _agc_fll_chunked(xr, xi, gain, phase, freq, hre, him, be,
         # per-K_SAMP sequential updates from FRESH per-half sums (the
         # tuned K_SAMP dynamics; only the APPLIED gain/rotation above is
         # one update stale for the second half).  The decimated error sum
-        # is scaled by D (same aggregate gain as the full sum); the exact
-        # per-tap amplitude comes from the AGC_SUBWIN leading samples of
-        # each chunk (see the constants' notes -- a fastamp |.| estimate
-        # was measured failing the operating-point gate, BER 1.9% at
-        # 20 dB + 600 Hz: the AGC level interacts with the FLL error
-        # scale, so the estimator must stay unbiased).
+        # is scaled by D (same aggregate gain as the full sum); the AGC
+        # amplitude stays the exact full-chunk mean |.| (every cheaper
+        # estimator measured failing -- see the AGC_RMS note above).
         ramp_freq = freq               # the frozen freq the ramp applied
         r_eff = 1.0 - (1.0 - P.AGC_RATE) ** K_SAMP
         beta_d = _FLL_BETA * D
