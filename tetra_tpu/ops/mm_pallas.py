@@ -186,6 +186,13 @@ def _chunk_body(T, pair, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
     f0i = jnp.zeros((G, C), jnp.float32)
     d_r = jnp.zeros((G, C), jnp.float32)
     d_i = jnp.zeros((G, C), jnp.float32)
+    # the residual-offset masks are TAP-INDEPENDENT: hoisted out of the
+    # tap loop (bit-identical).  Measured NO throughput change (3,973 vs
+    # 3,990 Msps pre-hoist, within run noise) -- Mosaic already CSE'd the
+    # repeated compares; kept for clarity.  The loop's real cost is the
+    # NTAPS x (2*margin+1) where-SELECTS themselves (22.6 ms in context,
+    # scripts/attr_stage2.py) -- restructuring those needs the residual
+    # alignment folded into the barrel/selection stage (ROADMAP r5).
     for t in range(NTAPS if "interp" not in ablate else 1):
         cb = polys_ref[0, 0, t]
         cd = polys_ref[1, 0, t]
@@ -197,11 +204,8 @@ def _chunk_body(T, pair, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
         xi_ = jnp.zeros((G, C), jnp.float32)
         for d in range(-margin, margin + 1):
             off = t + d + margin
-            sl_r = ex_r[off]
-            sl_i = ex_i[off]
-            m = dsel == d
-            xr = jnp.where(m, sl_r, xr)
-            xi_ = jnp.where(m, sl_i, xi_)
+            xr = jnp.where(dmask[d + margin], ex_r[off], xr)
+            xi_ = jnp.where(dmask[d + margin], ex_i[off], xi_)
         f0r += cb * xr
         f0i += cb * xi_
         d_r += cd * xr
