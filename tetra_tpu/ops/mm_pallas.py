@@ -193,6 +193,7 @@ def _chunk_body(T, pair, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
     # NTAPS x (2*margin+1) where-SELECTS themselves (22.6 ms in context,
     # scripts/attr_stage2.py) -- restructuring those needs the residual
     # alignment folded into the barrel/selection stage (ROADMAP r5).
+    dmask = [dsel == d for d in range(-margin, margin + 1)]
     for t in range(NTAPS if "interp" not in ablate else 1):
         cb = polys_ref[0, 0, t]
         cd = polys_ref[1, 0, t]
