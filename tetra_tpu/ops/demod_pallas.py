@@ -42,9 +42,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import params as P
 from ..rx.demod import _FLL_FREQ_LIM, _tables
-from ..rx.demod_fast import _FLL_BETA, _AMP_KAPPA, AGC_RMS, FLL_DECIM
+from ..rx import demod_fast as DF
+from ..rx.demod_fast import _FLL_BETA, _AMP_KAPPA
 from ..rx.demod_fast import _fll_tap_offsets
-from ..rx.demod_fast import K_SAMP, PAIR_STAGE1, rot_ramp
+from ..rx.demod_fast import K_SAMP, rot_ramp
+
+# The A/B knobs (FLL_DECIM / AGC_RMS / PAIR_STAGE1) are read through the
+# demod_fast MODULE at trace time (ADVICE r4: by-value imports went stale
+# when scripts mutated demod_fast.FLL_DECIM before the first trace, leaving
+# _fll_tap_offsets on the new value but Kd/beta_d and the cached band stack
+# on the old one).  They remain trace-time constants: mutate only before
+# the first demod call (demod_fast documents the contract and validates D).
 
 M = P.RRC_TAP_COUNT              # 65
 HIST = M - 1                     # 64
@@ -76,18 +84,19 @@ def _band_stack(pair: bool):
     blocks keep only every FLL_DECIM-th output tap (rx/demod_fast.FLL_DECIM:
     the FLL consumes only the error SUM, so decimated taps carry ~the full
     information at 1/D the matmul rows and per-tap VPU work)."""
-    if pair not in _HS:
+    key = (pair, DF.FLL_DECIM)   # keyed on D too: a pre-trace FLL_DECIM
+    if key not in _HS:           # mutation must never reuse a stale stack
         _, KG, _ = _geom(pair)
         rrc, be, _ = _tables()
         lo_r, lo_i, hi_r, hi_i = be
         offs = _fll_tap_offsets(KG)
-        _HS[pair] = np.concatenate(
+        _HS[key] = np.concatenate(
             [_band_matrix(lo_r, KG)[:, offs].T,
              _band_matrix(lo_i, KG)[:, offs].T,
              _band_matrix(hi_r, KG)[:, offs].T,
              _band_matrix(hi_i, KG)[:, offs].T,
              _band_matrix(rrc, KG).T], axis=0)
-    return _HS[pair]
+    return _HS[key]
 
 
 def _chunk_body(pair, xr, xi, Hs_ref, ext_r, ext_i, gain, phase, freq):
@@ -99,8 +108,9 @@ def _chunk_body(pair, xr, xi, Hs_ref, ext_r, ext_i, gain, phase, freq):
     matched-filter group and the updated loop state.
     """
     H_g, KG, _ = _geom(pair)
-    Kd = KG // FLL_DECIM
-    npd = K_SAMP // FLL_DECIM
+    D = DF.FLL_DECIM
+    Kd = KG // D
+    npd = K_SAMP // D
     # AGC apply (frozen gain over the group)
     yr = xr * gain[None, :]
     yi = xi * gain[None, :]
@@ -144,12 +154,12 @@ def _chunk_body(pair, xr, xi, Hs_ref, ext_r, ext_i, gain, phase, freq):
     # AGC sub-window -- see the notes there)
     ramp_freq = freq                   # the frozen freq the ramp applied
     r_eff = 1.0 - (1.0 - P.AGC_RATE) ** K_SAMP
-    beta_d = _FLL_BETA * FLL_DECIM
-    if AGC_RMS:
+    beta_d = _FLL_BETA * D
+    if DF.AGC_RMS:
         pw = yr * yr + yi * yi         # |y|^2, (KG, C)
     for h in range(H_g):
         sa = slice(h * K_SAMP, (h + 1) * K_SAMP)
-        if AGC_RMS:
+        if DF.AGC_RMS:
             amp_mean = _AMP_KAPPA * jnp.sqrt(jnp.mean(pw[sa, :], axis=0))
         else:
             awr, awi = yr[sa, :], yi[sa, :]
@@ -261,7 +271,7 @@ def agc_fll_rrc(xr_t, xi_t, gain, phase, freq, hist_r, hist_i,
     T, C = xr_t.shape
     assert T % K_SAMP == 0
     assert K_SAMP >= HIST  # history shift assumes non-overlapping copy
-    pair = PAIR_STAGE1 and (T % (2 * K_SAMP) == 0)
+    pair = DF.PAIR_STAGE1 and (T % (2 * K_SAMP) == 0)
     _, KG, ROWS_G = _geom(pair)
     n_groups = T // KG
     Hs = jnp.asarray(_band_stack(pair))

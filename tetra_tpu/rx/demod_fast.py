@@ -161,6 +161,14 @@ PAIR_STAGE1 = False
 import os as _os
 
 FLL_DECIM = int(_os.environ.get("TETRA_FLL_DECIM", "2"))
+# Fail fast on unsupported D in BOTH chains (ADVICE r4): an odd D > 1 turns
+# the +-(j&1) comb all-even (the documented parity bias: 37% CRC failures),
+# and D must divide K_SAMP or the per-chunk error sums misalign.  The knob
+# is a PROCESS-START env var: both the XLA chain and ops/demod_pallas trace
+# it into jitted programs on first use, so runtime mutation after the first
+# demod call is not supported (set TETRA_FLL_DECIM before importing).
+assert FLL_DECIM == 1 or (FLL_DECIM % 2 == 0 and K_SAMP % FLL_DECIM == 0), \
+    f"TETRA_FLL_DECIM={FLL_DECIM}: need 1 or an even divisor of {K_SAMP}"
 
 # AGC amplitude estimator: the EXACT full-chunk mean |y| stays.  Three
 # cheaper estimators were built and MEASURED failing (r4) -- the AGC
