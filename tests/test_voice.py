@@ -724,3 +724,49 @@ def test_codec_tables_tooling(tmp_path):
     verdict = _json.loads(buf.getvalue().strip().splitlines()[-1])
     assert any("fixed-point" in w or "(0, pi)" in w
                for w in verdict["warnings"]), verdict
+
+
+def test_codec_profile_mux_order_calibration_converges():
+    """VERDICT r4 item 4: the clause-5.5.1 type-3 MULTIPLEX order (the one
+    PARITY.md row still rated *assumed* with no runtime recovery) is now a
+    calibration axis.  A TX stream concatenating [c2 | c1 | c0] instead of
+    the assumed [c0 | c1 | c2] must resolve from repeated CRC failure
+    alone, after which slots decode clean and bit-exact."""
+    from tetra_tpu.rx.tdma import TdmaTime
+    from tetra_tpu.voice.pipeline import VoicePipeline
+
+    alt = vch.CodecProfile(mux_order="210", name="alt-mux-tx")
+    default = vch.get_profile()
+    frames = RNG.integers(0, 2, (14, 2, 137)).astype(np.uint8)
+    slots = [vch.encode_slot(f.reshape(-1), profile=alt) for f in frames]
+    vp = VoicePipeline(calibrate=True)
+    for i, slot in enumerate(slots):
+        t = TdmaTime(mn=3, fn=(i % 18) + 1, tn=2, sn=1)
+        vp(t, slot)
+    resolved = vp.calibrator.resolved
+    assert resolved is not None, "mux-order calibration never fired"
+    assert resolved.mux_order == "210"
+    assert resolved.crc8_poly == alt.crc8_poly
+    assert vch.get_profile() is default
+    dec, bfi = vch.decode_slot(np.stack(slots[-3:]), profile=vp.profile)
+    assert not bfi.any()
+    assert (dec == frames[-3:]).all()
+
+
+def test_mux_order_roundtrip_all_orders():
+    """Every multiplex order is self-consistent (encode/decode loopback,
+    full and half slot) and produces a DIFFERENT wire image than the
+    default (the calibration axis is real, not a no-op)."""
+    frames = RNG.integers(0, 2, (2, 137)).astype(np.uint8)
+    ref_full = vch.encode_slot(frames.reshape(-1))
+    ref_half = vch.encode_half_slot(frames[0])
+    for order in ("021", "102", "120", "201", "210"):
+        prof = vch.CodecProfile(mux_order=order, name=f"mux-{order}")
+        full = vch.encode_slot(frames.reshape(-1), profile=prof)
+        assert not (full == ref_full).all(), order
+        dec, bfi = vch.decode_slot(full[None], profile=prof)
+        assert not bfi.any() and (dec[0] == frames).all(), order
+        half = vch.encode_half_slot(frames[0], profile=prof)
+        assert not (half == ref_half).all(), order
+        fdec, hbfi = vch.decode_half_slot(half[None], profile=prof)
+        assert not hbfi.any() and (fdec[0] == frames[0]).all(), order

@@ -81,7 +81,17 @@ class CodecProfile:
     crc4_poly: int = 0x3         # stolen-half class-2 CRC generator
     il_transposed: bool = False  # True = the one-swap 5.5.3 alternative
     #                              (write column by column instead)
+    # type-3 MULTIPLEX order (clause 5.5.1, unverifiable offline --
+    # PARITY.md): the concatenation order of the three coded classes into
+    # the 432-bit type-3 vector before interleaving.  "012" = the assumed
+    # [c0 | c1 coded | c2 coded]; any permutation string of "012" is
+    # accepted (e.g. "210" = protection-descending).  The half-slot fill
+    # bit stays at the type-3 tail under every order.
+    mux_order: str = "012"
     name: str = "default"
+
+    def __post_init__(self):
+        assert sorted(self.mux_order) == ["0", "1", "2"], self.mux_order
 
 
 _PROFILE = CodecProfile()
@@ -109,6 +119,8 @@ def load_profile(path: str) -> CodecProfile:
             kw[k] = int(v, 0) if isinstance(v, str) else int(v)
     if "il_transposed" in raw:
         kw["il_transposed"] = bool(raw["il_transposed"])
+    if "mux_order" in raw:
+        kw["mux_order"] = str(raw["mux_order"])
     kw["name"] = raw.get("name", path)
     profile = CodecProfile(**kw)
     set_profile(profile)
@@ -135,10 +147,47 @@ def _perm_pair(lines: int, columns: int,
     return (inv, perm) if transposed else (perm, inv)
 
 
+@lru_cache(maxsize=32)
+def _mux_perm_pair(lines: int, columns: int, transposed: bool,
+                   order: str, sizes: tuple) -> tuple[np.ndarray, np.ndarray]:
+    """(encode perm, decode perm) with the type-3 MULTIPLEX order folded
+    into the 5.5.3 interleave permutation (clause 5.5.1's concatenation
+    order is an offline-unverifiable assumption, so it is a profile axis;
+    see CodecProfile.mux_order).
+
+    `sizes` are the CANONICAL segment lengths [c0, c1_coded, c2_coded,
+    (fill...)]; `order` permutes the first three segments in the
+    multiplexed vector, trailing segments stay at the tail.  Both perms
+    compose on the host, so every (order, convention) candidate reuses the
+    ONE compiled decode program (perm is an array argument):
+      interleaved = canonical[enc_perm];  canonical = type4[dec_perm]."""
+    perm_il, perm_deint = _perm_pair(lines, columns, transposed)
+    n = int(np.sum(sizes))
+    starts = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+    seg_seq = [int(d) for d in order] + list(range(3, len(sizes)))
+    seg_gather = np.empty(n, np.int64)      # canonical pos -> mux pos
+    off = 0
+    for s in seg_seq:
+        seg_gather[starts[s]:starts[s + 1]] = off + np.arange(
+            sizes[s], dtype=np.int64)
+        off += sizes[s]
+    mux_to_can = np.empty(n, np.int64)      # mux pos -> canonical pos
+    mux_to_can[seg_gather] = np.arange(n, dtype=np.int64)
+    enc_perm = mux_to_can[perm_il].astype(np.int32)
+    dec_perm = perm_deint[seg_gather].astype(np.int32)
+    return enc_perm, dec_perm
+
+
+_FULL_SIZES = (N_C0, N_C1_CODED, N_C2_CODED)
+
+
 def interleave(bits: np.ndarray,
                profile: CodecProfile | None = None) -> np.ndarray:
+    """Canonical [c0 | c1 coded | c2 coded] type-3 bits -> transmitted
+    type-4 order under the profile's mux + interleave convention."""
     p = profile or _PROFILE
-    perm, _ = _perm_pair(_IL_LINES, _IL_COLUMNS, p.il_transposed)
+    perm, _ = _mux_perm_pair(_IL_LINES, _IL_COLUMNS, p.il_transposed,
+                             p.mux_order, _FULL_SIZES)
     return np.asarray(bits, np.uint8)[..., perm]
 
 
@@ -232,6 +281,9 @@ N_HC2_CODED = 80
 N_HC2_BLOCK = N_CLASS2 + 4 + 4   # 38 (info + crc4 + tail)
 CRC4_POLY = 0x3                  # X^4 + X + 1, init 0 (PARITY.md)
 _IL_HALF_LINES = 12
+# canonical half-slot segments: the 1-bit fill stays at the type-3 tail
+# under every mux order (a single bit; documented assumption)
+_HALF_SIZES = (N_CLASS0, N_HC1_CODED, N_HC2_CODED, 1)
 
 
 def crc4_bits(bits: np.ndarray, poly: int | None = None) -> np.ndarray:
@@ -276,7 +328,8 @@ def encode_half_slot(frame: np.ndarray,
     c2_coded = fec_enc.puncture(fec_enc.conv_encode(c2_blk, P.CONV_TCH_POLYS),
                                 P.PUNCT_38_80, N_HC2_CODED)
     type3 = np.concatenate([c0, c1_coded, c2_coded, np.zeros(1, np.uint8)])
-    return type3[_perm_pair(_IL_HALF_LINES, 18, p.il_transposed)[0]]
+    return type3[_mux_perm_pair(_IL_HALF_LINES, 18, p.il_transposed,
+                                p.mux_order, _HALF_SIZES)[0]]
 
 
 @partial(jax.jit)
@@ -311,7 +364,8 @@ def decode_half_slot(type4: np.ndarray,
                      ) -> tuple[np.ndarray, np.ndarray]:
     """(B, 216) descrambled surviving-half bits -> (frames (B, 137), bfi (B,))."""
     p = profile or _PROFILE
-    perm = jnp.asarray(_perm_pair(_IL_HALF_LINES, 18, p.il_transposed)[1])
+    perm = jnp.asarray(_mux_perm_pair(_IL_HALF_LINES, 18, p.il_transposed,
+                                      p.mux_order, _HALF_SIZES)[1])
     type4 = np.atleast_2d(np.asarray(type4, np.uint8))
     seq, crc_rx, c2 = jax.device_get(
         _decode_half_device(jnp.asarray(type4), perm))
@@ -384,8 +438,9 @@ def decode_slot(type4: np.ndarray,
     flag (used at tetra_lower_mac.c:336): True when the class-2 CRC fails.
     """
     p = profile or _PROFILE
-    perm = jnp.asarray(_perm_pair(_IL_LINES, _IL_COLUMNS,
-                                  p.il_transposed)[1])
+    perm = jnp.asarray(_mux_perm_pair(_IL_LINES, _IL_COLUMNS,
+                                      p.il_transposed, p.mux_order,
+                                      _FULL_SIZES)[1])
     type4 = np.atleast_2d(np.asarray(type4, np.uint8))
     seq, crc_rx, c2 = jax.device_get(
         _decode_slot_device(jnp.asarray(type4), perm))
@@ -412,8 +467,9 @@ class ProfileCalibrator:
     its class-2 CRC with no other diagnostic.  This calibrator watches
     decoded full slots: after `trigger` consecutive CRC failures it
     re-decodes a window of buffered slots under every candidate profile
-    (2 interleaver conventions x a shortlist of plausible clause-5.3 CRC-8
-    generators), locks the one that passes, and makes it the active
+    (2 interleaver conventions x 6 clause-5.5.1 multiplex orders x a
+    shortlist of plausible clause-5.3 CRC-8 generators), locks the one
+    that passes, and makes it the active
     profile — the receiver converges on the network's convention with zero
     code change (tests/test_voice.py feeds an alternate-convention TX
     stream to prove it).  Encrypted traffic cannot calibrate (the CRC
@@ -426,6 +482,13 @@ class ProfileCalibrator:
 
     CRC8_SHORTLIST = (0x1D, 0x07, 0x31, 0x9B, 0xA6)
     CRC4_SHORTLIST = (0x3, 0x9, 0xB)
+    # clause 5.5.1 type-3 multiplex order (r5, VERDICT r4 item 4): all six
+    # permutations of [c0, c1 coded, c2 coded] -- the assumed "012" first,
+    # then protection-descending "210" (the other natural spec reading),
+    # then the rest.  Every candidate reuses the one compiled decode
+    # program (the order folds into the perm argument), so the 6x wider
+    # search costs host perm composition only.
+    MUX_SHORTLIST = ("012", "210", "021", "102", "120", "201")
 
     def __init__(self, trigger: int = 6, window: int = 8, log=None,
                  base=None):
@@ -501,15 +564,17 @@ class ProfileCalibrator:
         base = self.base()
         best: tuple[int, CodecProfile] | None = None
         for transposed in (False, True):
-            for poly in self.CRC8_SHORTLIST:
-                cand = replace(
-                    base, crc8_poly=poly, il_transposed=transposed,
-                    name=f"calibrated(crc8={poly:#x}, "
-                         f"transposed={transposed})")
-                _, bfi = decode_slot(batch, profile=cand)
-                passes = int((~bfi).sum())
-                if best is None or passes > best[0]:
-                    best = (passes, cand)
+            for mux in self.MUX_SHORTLIST:
+                for poly in self.CRC8_SHORTLIST:
+                    cand = replace(
+                        base, crc8_poly=poly, il_transposed=transposed,
+                        mux_order=mux,
+                        name=f"calibrated(crc8={poly:#x}, "
+                             f"transposed={transposed}, mux={mux})")
+                    _, bfi = decode_slot(batch, profile=cand)
+                    passes = int((~bfi).sum())
+                    if best is None or passes > best[0]:
+                        best = (passes, cand)
         self.searches += 1
         passes, cand = best
         if passes >= max(2, len(self.buf) // 2):
