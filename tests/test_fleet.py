@@ -695,3 +695,49 @@ def test_fleet_threads_timing_smoke():
     # break even; 1.6x covers scheduler noise while still catching a
     # serialized or churning pool (which reads 3-10x here)
     assert times[3] < times[1] * 1.6 + 0.02, times
+
+
+def test_link_profile_pcie_full_configuration_e2e():
+    """VERDICT r4 item 7: the ONE-SWITCH pcie profile.  A wideband fleet
+    receiver built with link_profile="pcie" must run the full PCIe
+    configuration (wb_pipeline double-buffering ON, halved typed-FEC
+    buckets so steady batches chunk in two with dispatch-before-fetch
+    overlap, all-cores worker pool) and, after flush, decode IDENTICALLY
+    to the tunnel-profile twin on the same stream -- first deployment on
+    real PCIe is a flag, not a code-reading session."""
+    from tetra_tpu.tx.wideband import synthesize_wideband
+
+    N = 8
+    bits, _ = cell.downlink_bits(
+        cell.CellConfig(mcc=262, mnc=88, cc=4), 200,
+        start=TdmaTime(mn=2, fn=14, tn=1))
+    bitmat = np.stack([bits] * N)
+    wide = synthesize_wideband(bitmat, N, cfo_hz=120.0, snr_db=25.0, seed=9)
+
+    pcie = TetraReceiver(wideband=N, fleet=True, events=False, wb_k=2,
+                         link_profile="pcie")
+    tun = TetraReceiver(wideband=N, fleet=True, events=False, wb_k=2,
+                        link_profile="tunnel")
+    # the switch engaged every mechanism
+    assert pcie.wb_pipeline and not tun.wb_pipeline
+    assert pcie.fleet.link_profile == "pcie"
+    assert pcie.fleet.short_bucket <= tun.fleet.short_bucket // 2 or \
+        pcie.fleet.short_bucket < tun.fleet.short_bucket, \
+        (pcie.fleet.short_bucket, tun.fleet.short_bucket)
+    assert pcie.fleet.schf_bucket < tun.fleet.schf_bucket
+
+    adv, wl = pcie._wb["advance"], pcie._wb["wide_len"]
+    sb = 2 * adv
+    n_super = (len(wide) - (wl - adv)) // sb
+    assert n_super >= 5
+    for s in range(n_super):
+        chunk = wide[s * sb: (s + 1) * sb + (wl - adv)][:sb]
+        pcie.process_wideband(chunk)
+        tun.process_wideband(chunk)
+    pcie.flush_wideband()
+    tun.flush_wideband()
+    for c in range(N):
+        assert pcie.locked(c) and tun.locked(c), c
+        assert pcie.crc_counts(c) == tun.crc_counts(c), c
+        assert pcie.crc_counts(c)[0] > 0, c
+        assert pcie.display(c).as_dict() == tun.display(c).as_dict(), c

@@ -142,13 +142,27 @@ class FleetEngine:
                  cch_bucket: int = 0, bbk_bucket: int = 0,
                  split_fec: bool = False, typed_fec: bool = True,
                  short_bucket: int = 0, schf_bucket: int = 0,
-                 threads: int | None = None):
+                 threads: int | None = None,
+                 link_profile: str = "tunnel"):
         """threads: worker threads for the native per-channel loops
         (fleet_feed/fleet_feed_sb/fleet_dispatch; channels are fully
         independent and ctypes releases the GIL, so workers use real
-        cores).  None = TETRA_FLEET_THREADS env; 0/auto = cores-1 (one
-        core stays with the device-dispatch loop); 1 = sequential.
-        Bit-exact vs sequential (tests/test_fleet.py)."""
+        cores).  None = TETRA_FLEET_THREADS env; 0/auto = by link profile
+        (tunnel: cores-1, one core stays with the serialized tunnel
+        thread; pcie: all cores); 1 = sequential.  Bit-exact vs
+        sequential (tests/test_fleet.py).
+
+        link_profile (VERDICT r4 item 7 -- ONE switch for the
+        individually-built-and-tested PCIe mechanisms instead of a
+        code-reading session on first real-PCIe deployment):
+          "tunnel" (default): serialized-link defaults -- one-chunk typed
+            FEC buckets (upload/fetch overlap loses on a serialized
+            pipe, measured 583 -> 725 ms), cores-1 workers.
+          "pcie": halved typed buckets so steady batches CHUNK in two and
+            decode_rows_typed_packed overlaps chunk j+1's upload+trellis
+            with chunk j's fetch, plus all-cores workers.  Combine with
+            TetraReceiver(link_profile="pcie"), which also turns on
+            wb_pipeline superblock double-buffering."""
         lib = load()
         if lib is None:
             raise RuntimeError("native fleet engine unavailable "
@@ -156,14 +170,20 @@ class FleetEngine:
         self.lib = lib
         self.channels = channels
         self.voice_cb = voice_cb
+        assert link_profile in ("tunnel", "pcie"), link_profile
+        self.link_profile = link_profile
         if threads is None:
             threads = int(os.environ.get("TETRA_FLEET_THREADS", "0"))
         if threads == 0:
-            # auto: leave ONE core for the device-dispatch/IO loop -- on
-            # the 2-core tunneled bench host 2 workers contend with the
-            # tunnel thread and LOSE (measured 45.6 vs 52.6 Msps e2e);
-            # production many-core hosts get cores-1 workers
-            threads = max(1, (os.cpu_count() or 2) - 1)
+            if link_profile == "pcie":
+                # no serialized tunnel thread to keep a core free for
+                threads = os.cpu_count() or 2
+            else:
+                # auto: leave ONE core for the device-dispatch/IO loop --
+                # on the 2-core tunneled bench host 2 workers contend with
+                # the tunnel thread and LOSE (measured 45.6 vs 52.6 Msps
+                # e2e); production many-core hosts get cores-1 workers
+                threads = max(1, (os.cpu_count() or 2) - 1)
         # pad the per-cycle FEC batch to one fixed bucket: a steady-state
         # receiver then compiles exactly one mixed-decode program (remote
         # compiles are minutes per distinct shape; rx/fec.decode_rows_mixed)
@@ -194,13 +214,19 @@ class FleetEngine:
             # ONE chunk per steady-state batch: decode_rows_typed_packed
             # dispatches all chunks before fetching any, so on real PCIe a
             # half-bucket would overlap chunk j+1's upload+trellis with
-            # chunk j's fetch -- but on THIS tunneled link the overlap
+            # chunk j's fetch -- but on a TUNNELED link the overlap
             # CONTENDS on the single serialized pipe and loses (measured:
-            # sb wall 583 -> 725 ms at (256, k=32) with 2 chunks -- the
-            # wb_pipeline lesson again).  Set short_bucket explicitly to
-            # ~half the steady row rate on PCIe deployments.
-            short_bucket = short_bucket or pad_rows or 1024
-            schf_bucket = schf_bucket or max(512, pad_rows // 2)
+            # sb wall 583 -> 725 ms at (256, k=32) with 2 chunks).  The
+            # pcie profile halves the buckets so steady batches chunk in
+            # two and the overlap engages; tunnel keeps one chunk.
+            if link_profile == "pcie":
+                short_bucket = short_bucket or max(
+                    256, (pad_rows or 1024) // 2)
+                schf_bucket = schf_bucket or max(
+                    128, (pad_rows or 1024) // 4)
+            else:
+                short_bucket = short_bucket or pad_rows or 1024
+                schf_bucket = schf_bucket or max(512, pad_rows // 2)
         self.short_bucket = short_bucket
         self.schf_bucket = schf_bucket
         y = np.ascontiguousarray(P.TRAIN_Y, np.uint8)

@@ -146,7 +146,8 @@ class TetraReceiver:
                  voice: bool = False, keystore: str | None = None,
                  events: bool = True, wideband: int = 0, t50: int = 6400,
                  fleet: bool = False, wb_k: int = 1,
-                 wb_pipeline: bool = False):
+                 wb_pipeline: bool | None = None,
+                 link_profile: str = "tunnel"):
         """mode: "fast" = chunked-update production loops (demod_fast);
         "ff" = feedforward block receiver (demod_ff: estimate-then-apply,
         no feedback loops -- best quality floors and instant coarse-CFO
@@ -183,9 +184,20 @@ class TetraReceiver:
         resampler's per-channel history carried in the receiver state for
         exact stream continuity.  channels is forced to N.  t50 sets the
         per-channel 50 kHz samples per internal block (t50*18/25 must be a
-        multiple of the demod chunk)."""
+        multiple of the demod chunk).
+
+        link_profile: "tunnel" (default) or "pcie" -- ONE switch for the
+        deployment-link mechanisms (VERDICT r4 item 7).  "pcie" turns on
+        wb_pipeline superblock double-buffering (when wb_k > 1) and passes
+        through to FleetEngine (halved typed-FEC buckets for upload/fetch
+        overlap, all-cores worker pool).  An explicit wb_pipeline= value
+        overrides the profile default."""
         if wideband:
             channels = wideband
+        assert link_profile in ("tunnel", "pcie"), link_profile
+        self.link_profile = link_profile
+        if wb_pipeline is None:
+            wb_pipeline = (link_profile == "pcie")
         self.channels = channels
         self.demod = {"fast": demod_fast, "ff": demod_ff}.get(
             mode, demod_exact)
@@ -222,7 +234,8 @@ class TetraReceiver:
                 K = max(1, wb_k)
                 pad_rows = -(-int(channels * K * slots * 2.2) // 1024) * 1024
                 self.fleet = FleetEngine(channels, voice_cb=voice_cb,
-                                         pad_rows=pad_rows)
+                                         pad_rows=pad_rows,
+                                         link_profile=link_profile)
             else:
                 # narrowband fleet feeds have caller-defined block lengths:
                 # size from the historical worst-case formula
@@ -230,7 +243,8 @@ class TetraReceiver:
                                         - 1).bit_length()) \
                     if channels >= 64 else 0
                 self.fleet = FleetEngine(channels, voice_cb=voice_cb,
-                                         pad_rows=pad_rows)
+                                         pad_rows=pad_rows,
+                                         link_profile=link_profile)
             self.mac = []
             self.sym_quality = np.zeros(channels, np.float32)
             self.wideband = wideband
