@@ -1,0 +1,110 @@
+"""Same-process A/B of the round-5 stage-2 structure knobs on the TPU.
+
+Measures the full production chain (stage-1 + stage-2 Pallas kernels,
+bench.py's dispatch pattern) on the heterogeneous LOCKED fleet, flipping
+ops/mm_pallas.ALIGN8 (unaligned window base: barrel passes fire on the
+true cross-channel spread only) and NARROW_INTERP (predicated 3-select
+slip chain on locked groups) between runs.  All configs re-trace from
+cleared caches and start from the SAME settled loop state, so deltas are
+same-process and checksum equality across configs validates the
+bit-exactness claim on real hardware.
+
+Run alone (host contention skews timings).
+Usage: python scripts/ab_stage2.py [k] [iters]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+
+
+def main():
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import heterogeneous_fleet_iq
+    from tetra_tpu.ops import mm_pallas as MP
+    from tetra_tpu.rx import demod_fast as DF
+
+    C, T = 2048, 4608
+    n_chunks = DF.n_chunks_for(T)
+
+    xr_h, xi_h = heterogeneous_fleet_iq(k, C, T)
+    xr = jnp.asarray(xr_h)
+    xi = jnp.asarray(xi_h)
+    del xr_h, xi_h
+
+    def make_step():
+        def body(state, xs):
+            a, b = xs
+            state, outs = DF._demod_block_impl(state, a, b, n_chunks,
+                                               True, True)
+            return state, outs["dist"].sum()
+
+        def step(state, xr_k, xi_k):
+            state, sums = jax.lax.scan(body, state, (xr_k, xi_k))
+            return state, sums.sum()
+        return jax.jit(step)
+
+    def set_cfg(align8, narrow, fold=0):
+        MP.ALIGN8 = align8
+        MP.NARROW_INTERP = narrow
+        MP.FOLD = fold
+        MP.mm_costas.clear_cache()
+        DF._demod_block_impl.clear_cache()
+
+    configs = [
+        ("r4-baseline(align8,wide)", (True, False, 0)),
+        ("unaligned-base", (False, False, 0)),
+        ("unaligned+fold3", (False, False, 3)),
+        ("unaligned+fold1", (False, False, 1)),
+    ]
+
+    # settle the loops once with the baseline config
+    set_cfg(True, False)
+    jit_step = make_step()
+    state = DF.demod_init(C)
+    for _ in range(3):
+        state, chk = jit_step(state, xr, xi)
+    float(chk)
+    settled = jax.tree.map(lambda x: x, state)
+
+    results = {}
+    for name, cfg in configs:
+        set_cfg(*cfg)
+        jit_step = make_step()
+        t0 = time.perf_counter()
+        _, chk = jit_step(settled, xr, xi)
+        chk0 = float(chk)
+        compile_s = time.perf_counter() - t0
+        _, chk = jit_step(settled, xr, xi)
+        float(chk)
+        t0 = time.perf_counter()
+        chks = [jit_step(settled, xr, xi)[1] for _ in range(iters)]
+        for c in chks:
+            float(c)
+        dt = (time.perf_counter() - t0) / iters
+        row = {"ms_per_dispatch": round(dt * 1e3, 1),
+               "msps": round(k * C * T / dt / 1e6, 1),
+               "checksum": chk0,
+               "compile_s": round(compile_s, 1)}
+        results[name] = row
+        print(json.dumps({name: row}), flush=True)
+
+    base_chk = results[configs[0][0]]["checksum"]
+    for name, *_ in configs[1:]:
+        same = results[name]["checksum"] == base_chk
+        print(json.dumps({f"bitexact[{name}]": bool(same)}), flush=True)
+
+    set_cfg(False, False, 3)   # restore defaults
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,50 @@ from ..rx.demod_fast import (_COSTAS_ALPHA, _COSTAS_BETA,
 NTAPS = P.INTERP_TAP_COUNT            # 8
 SHIFT_RANGE = 512                      # max per-channel offset from base
 
+# --- round-5 stage-2 structure knobs (trace-time constants; A/B via
+# scripts/ab_stage2.py, which clears the jit caches around mutation) ---
+#
+# ALIGN8: 8-align the window-cut base (the r1-r4 formulation).  The
+# alignment puts the base's sublane residue INTO r, so even a perfectly
+# locked tile fires the 8/4/2/1 barrel passes on most groups --
+# in-context attribution (attr_stage2, r4) charged 25.6 ms/dispatch to
+# the barrel at k=32 with one channel's bits firing a pass for the whole
+# tile.  False (default since r5) cuts the window at base = min(ipos)
+# directly (Mosaic lowers the unaligned dynamic slice itself, cheaper
+# than our masked passes); r then carries only the true cross-channel
+# spread (<= 2-3 samples once locked: timing phases mod 2 plus ppm
+# walk), so the predicated passes above the spread skip.  MEASURED
+# (scripts/ab_stage2.py, same process, settled locked fleet, k=32,
+# (2048, 4608)): 80.3 -> 73.5 ms/dispatch (3,760 -> 4,109 Msps, +9.3%),
+# checksum-identical.
+ALIGN8 = False
+# NARROW_INTERP: predicated dual interp path -- run the slip-select
+# chain at |d| <= NARROW_D when the group's ACTUAL max |dsel| allows
+# (locked channels drift <= 2*100ppm*(G-1) ~ 0.013 samples/group, so
+# dsel in {-1, 0, +1} and 3 selects/tap suffice), keeping the full
+# +-margin chain for acquisition.  Bit-identical either way (a where
+# against an all-false mask is the identity).  MEASURED A LOSS
+# (ab_stage2, r5): 80.3 -> 84.4 ms/dispatch aligned, 73.5 -> 74.1
+# unaligned -- the (G, C) abs+max reduce, the scalar predicate
+# evaluation, and the 4x(G, C) scratch round trip the pl.when branches
+# need to communicate results cost ~12 ms/dispatch, swamping the ~8 ms
+# the shorter chain saves (the selects are only 8 of ~22 VPU
+# ops/tap: Horner dominates the loop).  Kept gated for geometries with
+# larger margins (G > 64 groups) where the select share grows.
+NARROW_INTERP = False
+NARROW_D = 1                           # |dsel| bound of the narrow path
+# FOLD: stop the barrel at shift FOLD+1 and fold the residual per-channel
+# offset (r & FOLD) into the slip-select offsets instead -- the selection
+# matrix gains FOLD extra offsets (o = t + (r&FOLD) + dsel + margin) and
+# the per-tap select chain grows by FOLD cases, but the low barrel passes
+# (masked ~150-row copies that fire on nearly every locked group: 17.7 ms
+# of the k=32 dispatch even with ALIGN8=False -- attr_stage2 r5) never
+# run: once locked, rmax <= 2-3 means NO pass fires at all.  Selected
+# stream rows are IDENTICAL (o + 2k + barrel(r - r&FOLD) = ipos + 2k +
+# d), so results are bit-exact vs FOLD=0.  Must be 2^m - 1 (0 = legacy
+# full barrel).
+FOLD = 3
+
 
 def _geom(pair: bool):
     """Group geometry: (H halves, G symbols/group, slip margin, N_OFF
@@ -63,9 +107,9 @@ def _geom(pair: bool):
     H = 2 if pair else 1
     G = H * K_SYM
     margin = int(np.ceil(0.0401 * (G - 1)))
-    n_off = NTAPS + 2 * margin
+    n_off = NTAPS + 2 * margin + FOLD    # FOLD extra offsets absorb r&FOLD
     need = ((n_off - 1 + 2 * (G - 1) + 1 + 7) // 8) * 8
-    win = 2 * G + NTAPS + 2 * margin + SHIFT_RANGE
+    win = 2 * G + NTAPS + 2 * margin + FOLD + SHIFT_RANGE
     return H, G, margin, n_off, need, win
 
 
@@ -80,18 +124,19 @@ def _selection_mats(pair: bool) -> np.ndarray:
     of the aligned window instead of all WIN rows cuts the selection FLOPs
     -- the barrel shifter guarantees nothing beyond row NEED-1 is
     selectable."""
-    if pair not in _SEL_CACHE:
+    key = (pair, FOLD)
+    if key not in _SEL_CACHE:
         _, G, _, n_off, need, _ = _geom(pair)
         S = np.zeros((n_off * G, need), np.float32)
         for o in range(n_off):
             for k in range(G):
                 S[o * G + k, o + 2 * k] = 1.0
-        _SEL_CACHE[pair] = S
-    return _SEL_CACHE[pair]
+        _SEL_CACHE[key] = S
+    return _SEL_CACHE[key]
 
 
 def _chunk_body(T, pair, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
-                wbuf_r, wbuf_i,
+                wbuf_r, wbuf_i, acc_refs,
                 pos, omega, cphase, cfreq, ph2, prev_sym):
     """One group (K_SYM or 2*K_SYM symbols) of the timing/Costas/slicer
     loop.
@@ -120,8 +165,11 @@ def _chunk_body(T, pair, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
     # (the input's WIN-row tail padding guarantees base + WIN stays in range
     # without clamping, so r is bounded by the cross-channel spread alone)
     base = jnp.clip(jnp.min(ipos[0, :]), 0, T - 1)
-    base = (base // 8) * 8
-    base = pl.multiple_of(base, 8)
+    if ALIGN8:
+        # original formulation: aligned slice, residue folded into r (the
+        # barrel then fires the 8/4/2/1 passes on most locked groups)
+        base = (base // 8) * 8
+        base = pl.multiple_of(base, 8)
     r = ipos[0, :] - base                                   # (C,) >= 0
     reachable = r < SHIFT_RANGE
     valid = jnp.logical_and(valid, reachable[None, :])
@@ -143,7 +191,7 @@ def _chunk_body(T, pair, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
     # the first NEED + (s - 1) rows (remaining shifts sum to s - 1).
     rmax = jnp.max(r)
     shift = 0 if "barrel" in ablate else SHIFT_RANGE // 2
-    while shift >= 1:
+    while shift > FOLD:
         need_in = min(win, need_rows + 2 * shift - 1)  # valid rows pre-pass
 
         @pl.when(rmax >= shift)
@@ -163,6 +211,11 @@ def _chunk_body(T, pair, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
 
     # intra-group integer slip vs the nominal 2k grid
     dsel = ipos - ipos[0:1, :] - (2 * kk).astype(jnp.int32)  # in [-m, m]
+    if FOLD:
+        # the barrel stopped at shift FOLD+1: the residual per-channel
+        # offset folds into the select offsets (same stream rows, see the
+        # FOLD note) -- dsel becomes e = (r & FOLD) + slip
+        dsel = dsel + (r & FOLD)[None, :]
 
     # ---- interpolation + ML derivative via Horner polynomials ----
     # every offset's stride-2 row set in ONE stacked selection matmul pair
@@ -182,35 +235,70 @@ def _chunk_body(T, pair, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
         exs_i = jnp.dot(S, wi, preferred_element_type=jnp.float32)
         ex_r = [exs_r[o * G:(o + 1) * G, :] for o in range(n_off)]
         ex_i = [exs_i[o * G:(o + 1) * G, :] for o in range(n_off)]
-    f0r = jnp.zeros((G, C), jnp.float32)
-    f0i = jnp.zeros((G, C), jnp.float32)
-    d_r = jnp.zeros((G, C), jnp.float32)
-    d_i = jnp.zeros((G, C), jnp.float32)
     # the residual-offset masks are TAP-INDEPENDENT: hoisted out of the
-    # tap loop (bit-identical).  Measured NO throughput change (3,973 vs
-    # 3,990 Msps pre-hoist, within run noise) -- Mosaic already CSE'd the
-    # repeated compares; kept for clarity.  The loop's real cost is the
-    # NTAPS x (2*margin+1) where-SELECTS themselves (22.6 ms in context,
-    # scripts/attr_stage2.py) -- restructuring those needs the residual
-    # alignment folded into the barrel/selection stage (ROADMAP r5).
-    dmask = [dsel == d for d in range(-margin, margin + 1)]
-    for t in range(NTAPS if "interp" not in ablate else 1):
-        cb = polys_ref[0, 0, t]
-        cd = polys_ref[1, 0, t]
-        for j in range(1, 6):
-            cb = cb * mu + polys_ref[0, j, t]
-            cd = cd * mu + polys_ref[1, j, t]
-        # window value at row 2k + t + d for d in [-margin..margin]
-        xr = jnp.zeros((G, C), jnp.float32)
-        xi_ = jnp.zeros((G, C), jnp.float32)
-        for d in range(-margin, margin + 1):
-            off = t + d + margin
-            xr = jnp.where(dmask[d + margin], ex_r[off], xr)
-            xi_ = jnp.where(dmask[d + margin], ex_i[off], xi_)
-        f0r += cb * xr
-        f0i += cb * xi_
-        d_r += cd * xr
-        d_i += cd * xi_
+    # tap loop (bit-identical; Mosaic CSE'd the repeated compares anyway).
+    dmask = [dsel == d for d in range(-margin, margin + FOLD + 1)]
+
+    def interp_accum(mrange: int):
+        """Horner interpolation + ML derivative with the slip selects
+        limited to |d| <= mrange.  EXACT whenever max|dsel| <= mrange (a
+        where against an all-false mask is the identity), so the narrow
+        call below is bit-identical to the wide one on locked groups."""
+        f0r = jnp.zeros((G, C), jnp.float32)
+        f0i = jnp.zeros((G, C), jnp.float32)
+        d_r = jnp.zeros((G, C), jnp.float32)
+        d_i = jnp.zeros((G, C), jnp.float32)
+        for t in range(NTAPS if "interp" not in ablate else 1):
+            cb = polys_ref[0, 0, t]
+            cd = polys_ref[1, 0, t]
+            for j in range(1, 6):
+                cb = cb * mu + polys_ref[0, j, t]
+                cd = cd * mu + polys_ref[1, j, t]
+            # window value at row 2k + t + d for d in [-mrange..mrange]
+            xr = jnp.zeros((G, C), jnp.float32)
+            xi_ = jnp.zeros((G, C), jnp.float32)
+            for d in range(-mrange, mrange + FOLD + 1):
+                off = t + d + margin
+                xr = jnp.where(dmask[d + margin], ex_r[off], xr)
+                xi_ = jnp.where(dmask[d + margin], ex_i[off], xi_)
+            f0r += cb * xr
+            f0i += cb * xi_
+            d_r += cd * xr
+            d_i += cd * xi_
+        return f0r, f0i, d_r, d_i
+
+    if NARROW_INTERP and not FOLD and margin > NARROW_D \
+            and "interp" not in ablate:
+        # dual predicated path: the NTAPS x (2*margin+1) select chain was
+        # 22.6 ms of the k=32 dispatch in context (attr_stage2, r4) while
+        # locked groups only ever need |d| <= 1 -- branch on the group's
+        # ACTUAL slip so tracking runs the short chain and acquisition
+        # keeps the full margin, with bit-identical results either way.
+        f0r_ref, f0i_ref, dr_ref, di_ref = acc_refs
+        dmax = jnp.max(jnp.abs(dsel))
+
+        @pl.when(dmax <= NARROW_D)
+        def _narrow():
+            a, b, c2, d2 = interp_accum(NARROW_D)
+            f0r_ref[:, :] = a
+            f0i_ref[:, :] = b
+            dr_ref[:, :] = c2
+            di_ref[:, :] = d2
+
+        @pl.when(dmax > NARROW_D)
+        def _wide():
+            a, b, c2, d2 = interp_accum(margin)
+            f0r_ref[:, :] = a
+            f0i_ref[:, :] = b
+            dr_ref[:, :] = c2
+            di_ref[:, :] = d2
+
+        f0r = f0r_ref[:, :]
+        f0i = f0i_ref[:, :]
+        d_r = dr_ref[:, :]
+        d_i = di_ref[:, :]
+    else:
+        f0r, f0i, d_r, d_i = interp_accum(margin)
 
     sgn = lambda v: jnp.where(v > 0, 1.0, -1.0)
     err = jnp.clip(sgn(f0r) * d_r + sgn(f0i) * d_i, -4.0, 4.0)
@@ -290,7 +378,8 @@ def _chunk_body(T, pair, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
 
 def _kernel(T, U, pair, ablate, mfr_ref, mfi_ref, st0_ref, polys_ref,
             sel_ref, symr_ref, symi_ref, dib_ref, val_ref, dist_ref,
-            st_out_ref, state, wbuf_r, wbuf_i, sem):
+            st_out_ref, state, wbuf_r, wbuf_i,
+            acc_f0r, acc_f0i, acc_dr, acc_di, sem):
     """Grid: (n_tiles, n_groups // U); U groups unrolled per grid step.
 
     mfr/mfi:  (margin + T + NTAPS - 1, C) zero-pad + history + stream
@@ -319,7 +408,7 @@ def _kernel(T, U, pair, ablate, mfr_ref, mfi_ref, st0_ref, polys_ref,
         (pos, omega, cphase, cfreq, ph2, prev_sym,
          sr, si, dibit, val, dist) = _chunk_body(
             T, pair, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
-            wbuf_r, wbuf_i,
+            wbuf_r, wbuf_i, (acc_f0r, acc_f0i, acc_dr, acc_di),
             pos, omega, cphase, cfreq, ph2, prev_sym)
         r0 = u * G
         symr_ref[r0:r0 + G, :] = sr
@@ -422,6 +511,12 @@ def mm_costas(mfr_ext, mfi_ext, st0, n_chunks: int, interpret=False,
             pltpu.VMEM((8, CT), jnp.float32),
             pltpu.VMEM((win, CT), jnp.float32),
             pltpu.VMEM((win, CT), jnp.float32),
+            # NARROW_INTERP accumulators: pl.when branches communicate
+            # through refs (values cannot escape a predicated block)
+            pltpu.VMEM((G, CT), jnp.float32),
+            pltpu.VMEM((G, CT), jnp.float32),
+            pltpu.VMEM((G, CT), jnp.float32),
+            pltpu.VMEM((G, CT), jnp.float32),
             pltpu.SemaphoreType.REGULAR,
         ],
         interpret=interpret,
