@@ -30,6 +30,7 @@ def main():
     import jax.numpy as jnp
 
     from bench import heterogeneous_fleet_iq
+    from tetra_tpu.ops import demod_pallas as DP
     from tetra_tpu.ops import mm_pallas as MP
     from tetra_tpu.rx import demod_fast as DF
 
@@ -53,22 +54,25 @@ def main():
             return state, sums.sum()
         return jax.jit(step)
 
-    def set_cfg(align8, narrow, fold=0):
-        MP.ALIGN8 = align8
-        MP.NARROW_INTERP = narrow
+    def set_cfg(fold=3, deint=True, copyhead=True, s1_ct=2048, s1_u=1):
+        MP.ALIGN8 = False
+        MP.NARROW_INTERP = False
         MP.FOLD = fold
+        MP.SEL_DEINT = deint
+        MP.COPY_HEAD = copyhead
+        DP.CHAN_TILE = s1_ct
+        DP.UNROLL_MAX = s1_u
         MP.mm_costas.clear_cache()
+        DP.agc_fll_rrc.clear_cache()
         DF._demod_block_impl.clear_cache()
 
     configs = [
-        ("r4-baseline(align8,wide)", (True, False, 0)),
-        ("unaligned-base", (False, False, 0)),
-        ("unaligned+fold3", (False, False, 3)),
-        ("unaligned+fold1", (False, False, 1)),
+        ("r5-default", dict()),
+        ("r4-baseline", dict(fold=0, deint=False, copyhead=False)),
     ]
 
     # settle the loops once with the baseline config
-    set_cfg(True, False)
+    set_cfg()
     jit_step = make_step()
     state = DF.demod_init(C)
     for _ in range(3):
@@ -78,7 +82,7 @@ def main():
 
     results = {}
     for name, cfg in configs:
-        set_cfg(*cfg)
+        set_cfg(**cfg)
         jit_step = make_step()
         t0 = time.perf_counter()
         _, chk = jit_step(settled, xr, xi)
@@ -103,7 +107,7 @@ def main():
         same = results[name]["checksum"] == base_chk
         print(json.dumps({f"bitexact[{name}]": bool(same)}), flush=True)
 
-    set_cfg(False, False, 3)   # restore defaults
+    set_cfg()   # restore defaults
 
 
 if __name__ == "__main__":

@@ -95,6 +95,28 @@ NARROW_D = 1                           # |dsel| bound of the narrow path
 # d), so results are bit-exact vs FOLD=0.  Must be 2^m - 1 (0 = legacy
 # full barrel).
 FOLD = 3
+# SEL_DEINT: extract the stride-2 offset rows via ONE (NEED, NEED)
+# even/odd de-interleave matmul + static slices of its output, instead of
+# the (N_OFF*G, NEED) stacked selection matmul: ex[o][k] = w[o + 2k] =
+# (o even ? even-plane : odd-plane)[o//2 + k], and each plane offset is a
+# contiguous G-row STATIC slice -- ~7.6x fewer MXU FLOPs.  An equivalent
+# variant measured a WASH in round 1 (122.7 vs 122.5 ms: the matmul
+# overlapped other kernel work); re-measured in round 5 at the 65 ms
+# operating point where the selection is ablation-charged 14.1 ms
+# (attr_stage2).  Bit-exact: same elements, 0/1-exact f32 matmul.
+# MEASURED (ab_stage2, r5): 65.1 -> 59.4 ms/dispatch (4,641 -> 5,085
+# Msps), checksum-identical.  (Same session: stage-1 CT=1024 with U=2/4
+# unroll measured a WASH, 65.1 -> 64.7 -- stage 1 is compute-bound, not
+# grid-step-overhead bound; its knobs stay at CT=2048/U=1.)
+SEL_DEINT = True
+# COPY_HEAD: copy only the NEED+8 head rows of the window into the
+# barrel scratch unconditionally, and the remaining SHIFT_RANGE tail
+# only when a pass >= 8 could fire (rmax >= 8 -- never once locked,
+# where rmax <= 2-3).  Pass 4 reads at most NEED+7 rows, so the head
+# covers every pass the tail condition does not.  Cuts the per-group
+# VMEM copy from WIN (~657) rows to ~152.  Bit-exact by construction
+# (uncopied rows are never read).
+COPY_HEAD = True
 
 
 def _geom(pair: bool):
@@ -124,13 +146,23 @@ def _selection_mats(pair: bool) -> np.ndarray:
     of the aligned window instead of all WIN rows cuts the selection FLOPs
     -- the barrel shifter guarantees nothing beyond row NEED-1 is
     selectable."""
-    key = (pair, FOLD)
+    key = (pair, FOLD, SEL_DEINT)
     if key not in _SEL_CACHE:
         _, G, _, n_off, need, _ = _geom(pair)
-        S = np.zeros((n_off * G, need), np.float32)
-        for o in range(n_off):
-            for k in range(G):
-                S[o * G + k, o + 2 * k] = 1.0
+        if SEL_DEINT:
+            # (NEED, NEED) even/odd de-interleave: output rows [0, h) are
+            # the even input rows, [h, 2h) the odd -- every stride-2
+            # offset set then reads as a static slice (see SEL_DEINT)
+            h = need // 2
+            S = np.zeros((need, need), np.float32)
+            for j in range(h):
+                S[j, 2 * j] = 1.0
+                S[h + j, 2 * j + 1] = 1.0
+        else:
+            S = np.zeros((n_off * G, need), np.float32)
+            for o in range(n_off):
+                for k in range(G):
+                    S[o * G + k, o + 2 * k] = 1.0
         _SEL_CACHE[key] = S
     return _SEL_CACHE[key]
 
@@ -178,8 +210,19 @@ def _chunk_body(T, pair, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
     # dynamic-slice the window out of the VMEM-resident stream (an HBM DMA
     # variant faulted this backend; VMEM residency caps T*C per call at
     # ~1.8M samples - tile channels for larger blocks)
-    wbuf_r[:, :] = mfr_ref[pl.ds(base, win), :]
-    wbuf_i[:, :] = mfi_ref[pl.ds(base, win), :]
+    rmax0 = jnp.max(r)
+    if COPY_HEAD:
+        head = need_rows + 8
+        wbuf_r[:head, :] = mfr_ref[pl.ds(base, head), :]
+        wbuf_i[:head, :] = mfi_ref[pl.ds(base, head), :]
+
+        @pl.when(rmax0 >= 8)
+        def _tail():
+            wbuf_r[head:, :] = mfr_ref[pl.ds(base + head, win - head), :]
+            wbuf_i[head:, :] = mfi_ref[pl.ds(base + head, win - head), :]
+    else:
+        wbuf_r[:, :] = mfr_ref[pl.ds(base, win), :]
+        wbuf_i[:, :] = mfi_ref[pl.ds(base, win), :]
     # Barrel shifter, in scratch so every pass can be PREDICATED on the
     # actual cross-channel spread: pass s is an exact identity when
     # max(r) < s (power-of-2 s means no channel has that bit set), and the
@@ -189,7 +232,7 @@ def _chunk_body(T, pair, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
     # time when run unconditionally (scripts/ablate_mm.py).  Each pass also
     # shrinks its window: after applying shift s, later stages only read
     # the first NEED + (s - 1) rows (remaining shifts sum to s - 1).
-    rmax = jnp.max(r)
+    rmax = rmax0
     shift = 0 if "barrel" in ablate else SHIFT_RANGE // 2
     while shift > FOLD:
         need_in = min(win, need_rows + 2 * shift - 1)  # valid rows pre-pass
@@ -230,11 +273,19 @@ def _chunk_body(T, pair, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
         # with the 12 offset windows as static slices, 4.8x fewer MXU
         # FLOPs (122.7 vs 122.5 ms, identical checksums -- the selection
         # matmul overlaps other kernel work and is not the bound).
-        S = sel_ref[:, :]                              # (n_off*G, NEED)
+        S = sel_ref[:, :]          # (NEED, NEED) deint or (n_off*G, NEED)
         exs_r = jnp.dot(S, wr, preferred_element_type=jnp.float32)
         exs_i = jnp.dot(S, wi, preferred_element_type=jnp.float32)
-        ex_r = [exs_r[o * G:(o + 1) * G, :] for o in range(n_off)]
-        ex_i = [exs_i[o * G:(o + 1) * G, :] for o in range(n_off)]
+        if SEL_DEINT:
+            # rows [0, h) = even plane, [h, 2h) = odd: offset o's stride-2
+            # set is the static G-row slice at o//2 within its plane
+            h2 = need_rows // 2
+            starts = [(o >> 1) + (h2 if o & 1 else 0) for o in range(n_off)]
+            ex_r = [exs_r[s0:s0 + G, :] for s0 in starts]
+            ex_i = [exs_i[s0:s0 + G, :] for s0 in starts]
+        else:
+            ex_r = [exs_r[o * G:(o + 1) * G, :] for o in range(n_off)]
+            ex_i = [exs_i[o * G:(o + 1) * G, :] for o in range(n_off)]
     # the residual-offset masks are TAP-INDEPENDENT: hoisted out of the
     # tap loop (bit-identical; Mosaic CSE'd the repeated compares anyway).
     dmask = [dsel == d for d in range(-margin, margin + FOLD + 1)]
@@ -495,7 +546,8 @@ def mm_costas(mfr_ext, mfi_ext, st0, n_chunks: int, interpret=False,
             pl.BlockSpec((Text, CT), ctile, memory_space=pltpu.VMEM),
             pl.BlockSpec((8, CT), ctile, memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 6, NTAPS), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_off * G, need_rows), lambda c, i: (0, 0),
+            pl.BlockSpec((int(sel.shape[0]), int(sel.shape[1])),
+                         lambda c, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
