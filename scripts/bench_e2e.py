@@ -150,6 +150,97 @@ def measure_resident(channels: int = 256, t50: int = 6400, k: int = 16,
                 rt_margin=round(sb_air / float(sw.mean()), 2))
 
 
+def measure_dual(channels_per: int = 512, t50: int = 6400, k: int = 16,
+                 seconds: float = 2.0) -> dict:
+    """TWO resident wideband receivers round-robined on ONE chip: the
+    path to >= 1024 real channels (VERDICT r4 item 2).  A single
+    1024-channel channelizer program exceeds the 16 MB scoped-VMEM limit
+    (the whole-z-resident fold + the (N, N) DFT basis scale O(N^2)), so
+    capacity beyond the single-program ceiling comes from multiplexing
+    two 512-channel programs over the chip -- identical shapes, one
+    compiled program set, two receiver states + fleet engines, two
+    independent wideband spectra (2 x channels_per x 25 kHz of air).
+    Decode sanity asserted per instance."""
+    import time as _time
+
+    import jax
+
+    from tetra_tpu.rx.receiver import TetraReceiver
+
+    rxs, stageds = [], []
+    fs = channels_per * 25_000
+    for inst in range(2):
+        wide = build_wideband(channels_per, seconds + 1.5, seed=7 + inst)
+        rx = TetraReceiver(wideband=channels_per, t50=t50, fleet=True,
+                           events=False, wb_k=k)
+        wb = rx._wb
+        adv, wlen = wb["advance"], wb["wide_len"]
+        sb_adv = k * adv
+        n_super = (len(wide) - wlen) // sb_adv
+        staged = []
+        for s in range(n_super):
+            base = s * sb_adv
+            wr = np.stack([wide[base + j * adv: base + j * adv + wlen].real
+                           for j in range(k)]).astype(np.float32)
+            wi = np.stack([wide[base + j * adv: base + j * adv + wlen].imag
+                           for j in range(k)]).astype(np.float32)
+            staged.append((jax.device_put(wr), jax.device_put(wi)))
+        for wr, wi in staged:
+            wr.block_until_ready(), wi.block_until_ready()
+        rxs.append(rx)
+        stageds.append(staged)
+        del wide
+    sb_adv = k * rxs[0]._wb["advance"]
+    n_super = min(len(s) for s in stageds)
+    warm_super = max(1, int(1.5 * fs / sb_adv) + 1)
+    assert n_super - warm_super >= 2, (n_super, warm_super)
+    for s in range(warm_super):
+        for rx, staged in zip(rxs, stageds):
+            rx.process_wideband_staged(*staged[s])
+    base_cnt = []
+    for rx in rxs:
+        rx.flush_wideband()
+        base_cnt.append([rx.crc_counts(c) for c in range(channels_per)])
+    t0 = _time.perf_counter()
+    sb_wall = []
+    for s in range(warm_super, n_super):
+        ts = _time.perf_counter()
+        for rx, staged in zip(rxs, stageds):
+            rx.process_wideband_staged(*staged[s])
+        sb_wall.append(_time.perf_counter() - ts)
+    for rx in rxs:
+        rx.flush_wideband()
+    dt = _time.perf_counter() - t0
+    processed = 2 * (n_super - warm_super) * sb_adv    # both spectra
+    locked = oks = fails = 0
+    for rx, b0 in zip(rxs, base_cnt):
+        n_l = sum(rx.locked(c) for c in range(channels_per))
+        o = sum(rx.crc_counts(c)[0] for c in range(channels_per)) \
+            - sum(x[0] for x in b0)
+        f = sum(rx.crc_counts(c)[1] for c in range(channels_per)) \
+            - sum(x[1] for x in b0)
+        assert n_l > channels_per * 0.9, n_l
+        assert o > 3 * f, (o, f)
+        locked += n_l
+        oks += o
+        fails += f
+    msps = processed / dt / 1e6
+    rt = msps * 1e6 / (2 * fs)
+    sw = np.asarray(sb_wall)
+    sb_air = sb_adv / fs
+    return dict(channels=2 * channels_per, t50=t50, k=k, dual=True,
+                wideband_msps=round(msps, 1),
+                rt_multiplexes=round(rt, 2),
+                rt_channels=int(rt * 2 * channels_per),
+                locked=locked, crc_ok=oks, crc_fail=fails,
+                seconds_air=round(processed / (2 * fs), 2),
+                wall=round(dt, 2),
+                sb_air_ms=round(sb_air * 1e3, 1),
+                sb_wall_ms=round(float(sw.mean()) * 1e3, 1),
+                sb_wall_p95_ms=round(float(np.percentile(sw, 95)) * 1e3, 1),
+                rt_margin=round(sb_air / float(sw.mean()), 2))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--channels", type=int, default=256)
@@ -170,6 +261,10 @@ def main():
                          "device+host stack with production (DMA/PCIe) "
                          "ingest, excluding this tunneled host's raw-IQ "
                          "upload bandwidth (reported separately)")
+    ap.add_argument("--dual", action="store_true",
+                    help="TWO resident receivers of --channels each, "
+                         "round-robined on one chip (the >= 1024-channel "
+                         "capacity path; see measure_dual)")
     ap.add_argument("--pipeline", action="store_true",
                     help="with --resident: double-buffered superblocks "
                          "(TetraReceiver(wb_pipeline=True)) so device "
@@ -234,7 +329,9 @@ def main():
                 print(json.dumps(dict(channels=ch, t50=t50,
                                       error=repr(e)[:200])))
         return
-    if args.resident:
+    if args.dual:
+        r = measure_dual(args.channels, args.t50, args.k, args.seconds)
+    elif args.resident:
         r = measure_resident(args.channels, args.t50, args.k,
                              args.seconds, args.pipeline)
     else:

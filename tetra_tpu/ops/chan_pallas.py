@@ -46,24 +46,38 @@ def _fold_weights(prototype: np.ndarray, n_ch: int) -> np.ndarray:
 
 
 def _kernel(n_s: int, q_tile: int,
-            zr_ref, zi_ref, f_ref, wr_ref, wi_ref, yr_ref, yi_ref):
+            zr_ref, zi_ref, f_ref, wr_ref, wi_ref, yr_ref, yi_ref,
+            zbuf_r, zbuf_i):
     q0 = pl.program_id(0) * q_tile
     hop = zr_ref.shape[1]
-    # polyphase fold: acc[d][c] = sum_j z[m + 2j + d, c] * F[2j+d, c]
+    # polyphase fold: acc[d][c] = sum_j z[m + 2j + d, c] * F[2j+d, c].
+    # The step window copies to scratch at the ALIGNED q0 first (q_tile is
+    # a multiple of 8), then the n_s fold slices use STATIC offsets --
+    # Mosaic rejects dynamic q0+s starts it cannot prove 8-aligned once
+    # hop > 128 (the C=512 wideband geometry, r5), while static unaligned
+    # slices lower fine.
+    zbuf_r[...] = zr_ref[pl.ds(q0, q_tile + n_s - 1), :]
+    zbuf_i[...] = zi_ref[pl.ds(q0, q_tile + n_s - 1), :]
     accs = []
-    for comp, z_ref in ((0, zr_ref), (1, zi_ref)):
+    for comp, z_ref in ((0, zbuf_r), (1, zbuf_i)):
         acc = [jnp.zeros((q_tile, hop), jnp.float32) for _ in range(2)]
         for s in range(n_s):
             w = f_ref[s, :][None, :]
-            zs = z_ref[pl.ds(q0 + s, q_tile), :]
+            zs = z_ref[s:s + q_tile, :]
             acc[s % 2] = acc[s % 2] + zs * w
-        accs.append(jnp.concatenate(acc, axis=1))   # (Q, 2*hop), b = d*hop+c
-    fr, fi = accs
-    # DFT across branches (wr_ref/wi_ref hold W.T) + hop-phase sign flip
-    yr = jnp.dot(fr, wr_ref[...], preferred_element_type=jnp.float32) \
-        - jnp.dot(fi, wi_ref[...], preferred_element_type=jnp.float32)
-    yi = jnp.dot(fr, wi_ref[...], preferred_element_type=jnp.float32) \
-        + jnp.dot(fi, wr_ref[...], preferred_element_type=jnp.float32)
+        accs.append(acc)                 # [(Q, hop) even, (Q, hop) odd]
+    (fr0, fr1), (fi0, fi1) = accs
+    # DFT across branches (wr_ref/wi_ref hold W.T) + hop-phase sign flip.
+    # The (Q, 2*hop) operand is formed by SPLITTING the dot instead of
+    # concatenating the two fold halves ([f0 f1] @ W = f0 @ W[:hop] +
+    # f1 @ W[hop:]): the odd-offset fold slices leave acc[1] with a
+    # sublane-offset layout that tpu.concatenate rejects at hop > 128
+    # (the C=512 wideband geometry, r5), while dots accept it.
+    wr0, wr1 = wr_ref[:hop, :], wr_ref[hop:, :]
+    wi0, wi1 = wi_ref[:hop, :], wi_ref[hop:, :]
+    mm = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    yr = mm(fr0, wr0) + mm(fr1, wr1) - mm(fi0, wi0) - mm(fi1, wi1)
+    yi = mm(fr0, wi0) + mm(fr1, wi1) + mm(fi0, wr0) + mm(fi1, wr1)
     n_ch = yr.shape[1]
     m_par = ((jax.lax.broadcasted_iota(jnp.int32, (q_tile, 1), 0) + q0) % 2)
     k_par = jax.lax.broadcasted_iota(jnp.int32, (1, n_ch), 1) % 2
@@ -75,7 +89,7 @@ def _kernel(n_s: int, q_tile: int,
 def _kernel_rs(n_s: int, q_tile: int, s_l: int, s_m: int,
                zr_ref, zi_ref, f_ref, wr_ref, wi_ref, ws_ref,
                hd_r_ref, hd_i_ref, yr_ref, yi_ref, tr_ref, ti_ref,
-               cr_ref, ci_ref):
+               cr_ref, ci_ref, zbuf_r, zbuf_i):
     """fold + DFT + sign flip + fused 18/25 polyphase resample.
 
     Per sequential grid step: produce one q_tile-frame 50 kHz tile, prepend
@@ -87,19 +101,24 @@ def _kernel_rs(n_s: int, q_tile: int, s_l: int, s_m: int,
     constant output index, so the last step's value lands."""
     q0 = pl.program_id(0) * q_tile
     hop = zr_ref.shape[1]
+    # aligned scratch copy + static fold slices (see _kernel's note)
+    zbuf_r[...] = zr_ref[pl.ds(q0, q_tile + n_s - 1), :]
+    zbuf_i[...] = zi_ref[pl.ds(q0, q_tile + n_s - 1), :]
     accs = []
-    for z_ref in (zr_ref, zi_ref):
+    for z_ref in (zbuf_r, zbuf_i):
         acc = [jnp.zeros((q_tile, hop), jnp.float32) for _ in range(2)]
         for s in range(n_s):
             w = f_ref[s, :][None, :]
-            zs = z_ref[pl.ds(q0 + s, q_tile), :]
+            zs = z_ref[s:s + q_tile, :]
             acc[s % 2] = acc[s % 2] + zs * w
-        accs.append(jnp.concatenate(acc, axis=1))
-    fr, fi = accs
-    yr = jnp.dot(fr, wr_ref[...], preferred_element_type=jnp.float32) \
-        - jnp.dot(fi, wi_ref[...], preferred_element_type=jnp.float32)
-    yi = jnp.dot(fr, wi_ref[...], preferred_element_type=jnp.float32) \
-        + jnp.dot(fi, wr_ref[...], preferred_element_type=jnp.float32)
+        accs.append(acc)
+    (fr0, fr1), (fi0, fi1) = accs
+    # split dot instead of axis-1 concat (see _kernel's note)
+    wr0, wr1 = wr_ref[:hop, :], wr_ref[hop:, :]
+    wi0, wi1 = wi_ref[:hop, :], wi_ref[hop:, :]
+    mm = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    yr = mm(fr0, wr0) + mm(fr1, wr1) - mm(fi0, wi0) - mm(fi1, wi1)
+    yi = mm(fr0, wi0) + mm(fr1, wi1) + mm(fi0, wr0) + mm(fi1, wr1)
     n_ch = yr.shape[1]
     m_par = ((jax.lax.broadcasted_iota(jnp.int32, (q_tile, 1), 0) + q0) % 2)
     k_par = jax.lax.broadcasted_iota(jnp.int32, (1, n_ch), 1) % 2
@@ -137,6 +156,7 @@ def fold_dft_resample(zr, zi, F, wr_t, wi_t, ws, hd_r, hd_i,
     n_s = F.shape[0]
     n_out = zr.shape[0] - (n_s - 1)          # t50
     assert n_out % q_tile == 0 and q_tile % 25 == 0, (n_out, q_tile)
+    assert q_tile % 8 == 0, q_tile   # aligned scratch copy start (Mosaic)
     s_m = 25
     s_l = q_tile * 18 // 25
     assert s_l * (n_out // q_tile) == t36
@@ -161,7 +181,11 @@ def fold_dft_resample(zr, zi, F, wr_t, wi_t, ws, hd_r, hd_i,
         out_shape=[jax.ShapeDtypeStruct((t36, n_ch), jnp.float32)] * 2
         + [jax.ShapeDtypeStruct((s_m, n_ch), jnp.float32)] * 2,
         scratch_shapes=[pltpu.VMEM((s_m, n_ch), jnp.float32),
-                        pltpu.VMEM((s_m, n_ch), jnp.float32)],
+                        pltpu.VMEM((s_m, n_ch), jnp.float32),
+                        pltpu.VMEM((q_tile + n_s - 1, n_ch // 2),
+                                   jnp.float32),
+                        pltpu.VMEM((q_tile + n_s - 1, n_ch // 2),
+                                   jnp.float32)],
         interpret=interpret,
     )(zr, zi, F, wr_t, wi_t, ws, hd_r, hd_i)
     return yr, yi, tr, ti
@@ -176,8 +200,13 @@ def fold_dft(zr: jnp.ndarray, zi: jnp.ndarray, F, wr_t, wi_t,
     flip applied."""
     n_s = F.shape[0]                 # 2 * TAPS_PER_BRANCH
     n_out = zr.shape[0] - (n_s - 1)
-    while n_out % q_tile:
+    # q_tile must divide n_out AND be a multiple of 8 (the scratch copy
+    # starts at q0 = step * q_tile, which Mosaic must prove 8-aligned);
+    # a single-step grid (q0 = 0) covers sizes with no such divisor
+    while q_tile > 8 and (n_out % q_tile or q_tile % 8):
         q_tile //= 2
+    if n_out % q_tile or q_tile % 8:
+        q_tile = n_out
     grid = (n_out // q_tile,)
     whole = pl.BlockSpec(zr.shape, lambda q: (0, 0),
                          memory_space=pltpu.VMEM)
@@ -192,6 +221,10 @@ def fold_dft(zr: jnp.ndarray, zi: jnp.ndarray, F, wr_t, wi_t,
         in_specs=[whole, whole, fspec, wspec, wspec],
         out_specs=[out, out],
         out_shape=[jax.ShapeDtypeStruct((n_out, n_ch), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((q_tile + n_s - 1, n_ch // 2),
+                                   jnp.float32),
+                        pltpu.VMEM((q_tile + n_s - 1, n_ch // 2),
+                                   jnp.float32)],
         interpret=interpret,
     )(zr, zi, F, wr_t, wi_t)
     return yr, yi
