@@ -54,12 +54,14 @@ def main():
             return state, sums.sum()
         return jax.jit(step)
 
-    def set_cfg(fold=3, deint=True, copyhead=True, s1_ct=2048, s1_u=1):
+    def set_cfg(fold=3, deint=True, copyhead=True, packri=True,
+                s1_ct=2048, s1_u=1):
         MP.ALIGN8 = False
         MP.NARROW_INTERP = False
         MP.FOLD = fold
         MP.SEL_DEINT = deint
         MP.COPY_HEAD = copyhead
+        MP.PACK_RI = packri
         DP.CHAN_TILE = s1_ct
         DP.UNROLL_MAX = s1_u
         MP.mm_costas.clear_cache()
@@ -67,8 +69,8 @@ def main():
         DF._demod_block_impl.clear_cache()
 
     configs = [
-        ("r5-default", dict()),
-        ("r4-baseline", dict(fold=0, deint=False, copyhead=False)),
+        ("no-packri", dict(packri=False)),
+        ("packri", dict()),
     ]
 
     # settle the loops once with the baseline config

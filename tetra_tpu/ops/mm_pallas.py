@@ -109,6 +109,18 @@ FOLD = 3
 # unroll measured a WASH, 65.1 -> 64.7 -- stage 1 is compute-bound, not
 # grid-step-overhead bound; its knobs stay at CT=2048/U=1.)
 SEL_DEINT = True
+# PACK_RI: keep the window's re/im halves side by side in ONE
+# (WIN, 2*CT) scratch so the whole alignment/selection pipeline runs
+# double-width: one window copy target, one where per barrel pass, and
+# ONE de-interleave matmul (NEED, NEED) @ (NEED, 2*CT) instead of a
+# re/im dot pair -- half the small-matmul launches at double the lane
+# utilization (the select term measured 9.2 ms vs a ~2 ms MXU floor;
+# small (144,144,128) dots are pipeline-fill bound).  Bit-exact: dot
+# output columns are independent.  MEASURED (ab_stage2, r5): 59.3 ->
+# 57.7 ms/dispatch same-session (+2.7%), checksum-identical -- the
+# launch-count halving pays less than the MXU-floor math suggested (the
+# dot overlaps other work), but it is a clean win and fewer ops.
+PACK_RI = True
 # COPY_HEAD: copy only the NEED+8 head rows of the window into the
 # barrel scratch unconditionally, and the remaining SHIFT_RANGE tail
 # only when a pass >= 8 could fire (rmax >= 8 -- never once locked,
@@ -211,7 +223,23 @@ def _chunk_body(T, pair, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
     # variant faulted this backend; VMEM residency caps T*C per call at
     # ~1.8M samples - tile channels for larger blocks)
     rmax0 = jnp.max(r)
-    if COPY_HEAD:
+    if PACK_RI:
+        # single double-width buffer: columns [0, C) = re, [C, 2C) = im
+        if COPY_HEAD:
+            head = need_rows + 8
+            wbuf_r[:head, :C] = mfr_ref[pl.ds(base, head), :]
+            wbuf_r[:head, C:] = mfi_ref[pl.ds(base, head), :]
+
+            @pl.when(rmax0 >= 8)
+            def _tail():
+                wbuf_r[head:, :C] = mfr_ref[pl.ds(base + head,
+                                                  win - head), :]
+                wbuf_r[head:, C:] = mfi_ref[pl.ds(base + head,
+                                                  win - head), :]
+        else:
+            wbuf_r[:, :C] = mfr_ref[pl.ds(base, win), :]
+            wbuf_r[:, C:] = mfi_ref[pl.ds(base, win), :]
+    elif COPY_HEAD:
         head = need_rows + 8
         wbuf_r[:head, :] = mfr_ref[pl.ds(base, head), :]
         wbuf_i[:head, :] = mfi_ref[pl.ds(base, head), :]
@@ -239,17 +267,29 @@ def _chunk_body(T, pair, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
 
         @pl.when(rmax >= shift)
         def _pass(shift=shift, need_in=need_in):
-            bit = (r & shift) > 0                   # (C,) bool
-            src_r = wbuf_r[shift:need_in, :]
-            src_i = wbuf_i[shift:need_in, :]
-            wbuf_r[:need_in - shift, :] = jnp.where(
-                bit[None, :], src_r, wbuf_r[:need_in - shift, :])
-            wbuf_i[:need_in - shift, :] = jnp.where(
-                bit[None, :], src_i, wbuf_i[:need_in - shift, :])
+            if PACK_RI:
+                b1 = ((r & shift) > 0)[None, :]     # (1, C) bool
+                bit2 = jnp.concatenate([b1, b1], axis=1)   # (1, 2C)
+                wbuf_r[:need_in - shift, :] = jnp.where(
+                    bit2, wbuf_r[shift:need_in, :],
+                    wbuf_r[:need_in - shift, :])
+            else:
+                bit = (r & shift) > 0               # (C,) bool
+                src_r = wbuf_r[shift:need_in, :]
+                src_i = wbuf_i[shift:need_in, :]
+                wbuf_r[:need_in - shift, :] = jnp.where(
+                    bit[None, :], src_r, wbuf_r[:need_in - shift, :])
+                wbuf_i[:need_in - shift, :] = jnp.where(
+                    bit[None, :], src_i, wbuf_i[:need_in - shift, :])
 
         shift //= 2
-    wr = wbuf_r[:need_rows, :]
-    wi = wbuf_i[:need_rows, :]
+    if PACK_RI:
+        wri = wbuf_r[:need_rows, :]                 # (NEED, 2C)
+        wr = wri[:, :C]
+        wi = wri[:, C:]
+    else:
+        wr = wbuf_r[:need_rows, :]
+        wi = wbuf_i[:need_rows, :]
     # now row j (< NEED) of channel c = mf[ipos[0, c] + j]
 
     # intra-group integer slip vs the nominal 2k grid
@@ -274,8 +314,14 @@ def _chunk_body(T, pair, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
         # FLOPs (122.7 vs 122.5 ms, identical checksums -- the selection
         # matmul overlaps other kernel work and is not the bound).
         S = sel_ref[:, :]          # (NEED, NEED) deint or (n_off*G, NEED)
-        exs_r = jnp.dot(S, wr, preferred_element_type=jnp.float32)
-        exs_i = jnp.dot(S, wi, preferred_element_type=jnp.float32)
+        if PACK_RI:
+            # one double-width dot; re/im split off the output columns
+            exs = jnp.dot(S, wri, preferred_element_type=jnp.float32)
+            exs_r = exs[:, :C]
+            exs_i = exs[:, C:]
+        else:
+            exs_r = jnp.dot(S, wr, preferred_element_type=jnp.float32)
+            exs_i = jnp.dot(S, wi, preferred_element_type=jnp.float32)
         if SEL_DEINT:
             # rows [0, h) = even plane, [h, 2h) = odd: offset o's stride-2
             # set is the static G-row slice at o//2 within its plane
@@ -561,8 +607,9 @@ def mm_costas(mfr_ext, mfi_ext, st0, n_chunks: int, interpret=False,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((8, CT), jnp.float32),
-            pltpu.VMEM((win, CT), jnp.float32),
-            pltpu.VMEM((win, CT), jnp.float32),
+            pltpu.VMEM((win, 2 * CT) if PACK_RI else (win, CT),
+                       jnp.float32),
+            pltpu.VMEM((8, 128) if PACK_RI else (win, CT), jnp.float32),
             # NARROW_INTERP accumulators: pl.when branches communicate
             # through refs (values cannot escape a predicated block)
             pltpu.VMEM((G, CT), jnp.float32),
