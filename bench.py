@@ -150,12 +150,14 @@ def main():
 
         def body(state, xs):
             xr, xi = xs
+            # tc_out=True = the PRODUCTION superblock demod form (lean
+            # kernel outputs, time-major): what the receiver runs at scale
             state, outs = demod_mod._demod_block_impl(
-                state, xr, xi, n_chunks, True, True)
+                state, xr, xi, n_chunks, True, True, tc_out=True)
             # scalar checksum INSIDE the jit: forces execution without
             # compiling a separate reduction program (remote compiles are
             # minutes on this backend)
-            return state, outs["dist"].sum()
+            return state, outs["dist_tc"].sum()
 
         def step(state, xr_k, xi_k):
             # k blocks per dispatch (lax.scan): the compiled program stays

@@ -42,12 +42,13 @@ def main():
     xi = jnp.asarray(xi_h)
     del xr_h, xi_h
 
-    def make_step():
+    def make_step(tc_out=False):
         def body(state, xs):
             a, b = xs
             state, outs = DF._demod_block_impl(state, a, b, n_chunks,
-                                               True, True)
-            return state, outs["dist"].sum()
+                                               True, True, tc_out=tc_out)
+            key = "dist_tc" if tc_out else "dist"
+            return state, outs[key].sum()
 
         def step(state, xr_k, xi_k):
             state, sums = jax.lax.scan(body, state, (xr_k, xi_k))
@@ -69,8 +70,8 @@ def main():
         DF._demod_block_impl.clear_cache()
 
     configs = [
-        ("no-packri", dict(packri=False)),
-        ("packri", dict()),
+        ("full-outputs", dict()),
+        ("lean(tc_out)", dict(tc_out=True)),
     ]
 
     # settle the loops once with the baseline config
@@ -84,8 +85,9 @@ def main():
 
     results = {}
     for name, cfg in configs:
+        tc = cfg.pop("tc_out", False)
         set_cfg(**cfg)
-        jit_step = make_step()
+        jit_step = make_step(tc)
         t0 = time.perf_counter()
         _, chk = jit_step(settled, xr, xi)
         chk0 = float(chk)

@@ -99,7 +99,8 @@ def _band_stack(pair: bool):
     return _HS[key]
 
 
-def _chunk_body(pair, xr, xi, Hs_ref, ext_r, ext_i, gain, phase, freq):
+def _chunk_body(pair, ablate, xr, xi, Hs_ref, ext_r, ext_i, gain, phase,
+                freq):
     """One group (K_SAMP or 2*K_SAMP samples) of the AGC/FLL/RRC loop.
 
     ext_r/ext_i hold the rotated [history | group] rows and must contain
@@ -118,9 +119,12 @@ def _chunk_body(pair, xr, xi, Hs_ref, ext_r, ext_i, gain, phase, freq):
     # FLL derotation ramp via the rotator recurrence (2 transcendental
     # pairs per group instead of per sample -- the VPU special-function
     # unit is the chain's binding resource, BENCH_DETAIL.md roofline)
-    c, s = rot_ramp(phase, freq, KG, time_first=True)
-    rr = yr * c + yi * s
-    ri = yi * c - yr * s
+    if "ramp" in ablate:      # profiling only: skip ramp build + rotation
+        rr, ri = yr, yi
+    else:
+        c, s = rot_ramp(phase, freq, KG, time_first=True)
+        rr = yr * c + yi * s
+        ri = yi * c - yr * s
 
     ext_r[HIST:, :] = rr
     ext_i[HIST:, :] = ri
@@ -135,8 +139,13 @@ def _chunk_body(pair, xr, xi, Hs_ref, ext_r, ext_i, gain, phase, freq):
     # products -- 5x fewer MXU ops than the separate form and, with the
     # FLL_DECIM tap cut, 40% of the full-rate stack's FLOPs
     Hall = Hs_ref[:, :]                  # (4Kd+KG, HIST+KG)
-    ar = jnp.dot(Hall, er, preferred_element_type=jnp.float32)
-    ai = jnp.dot(Hall, ei, preferred_element_type=jnp.float32)
+    if "mm" in ablate:        # profiling only: skip the stacked matmuls
+        rows = Hall.shape[0]
+        ar = jnp.broadcast_to(er[:1, :], (rows, er.shape[1]))
+        ai = jnp.broadcast_to(ei[:1, :], (rows, ei.shape[1]))
+    else:
+        ar = jnp.dot(Hall, er, preferred_element_type=jnp.float32)
+        ai = jnp.dot(Hall, ei, preferred_element_type=jnp.float32)
     lo_r = ar[0 * Kd:1 * Kd] - ai[1 * Kd:2 * Kd]
     lo_i = ar[1 * Kd:2 * Kd] + ai[0 * Kd:1 * Kd]
     hi_r = ar[2 * Kd:3 * Kd] - ai[3 * Kd:4 * Kd]
@@ -159,7 +168,9 @@ def _chunk_body(pair, xr, xi, Hs_ref, ext_r, ext_i, gain, phase, freq):
         pw = yr * yr + yi * yi         # |y|^2, (KG, C)
     for h in range(H_g):
         sa = slice(h * K_SAMP, (h + 1) * K_SAMP)
-        if DF.AGC_RMS:
+        if "amp" in ablate:   # profiling only: skip the |y| estimator
+            amp_mean = jnp.mean(yr[sa, :], axis=0)
+        elif DF.AGC_RMS:
             amp_mean = _AMP_KAPPA * jnp.sqrt(jnp.mean(pw[sa, :], axis=0))
         else:
             awr, awi = yr[sa, :], yi[sa, :]
@@ -181,7 +192,8 @@ def _chunk_body(pair, xr, xi, Hs_ref, ext_r, ext_i, gain, phase, freq):
         new_phase, freq
 
 
-def _kernel(U, pair, xr_ref, xi_ref, gain0, phase0, freq0, hist_r0, hist_i0,
+def _kernel(U, pair, ablate, xr_ref, xi_ref, gain0, phase0, freq0,
+            hist_r0, hist_i0,
             Hs_ref, mfr_ref, mfi_ref, gain_out, phase_out, freq_out,
             hist_r_out, hist_i_out,
             ext_r, ext_i, state, sem):
@@ -224,7 +236,7 @@ def _kernel(U, pair, xr_ref, xi_ref, gain0, phase0, freq0, hist_r0, hist_i0,
 
         r0 = u * KG
         mfr, mfi, gain, phase, freq = _chunk_body(
-            pair, xr_ref[r0:r0 + KG, :], xi_ref[r0:r0 + KG, :],
+            pair, ablate, xr_ref[r0:r0 + KG, :], xi_ref[r0:r0 + KG, :],
             Hs_ref, ext_r, ext_i, gain, phase, freq)
         mfr_ref[r0:r0 + KG, :] = mfr
         mfi_ref[r0:r0 + KG, :] = mfi
@@ -256,9 +268,9 @@ CHAN_TILE_PAIR = 1024
 UNROLL_MAX = 1
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "ablate"))
 def agc_fll_rrc(xr_t, xi_t, gain, phase, freq, hist_r, hist_i,
-                interpret=False):
+                interpret=False, ablate: tuple = ()):
     """Fused stage-1: (T, C) float pair + (HIST, C) rotated-sample history ->
     matched-filter output (T, C) pair, final (gain, phase, freq), and the new
     history (streaming continuity across blocks).
@@ -314,7 +326,7 @@ def agc_fll_rrc(xr_t, xi_t, gain, phase, freq, hist_r, hist_i,
         jax.ShapeDtypeStruct((HIST, C), jnp.float32),
     ]
     return pl.pallas_call(
-        partial(_kernel, U, pair),
+        partial(_kernel, U, pair, frozenset(ablate)),
         grid=(n_tiles, n_groups // U),
         in_specs=in_specs,
         out_specs=out_specs,

@@ -473,10 +473,8 @@ def _chunk_body(T, pair, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
             sr, si, dibit, valid.astype(jnp.int32), dist)
 
 
-def _kernel(T, U, pair, ablate, mfr_ref, mfi_ref, st0_ref, polys_ref,
-            sel_ref, symr_ref, symi_ref, dib_ref, val_ref, dist_ref,
-            st_out_ref, state, wbuf_r, wbuf_i,
-            acc_f0r, acc_f0i, acc_dr, acc_di, sem):
+def _kernel(T, U, pair, ablate, emit_syms, mfr_ref, mfi_ref, st0_ref,
+            polys_ref, sel_ref, *refs):
     """Grid: (n_tiles, n_groups // U); U groups unrolled per grid step.
 
     mfr/mfi:  (margin + T + NTAPS - 1, C) zero-pad + history + stream
@@ -487,6 +485,15 @@ def _kernel(T, U, pair, ablate, mfr_ref, mfi_ref, st0_ref, polys_ref,
     scratch:  state (8, C)
     """
     _, G, *_ = _geom(pair)
+    if emit_syms:
+        (symr_ref, symi_ref, dib_ref, val_ref, dist_ref, st_out_ref,
+         state, wbuf_r, wbuf_i, acc_f0r, acc_f0i, acc_dr, acc_di,
+         sem) = refs
+    else:
+        # lean mode (see mm_costas emit_syms): no sym_re/sym_im arrays
+        (dib_ref, val_ref, dist_ref, st_out_ref,
+         state, wbuf_r, wbuf_i, acc_f0r, acc_f0i, acc_dr, acc_di,
+         sem) = refs
     i = pl.program_id(1)          # grid step (inner, sequential)
     n = pl.num_programs(1)
 
@@ -508,8 +515,9 @@ def _kernel(T, U, pair, ablate, mfr_ref, mfi_ref, st0_ref, polys_ref,
             wbuf_r, wbuf_i, (acc_f0r, acc_f0i, acc_dr, acc_di),
             pos, omega, cphase, cfreq, ph2, prev_sym)
         r0 = u * G
-        symr_ref[r0:r0 + G, :] = sr
-        symi_ref[r0:r0 + G, :] = si
+        if emit_syms:
+            symr_ref[r0:r0 + G, :] = sr
+            symi_ref[r0:r0 + G, :] = si
         dib_ref[r0:r0 + G, :] = dibit
         val_ref[r0:r0 + G, :] = val
         dist_ref[r0:r0 + G, :] = dist
@@ -536,12 +544,21 @@ UNROLL_MAX = 8
 UNROLL_MAX_PAIR = 4
 
 
-@partial(jax.jit, static_argnames=("n_chunks", "interpret", "ablate"))
+@partial(jax.jit, static_argnames=("n_chunks", "interpret", "ablate",
+                                   "emit_syms"))
 def mm_costas(mfr_ext, mfi_ext, st0, n_chunks: int, interpret=False,
-              ablate: tuple = ()):
+              ablate: tuple = (), emit_syms: bool = True,
+              tail_re=None, tail_im=None):
     """mf_ext: (T + NTAPS - 1, C) float pair (history-extended matched-filter
-    stream); st0: (8, C) state rows.  Returns (sym_re, sym_im, dibits, valid,
-    dist) each (n_chunks*K, C) + final state (8, C).
+    stream) -- or, when tail_re/tail_im are given, the RAW (T, C) stage-1
+    output plus the (NTAPS-1, C) carried tails, assembled here in ONE
+    concat with the pads (r5: the separate tail-then-pad concats each
+    materialized a full stream copy in HBM).  st0: (8, C) state rows.
+    Returns (sym_re, sym_im, dibits, valid, dist) each (n_chunks*K, C) +
+    final state (8, C); emit_syms=False (the production superblock/lean
+    form) drops the sym_re/sym_im arrays -- the slicer math is unchanged,
+    the kernel just never writes the two f32 arrays to HBM (~40 MB/block
+    at (2048, 4608) that no scale consumer reads).
 
     Pair mode engages automatically when n_chunks is even, mirroring
     rx/demod_fast._mm_costas_chunked (the XLA twin the equivalence tests
@@ -552,20 +569,24 @@ def mm_costas(mfr_ext, mfi_ext, st0, n_chunks: int, interpret=False,
     # the block end never need a base clamp (keeps the barrel range = the
     # cross-channel spread only)
     C = mfr_ext.shape[1]
-    T = mfr_ext.shape[0] - (NTAPS - 1)
     zpad = jnp.zeros((margin, C), jnp.float32)
     tpad = jnp.zeros((win, C), jnp.float32)
-    mfr_ext = jnp.concatenate([zpad, mfr_ext, tpad], axis=0)
-    mfi_ext = jnp.concatenate([zpad, mfi_ext, tpad], axis=0)
+    if tail_re is not None:
+        T = mfr_ext.shape[0]
+        mfr_ext = jnp.concatenate([zpad, tail_re, mfr_ext, tpad], axis=0)
+        mfi_ext = jnp.concatenate([zpad, tail_im, mfi_ext, tpad], axis=0)
+    else:
+        T = mfr_ext.shape[0] - (NTAPS - 1)
+        mfr_ext = jnp.concatenate([zpad, mfr_ext, tpad], axis=0)
+        mfi_ext = jnp.concatenate([zpad, mfi_ext, tpad], axis=0)
     Text = mfr_ext.shape[0]
     Pb, Pd = _bank_polys()
     polys = jnp.asarray(np.stack([Pb, Pd]))      # (2, 6, NTAPS)
     sel = jnp.asarray(_selection_mats(pair))     # (n_off*G, NEED)
     S = n_chunks * K_SYM
     n_groups = n_chunks // H
-    out_shape = [
-        jax.ShapeDtypeStruct((S, C), jnp.float32),
-        jax.ShapeDtypeStruct((S, C), jnp.float32),
+    out_shape = ([jax.ShapeDtypeStruct((S, C), jnp.float32)] * 2
+                 if emit_syms else []) + [
         jax.ShapeDtypeStruct((S, C), jnp.int32),
         jax.ShapeDtypeStruct((S, C), jnp.int32),
         jax.ShapeDtypeStruct((S, C), jnp.float32),
@@ -584,8 +605,9 @@ def mm_costas(mfr_ext, mfi_ext, st0, n_chunks: int, interpret=False,
     ctile = lambda c, i: (0, c)
     chunk = lambda c, i: (i, c)
     const = lambda c, i: (0, 0, 0)
+    n_big = (5 if emit_syms else 3)
     return pl.pallas_call(
-        partial(_kernel, T, U, pair, frozenset(ablate)),
+        partial(_kernel, T, U, pair, frozenset(ablate), emit_syms),
         grid=(n_tiles, n_groups // U),
         in_specs=[
             pl.BlockSpec((Text, CT), ctile, memory_space=pltpu.VMEM),
@@ -596,14 +618,9 @@ def mm_costas(mfr_ext, mfi_ext, st0, n_chunks: int, interpret=False,
                          lambda c, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((U * G, CT), chunk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((U * G, CT), chunk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((U * G, CT), chunk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((U * G, CT), chunk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((U * G, CT), chunk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, CT), ctile, memory_space=pltpu.VMEM),
-        ],
+        out_specs=[pl.BlockSpec((U * G, CT), chunk,
+                                memory_space=pltpu.VMEM)] * n_big
+        + [pl.BlockSpec((8, CT), ctile, memory_space=pltpu.VMEM)],
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((8, CT), jnp.float32),

@@ -740,33 +740,42 @@ def _demod_block_impl(state: FastDemodState, xr, xi, n_chunks: int,
                 _add_tc_from_cm(outs)
             return new_state, outs
 
-        mfr_ext = jnp.concatenate(
-            [jnp.swapaxes(state.mm_tail_re, 0, 1), mfr_t], axis=0)
-        mfi_ext = jnp.concatenate(
-            [jnp.swapaxes(state.mm_tail_im, 0, 1), mfi_t], axis=0)
         st0 = jnp.stack([
             state.mm_pos, state.mm_omega, state.cos_phase, state.cos_freq,
             state.cos_ph2, state.prev_sym.astype(jnp.float32),
             jnp.zeros_like(state.mm_pos), jnp.zeros_like(state.mm_pos)])
-        sr_t, si_t, dib_t, val_t, dist_t, st_out = mm_costas(
-            mfr_ext, mfi_ext, st0, n_chunks)
+        # tails pass separately so the kernel wrapper assembles the padded
+        # stream in ONE concat (the tail-then-pad pair materialized a full
+        # extra HBM copy of the stream, r5); tc_out (the superblock/scale
+        # path) also runs the kernel LEAN -- sym_re/sym_im are never
+        # written (no consumer at scale reads them)
+        lean = bool(tc_out)
+        res = mm_costas(mfr_t, mfi_t, st0, n_chunks, emit_syms=not lean,
+                        tail_re=jnp.swapaxes(state.mm_tail_re, 0, 1),
+                        tail_im=jnp.swapaxes(state.mm_tail_im, 0, 1))
+        if lean:
+            dib_t, val_t, dist_t, st_out = res
+        else:
+            sr_t, si_t, dib_t, val_t, dist_t, st_out = res
         T = mfr_t.shape[0]
+        nt = P.INTERP_TAP_COUNT - 1
         new_state = FastDemodState(
             agc_gain=gain, fll_phase=fphase, fll_freq=ffreq,
             fll_hist_re=fhre, fll_hist_im=fhim,
             rrc_tail_re=fhre, rrc_tail_im=fhim,
-            mm_tail_re=jnp.swapaxes(mfr_ext[T:T + P.INTERP_TAP_COUNT - 1], 0, 1),
-            mm_tail_im=jnp.swapaxes(mfi_ext[T:T + P.INTERP_TAP_COUNT - 1], 0, 1),
+            mm_tail_re=jnp.swapaxes(mfr_t[T - nt:], 0, 1),
+            mm_tail_im=jnp.swapaxes(mfi_t[T - nt:], 0, 1),
             mm_pos=st_out[0], mm_omega=st_out[1], cos_phase=st_out[2],
             cos_freq=st_out[3], cos_ph2=st_out[4],
             prev_sym=st_out[5].astype(jnp.int32))
         outs = dict(
-            sym_re=jnp.swapaxes(sr_t, 0, 1),
-            sym_im=jnp.swapaxes(si_t, 0, 1),
             dibits=jnp.swapaxes(dib_t, 0, 1).astype(jnp.uint8),
             valid=jnp.swapaxes(val_t, 0, 1).astype(bool),
             dist=jnp.swapaxes(dist_t, 0, 1),
             fll_freq=ffreq, agc_gain=gain)
+        if not lean:
+            outs["sym_re"] = jnp.swapaxes(sr_t, 0, 1)
+            outs["sym_im"] = jnp.swapaxes(si_t, 0, 1)
         if tc_out:
             # kernel-native layout, zero relayout work
             outs["dibits_tc"] = dib_t
