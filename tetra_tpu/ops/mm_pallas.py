@@ -306,13 +306,11 @@ def _chunk_body(T, pair, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
         ex_r = [jnp.broadcast_to(wr[:1, :], (G, C))] * n_off
         ex_i = [jnp.broadcast_to(wi[:1, :], (G, C))] * n_off
     else:
-        # Two bit-exact reformulations of this product measured NO win:
-        # a 3-pass bf16 Dekker split (124 vs 118 ms/dispatch -- the f32
-        # Mosaic matmul path is already efficient and the split adds VPU
-        # conversions), and an (80, 80) even/odd de-interleave matmul
-        # with the 12 offset windows as static slices, 4.8x fewer MXU
-        # FLOPs (122.7 vs 122.5 ms, identical checksums -- the selection
-        # matmul overlaps other kernel work and is not the bound).
+        # (A 3-pass bf16 Dekker split of this product measured no win in
+        # r1 -- the f32 Mosaic matmul path is efficient and the split
+        # adds VPU conversions.  The de-interleave form below, a wash in
+        # r1 when the matmul fully overlapped, became a +9% win at the
+        # r5 operating point -- see SEL_DEINT.)
         S = sel_ref[:, :]          # (NEED, NEED) deint or (n_off*G, NEED)
         if PACK_RI:
             # one double-width dot; re/im split off the output columns
