@@ -741,3 +741,22 @@ def test_link_profile_pcie_full_configuration_e2e():
         assert pcie.crc_counts(c) == tun.crc_counts(c), c
         assert pcie.crc_counts(c)[0] > 0, c
         assert pcie.display(c).as_dict() == tun.display(c).as_dict(), c
+
+
+def test_dual_resident_receivers_decode():
+    """bench_e2e.measure_dual (two resident wideband receivers
+    round-robined -- the >= 1024-channel capacity path on real hardware)
+    must run correctly at CPU scale: both instances lock and decode
+    CRC-clean, and the aggregate accounting covers both spectra."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import bench_e2e
+
+    r = bench_e2e.measure_dual(channels_per=8, t50=6400, k=2, seconds=2.5)
+    assert r["dual"] and r["channels"] == 16
+    assert r["locked"] == 16
+    assert r["crc_ok"] > 0 and r["crc_ok"] > 3 * r["crc_fail"]
+    assert r["wideband_msps"] > 0 and r["rt_channels"] > 0

@@ -14,7 +14,7 @@ import contextlib
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
+
 
 from tetra_tpu import params as P
 from tetra_tpu.rx import demod as demod_exact
