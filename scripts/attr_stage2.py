@@ -72,7 +72,8 @@ def main():
     results = {}
     base = None
     for ablate in ((), ("barrel",), ("select",), ("interp",),
-                   ("barrel", "select", "interp")):
+                   ("selects",), ("costas",), ("extract",),
+                   ("barrel", "select", "interp", "costas", "extract")):
         MP.mm_costas = (orig_mm if not ablate
                         else functools.partial(orig_mm, ablate=ablate))
         DF._demod_block_impl.clear_cache()

@@ -350,12 +350,16 @@ def _chunk_body(T, pair, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
                 cb = cb * mu + polys_ref[0, j, t]
                 cd = cd * mu + polys_ref[1, j, t]
             # window value at row 2k + t + d for d in [-mrange..mrange]
-            xr = jnp.zeros((G, C), jnp.float32)
-            xi_ = jnp.zeros((G, C), jnp.float32)
-            for d in range(-mrange, mrange + FOLD + 1):
-                off = t + d + margin
-                xr = jnp.where(dmask[d + margin], ex_r[off], xr)
-                xi_ = jnp.where(dmask[d + margin], ex_i[off], xi_)
+            if "selects" in ablate:   # profiling only: Horner w/o selects
+                xr = ex_r[t + margin]
+                xi_ = ex_i[t + margin]
+            else:
+                xr = jnp.zeros((G, C), jnp.float32)
+                xi_ = jnp.zeros((G, C), jnp.float32)
+                for d in range(-mrange, mrange + FOLD + 1):
+                    off = t + d + margin
+                    xr = jnp.where(dmask[d + margin], ex_r[off], xr)
+                    xi_ = jnp.where(dmask[d + margin], ex_i[off], xi_)
             f0r += cb * xr
             f0i += cb * xi_
             d_r += cd * xr
@@ -413,11 +417,14 @@ def _chunk_body(T, pair, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
     # ---- Costas (freq frozen across the group) ----
     # ang = (ph2 - pi/4 - cphase) + k * (-pi/4 - cfreq): linear ramp via
     # the rotator recurrence (no per-symbol transcendentals)
-    ca, sa = rot_ramp(ph2 - np.float32(np.pi / 4.0) - cphase,
-                      -np.float32(np.pi / 4.0) - cfreq, G,
-                      time_first=True)
-    sr = f0r * ca - f0i * sa
-    si = f0i * ca + f0r * sa
+    if "costas" in ablate:    # profiling only: no derotation ramp
+        sr, si = f0r, f0i
+    else:
+        ca, sa = rot_ramp(ph2 - np.float32(np.pi / 4.0) - cphase,
+                          -np.float32(np.pi / 4.0) - cfreq, G,
+                          time_first=True)
+        sr = f0r * ca - f0i * sa
+        si = f0i * ca + f0r * sa
     cerr = jnp.clip(sgn(sr) * si - sgn(si) * sr, -1.0, 1.0)
     cerr = jnp.where(valid, cerr, 0.0)
     # rail-gated leak: mirrors rx/demod_fast (leak only near the rail, else
@@ -442,6 +449,9 @@ def _chunk_body(T, pair, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
     # ---- differential extraction ----
     a = (si < 0).astype(jnp.int32)
     b = (sr < 0).astype(jnp.int32)
+    if "extract" in ablate:   # profiling only: minimal slicer
+        return (pos, omega, cphase, cfreq, ph2, prev_sym,
+                sr, si, a, valid.astype(jnp.int32), sr)
     quad = (a << 1) | (a ^ b)
     prev = jnp.concatenate([prev_sym[None, :], quad[:-1, :]], axis=0)
     diff = (quad - prev) & 3
