@@ -1,13 +1,14 @@
-"""Same-process A/B of the round-5 stage-2 structure knobs on the TPU.
+"""Same-process A/B harness for the stage-1/stage-2 kernel knobs on TPU.
 
-Measures the full production chain (stage-1 + stage-2 Pallas kernels,
-bench.py's dispatch pattern) on the heterogeneous LOCKED fleet, flipping
-ops/mm_pallas.ALIGN8 (unaligned window base: barrel passes fire on the
-true cross-channel spread only) and NARROW_INTERP (predicated 3-select
-slip chain on locked groups) between runs.  All configs re-trace from
-cleared caches and start from the SAME settled loop state, so deltas are
-same-process and checksum equality across configs validates the
-bit-exactness claim on real hardware.
+Measures the full production chain (both Pallas kernels, bench.py's
+dispatch pattern) on the heterogeneous LOCKED fleet.  EDIT `configs`
+below per measurement session: set_cfg exposes every structure knob
+(FOLD / SEL_DEINT / COPY_HEAD / PACK_RI / stage-1 CT+unroll) plus the
+per-step tc_out (lean) form; all configs re-trace from cleared caches
+and start from the SAME settled loop state, so deltas are same-process
+and checksum equality across configs validates bit-exactness on real
+hardware.  Round-5 results from this harness are tabulated in
+BENCH_DETAIL.md (stage-2 structural rebuild section).
 
 Run alone (host contention skews timings).
 Usage: python scripts/ab_stage2.py [k] [iters]
@@ -54,6 +55,11 @@ def main():
             state, sums = jax.lax.scan(body, state, (xr_k, xi_k))
             return state, sums.sum()
         return jax.jit(step)
+
+    saved = dict(ALIGN8=MP.ALIGN8, NARROW_INTERP=MP.NARROW_INTERP,
+                 FOLD=MP.FOLD, SEL_DEINT=MP.SEL_DEINT,
+                 COPY_HEAD=MP.COPY_HEAD, PACK_RI=MP.PACK_RI,
+                 CT=DP.CHAN_TILE, U=DP.UNROLL_MAX)
 
     def set_cfg(fold=3, deint=True, copyhead=True, packri=True,
                 s1_ct=2048, s1_u=1):
@@ -111,7 +117,15 @@ def main():
         same = results[name]["checksum"] == base_chk
         print(json.dumps({f"bitexact[{name}]": bool(same)}), flush=True)
 
-    set_cfg()   # restore defaults
+    # restore the module defaults from the SAVED originals (not by
+    # value: they must track future default changes)
+    MP.ALIGN8, MP.NARROW_INTERP = saved["ALIGN8"], saved["NARROW_INTERP"]
+    MP.FOLD, MP.SEL_DEINT = saved["FOLD"], saved["SEL_DEINT"]
+    MP.COPY_HEAD, MP.PACK_RI = saved["COPY_HEAD"], saved["PACK_RI"]
+    DP.CHAN_TILE, DP.UNROLL_MAX = saved["CT"], saved["U"]
+    MP.mm_costas.clear_cache()
+    DP.agc_fll_rrc.clear_cache()
+    DF._demod_block_impl.clear_cache()
 
 
 if __name__ == "__main__":

@@ -19,15 +19,20 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-
-jax.config.update("jax_platforms", "cpu")   # host-pool measurement: no TPU
-
 import numpy as np
 
 
 def make_feed(C: int, K: int, n_chunks: int):
-    """(K*G, C) int32 pack_cycle_tc words + a channel-major warm cycle."""
+    """(K*G, C) int32 pack_cycle_tc words + a channel-major warm cycle.
+
+    The packed layout comes from the CANONICAL producer
+    (rx.receiver.pack_cycle_tc, on the CPU backend) rather than a third
+    hand-rolled copy -- a layout change cannot silently desynchronize
+    this bench (the independent host ORACLE packer stays in
+    tests/test_fleet._pack2_host, where independence is the point)."""
+    import jax.numpy as jnp
+
+    from tetra_tpu.rx.receiver import pack_cycle_tc
     from tetra_tpu.rx.tdma import TdmaTime
     from tetra_tpu.tx import cell
 
@@ -42,19 +47,13 @@ def make_feed(C: int, K: int, n_chunks: int):
     dibm = np.stack([np.roll(dib, 7 * c) for c in range(C)])
     warm = (dibm[:, :T] & 3) | 0x80
     rest = dibm[:, T:]
-    # pack_cycle_tc layout (host twin of tests/test_fleet._pack2_host)
-    cnt_words = -(-n_chunks // 4)
     rows = []
+    ones = jnp.ones((T, C), jnp.int32)
     for j in range(K):
-        d = rest[:, j * T:(j + 1) * T].T.astype(np.int64)
-        sym = (d & 3).reshape(T // 16, 16, C)
-        rows.append((sym << (2 * np.arange(16))[None, :, None]).sum(1))
-        counts = np.full((n_chunks, C), 32, np.int64)
-        pad = cnt_words * 4 - n_chunks
-        if pad:
-            counts = np.concatenate([counts, np.zeros((pad, C), np.int64)])
-        wc = counts.reshape(cnt_words, 4, C)
-        rows.append((wc << (8 * np.arange(4))[None, :, None]).sum(1))
+        d_tc = jnp.asarray(rest[:, j * T:(j + 1) * T].T.astype(np.int32))
+        packed, _, _ = pack_cycle_tc(d_tc, ones, d_tc.astype(jnp.float32),
+                                     C, n_chunks)
+        rows.append(np.asarray(packed))
     return warm, np.concatenate(rows).astype(np.int32)
 
 
@@ -78,6 +77,9 @@ def run_config(C, K, n_chunks, warm, words, threads, iters):
 
 
 def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # host-pool bench: no TPU
     C = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     K = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 4

@@ -692,9 +692,11 @@ def test_fleet_threads_timing_smoke():
     assert decode[1] == decode[3], decode
     assert decode[1][1] > 0
     # generous bound: oversubscribed on a tiny host the pool must roughly
-    # break even; 1.6x covers scheduler noise while still catching a
-    # serialized or churning pool (which reads 3-10x here)
-    assert times[3] < times[1] * 1.6 + 0.02, times
+    # break even; 2.5x covers scheduler/CI contention (this host's timing
+    # swings documented in CLAUDE.md) while still catching a serialized
+    # or per-call-churning pool (which reads 3-10x here).  Precise
+    # scaling numbers live in scripts/bench_pool.py, not CI.
+    assert times[3] < times[1] * 2.5 + 0.05, times
 
 
 def test_link_profile_pcie_full_configuration_e2e():

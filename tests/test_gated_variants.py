@@ -125,15 +125,17 @@ def test_fll_decim_1_reference_behavior():
 def test_fll_decim_validation_rejects_bad_values():
     """The module-level D validation (ADVICE r4) must reject odd D > 1
     (all-even comb parity bias) and non-divisors of K_SAMP."""
+    import os
     import subprocess
     import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for bad in ("3", "5", "7", "24"):
         r = subprocess.run(
             [sys.executable, "-c",
              "import jax; jax.config.update('jax_platforms', 'cpu'); "
              "from tetra_tpu.rx import demod_fast"],
             env={"PATH": "/usr/bin:/bin", "TETRA_FLL_DECIM": bad,
-                 "PYTHONPATH": "/root/repo"},
+                 "PYTHONPATH": repo},
             capture_output=True, text=True)
         assert r.returncode != 0 and "TETRA_FLL_DECIM" in r.stderr, \
             (bad, r.stderr[-500:])

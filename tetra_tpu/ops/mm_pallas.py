@@ -95,6 +95,16 @@ NARROW_D = 1                           # |dsel| bound of the narrow path
 # d), so results are bit-exact vs FOLD=0.  Must be 2^m - 1 (0 = legacy
 # full barrel).
 FOLD = 3
+
+def _check_fold(fold: int) -> int:
+    """FOLD must be 2^m - 1 (a contiguous low-bit mask): the barrel stops
+    at shift FOLD+1 and the select offsets absorb r & FOLD -- any other
+    value leaves residual bits neither shifted nor folded (silently wrong
+    symbols).  Validated at trace time (raise, not assert: -O safe)."""
+    if fold < 0 or (fold & (fold + 1)) != 0:
+        raise ValueError(f"FOLD={fold}: must be 2^m - 1 (0, 1, 3, 7, ...)")
+    return fold
+
 # SEL_DEINT: extract the stride-2 offset rows via ONE (NEED, NEED)
 # even/odd de-interleave matmul + static slices of its output, instead of
 # the (N_OFF*G, NEED) stacked selection matmul: ex[o][k] = w[o + 2k] =
@@ -196,6 +206,7 @@ def _chunk_body(T, pair, ablate, mfr_ref, mfi_ref, polys_ref, sel_ref,
     (wrong results when non-empty, same shapes/structure).
     """
     C = mfr_ref.shape[1]          # channels in this tile
+    _check_fold(FOLD)
     H, G, margin, n_off, need_rows, win = _geom(pair)
 
     kk = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0).astype(jnp.float32)
@@ -636,11 +647,16 @@ def mm_costas(mfr_ext, mfi_ext, st0, n_chunks: int, interpret=False,
                        jnp.float32),
             pltpu.VMEM((8, 128) if PACK_RI else (win, CT), jnp.float32),
             # NARROW_INTERP accumulators: pl.when branches communicate
-            # through refs (values cannot escape a predicated block)
-            pltpu.VMEM((G, CT), jnp.float32),
-            pltpu.VMEM((G, CT), jnp.float32),
-            pltpu.VMEM((G, CT), jnp.float32),
-            pltpu.VMEM((G, CT), jnp.float32),
+            # through refs (values cannot escape a predicated block);
+            # dummies when the knob is off -- no dead VMEM reservation
+            pltpu.VMEM((G, CT) if NARROW_INTERP else (8, 128),
+                       jnp.float32),
+            pltpu.VMEM((G, CT) if NARROW_INTERP else (8, 128),
+                       jnp.float32),
+            pltpu.VMEM((G, CT) if NARROW_INTERP else (8, 128),
+                       jnp.float32),
+            pltpu.VMEM((G, CT) if NARROW_INTERP else (8, 128),
+                       jnp.float32),
             pltpu.SemaphoreType.REGULAR,
         ],
         interpret=interpret,

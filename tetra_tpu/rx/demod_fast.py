@@ -167,8 +167,13 @@ FLL_DECIM = int(_os.environ.get("TETRA_FLL_DECIM", "2"))
 # is a PROCESS-START env var: both the XLA chain and ops/demod_pallas trace
 # it into jitted programs on first use, so runtime mutation after the first
 # demod call is not supported (set TETRA_FLL_DECIM before importing).
-assert FLL_DECIM == 1 or (FLL_DECIM % 2 == 0 and K_SAMP % FLL_DECIM == 0), \
-    f"TETRA_FLL_DECIM={FLL_DECIM}: need 1 or an even divisor of {K_SAMP}"
+if not (FLL_DECIM == 1 or (FLL_DECIM % 2 == 0
+                            and K_SAMP % FLL_DECIM == 0)):
+    # a raise, not assert: must survive python -O (the failure mode is a
+    # silent 37%-CRC-failure parity bias)
+    raise ValueError(
+        f"TETRA_FLL_DECIM={FLL_DECIM}: need 1 or an even divisor of "
+        f"{K_SAMP}")
 
 # AGC amplitude estimator: the EXACT full-chunk mean |y| stays.  Three
 # cheaper estimators were built and MEASURED failing (r4) -- the AGC

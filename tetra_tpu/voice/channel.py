@@ -91,7 +91,9 @@ class CodecProfile:
     name: str = "default"
 
     def __post_init__(self):
-        assert sorted(self.mux_order) == ["0", "1", "2"], self.mux_order
+        if sorted(self.mux_order) != ["0", "1", "2"]:   # -O safe
+            raise ValueError(f"mux_order={self.mux_order!r}: must be a "
+                             f"permutation of '012'")
 
 
 _PROFILE = CodecProfile()
